@@ -1,0 +1,94 @@
+"""Frozen numpy anomaly scorer + windowing semantics constants.
+
+Replaces the reference's torch LSTM (/root/reference/ailoganalyzer/model/
+LSTM.py:40-86) with a numpy-expressible frozen model, per SURVEY.md §7
+parity decisions (torch is unavailable here and the north star blesses a
+"frozen autoencoder/LOF scorer").  Weights are a pure function of
+(seed, num_classes) via PCG64, so the single-node oracle and the Spark
+pandas UDF reconstruct bit-identical float64 weights independently — no
+fixture file can drift.
+
+Decision semantics kept from the reference:
+- window_size=10 (dataset.py:9)
+- label = the id TWO positions after the window end — the reference's
+  off-by-one lookahead quirk, replicated deliberately (dataset.py:77;
+  sample count n - w - 1, dataset.py:69-71)
+- count-vector over num_classes (dataset.py:112-118)
+- top-k candidate rule, k=10: true label within the top-k logits ⇒
+  NORMAL (LSTM.py:128-134; the reference's ``is_anomaly`` returning True
+  for normal is renamed honestly here)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WINDOW_SIZE = 10
+LABEL_LEAD = 2          # reference's off-by-one lookahead (dataset.py:77)
+TOP_K = 10              # LSTM.py:128 default num_candidates
+HIDDEN = 16
+SEED = 1337
+
+# severity thresholds on reconstruction error (frozen constants; severity
+# buckets: crit > high > med > low > info)
+T_HI = 1.45
+T_LO = 1.36
+# weight of the "ids present in the window are likely next" prior in the
+# next-id logits (makes the frozen model behave like a real sequence
+# model on recurrent hot templates instead of a coin flip)
+SELF_PRIOR = 2.0
+
+SEVERITIES = ["crit", "high", "med", "low", "info"]
+
+
+def load_weights(num_classes: int, seed: int = SEED):
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    w1 = rng.standard_normal((HIDDEN, num_classes)) / np.sqrt(num_classes)
+    w2 = rng.standard_normal((num_classes, HIDDEN)) / np.sqrt(HIDDEN)
+    m = rng.standard_normal((num_classes, num_classes)) / np.sqrt(num_classes)
+    return w1, w2, m
+
+
+def count_vectors(window_ids: np.ndarray, num_classes: int) -> np.ndarray:
+    """(n, w) int window id matrix → (n, num_classes) dense count vectors
+    (vectorized np.add.at; the reference loops np.unique per sample,
+    dataset.py:112-118)."""
+    n = window_ids.shape[0]
+    out = np.zeros((n, num_classes), dtype=np.float64)
+    rows = np.repeat(np.arange(n), window_ids.shape[1])
+    np.add.at(out, (rows, window_ids.ravel()), 1.0)
+    return out
+
+
+def score(window_ids: np.ndarray, label_ids: np.ndarray, num_classes: int,
+          k: int = TOP_K):
+    """Returns (anomaly_score float64[n], is_anomaly bool[n]).
+
+    anomaly_score = L2 reconstruction error of the frozen autoencoder on
+    the unit-normalized count vector; is_anomaly = true label NOT in the
+    top-k next-id logits."""
+    w1, w2, m = load_weights(num_classes)
+    x = count_vectors(window_ids, num_classes)
+    norm = np.linalg.norm(x, axis=1, keepdims=True)
+    norm[norm == 0.0] = 1.0
+    xn = x / norm
+    h = np.tanh(xn @ w1.T)
+    recon = h @ w2.T
+    err = np.linalg.norm(recon - xn, axis=1)
+
+    logits = xn @ m.T + SELF_PRIOR * xn
+    kk = min(k, num_classes)
+    topk = np.argpartition(-logits, kk - 1, axis=1)[:, :kk]
+    in_topk = (topk == label_ids[:, None]).any(axis=1)
+    return err, ~in_topk
+
+
+def severity(anomaly_score: np.ndarray, is_anomaly: np.ndarray) -> np.ndarray:
+    """Frozen routing rule — mirrored exactly by the Catalyst ``when``
+    chain in operators/route.py (keep the two in lockstep)."""
+    out = np.where(
+        is_anomaly & (anomaly_score >= T_HI), "crit",
+        np.where(is_anomaly, "high",
+                 np.where(anomaly_score >= T_HI, "med",
+                          np.where(anomaly_score >= T_LO, "low", "info"))))
+    return out.astype(object)
