@@ -37,4 +37,8 @@ def build_session(app: str = "ai-log-analyzer-spark",
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ship the package to executor Python workers — same artifact a real
+    # cluster gets via spark-submit --py-files (see packaging.py)
+    from .packaging import package_zip
+    spark.sparkContext.addPyFile(package_zip())
     return spark

@@ -1,0 +1,110 @@
+"""Engine ↔ oracle parity (SURVEY.md §5.1-5.2): the correctness core.
+
+Asserts, on the same deterministic pages corpus:
+- identical frozen catalog (distributed fit + canonical merge vs oracle)
+- identical per-url template assignment and BYTE-IDENTICAL extracted
+  text (BASELINE.json per-row invariant)
+- identical per-severity routed counts AND routed row sets (left-anti
+  empty both directions — north rule acceptance)
+- checkpoint resume: second run executes zero stages
+- property 3c: catalog invariant to input partition count
+"""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from ai_log_analyzer_spark import grammar
+from ai_log_analyzer_spark.operators import fit as fit_op
+from ai_log_analyzer_spark.plans.pipeline import PipelineRunner
+from ai_log_analyzer_spark.sources import pages as pages_src
+
+
+@pytest.fixture(scope="module")
+def workspace(spark, pages_df, tmp_path_factory):
+    base = tmp_path_factory.mktemp("e2e")
+    pages_path = str(base / "pages")
+    pages_src.write_pages(pages_src.pages_to_spark(spark, pages_df), pages_path,
+                          n_buckets=8)
+    runner = PipelineRunner(spark, pages_path, str(base / "work"))
+    result = runner.run()
+    return {"base": base, "pages_path": pages_path, "result": result,
+            "runner": runner}
+
+
+def test_catalog_parity(spark, workspace, oracle_result):
+    got = fit_op.read_catalog(spark, workspace["result"]["catalog_path"])
+    exp = oracle_result.catalog
+    assert list(got["template"]) == list(exp["template"])
+    assert list(got["template_id"]) == list(exp["template_id"])
+    assert list(got["freq"]) == list(exp["freq"])
+    assert list(got["regex"]) == list(exp["regex"])
+
+
+def test_parse_byte_identity(spark, workspace, oracle_result):
+    got = (spark.read.parquet(workspace["result"]["parsed_path"])
+           .select("url", "template_id", "extracted_text")
+           .toPandas().sort_values("url").reset_index(drop=True))
+    exp = (oracle_result.parsed[["url", "template_id", "extracted_text"]]
+           .sort_values("url").reset_index(drop=True))
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert got["template_id"].tolist() == exp["template_id"].astype("int64").tolist()
+    # THE byte-identity invariant
+    assert got["extracted_text"].tolist() == exp["extracted_text"].tolist()
+
+
+def test_routed_counts_and_row_sets(spark, workspace, oracle_result):
+    res = workspace["result"]
+    got_counts = pd.DataFrame(res["sink_counts"]).sort_values("severity") \
+        .reset_index(drop=True)
+    exp_counts = oracle_result.routed_counts.rename(
+        columns={}).sort_values("severity").reset_index(drop=True)
+    assert got_counts[["severity", "n_rows", "n_urls"]].to_dict("records") == \
+        exp_counts[["severity", "n_rows", "n_urls"]].to_dict("records")
+
+    got_rows = (spark.read.parquet(res["routed_path"])
+                .select("url", "severity").toPandas())
+    exp_rows = oracle_result.scored[["url", "severity"]]
+    g = set(map(tuple, got_rows.itertuples(index=False)))
+    e = set(map(tuple, exp_rows.itertuples(index=False)))
+    assert g == e  # routed-row equality, both directions
+
+
+def test_scores_match_oracle(spark, workspace, oracle_result):
+    got = (spark.read.parquet(workspace["result"]["scored_path"])
+           .select("url", "anomaly_score", "is_anomaly")
+           .toPandas().sort_values("url").reset_index(drop=True))
+    exp = (oracle_result.scored[["url", "anomaly_score", "is_anomaly"]]
+           .sort_values("url").reset_index(drop=True))
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert got["is_anomaly"].tolist() == exp["is_anomaly"].tolist()
+    pd.testing.assert_series_equal(got["anomaly_score"], exp["anomaly_score"],
+                                   check_exact=False, rtol=1e-12)
+
+
+def test_resume_skips_done_stages(spark, workspace):
+    r2 = PipelineRunner(spark, workspace["pages_path"],
+                        str(workspace["base"] / "work"))
+    out = r2.run()
+    assert out["executed"] == []
+    assert out["sink_counts"] == workspace["result"]["sink_counts"]
+
+
+def test_lineage_written(spark, workspace):
+    lin = spark.read.parquet(str(workspace["base"] / "work" / "lineage"))
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert {"fit", "parse", "enrich", "score", "route"} <= stages
+    assert lin.filter("rows < 0").count() == 0
+
+
+def test_fit_partition_invariance(spark, pages_df, oracle_result):
+    """Property 3c: catalog identical for 1-partition vs 8-partition fit."""
+    df1 = pages_src.pages_to_spark(spark, pages_df).coalesce(1)
+    df8 = pages_src.pages_to_spark(spark, pages_df).repartition(8, "url")
+    cat1 = fit_op.fit_catalog(df1)
+    cat8 = fit_op.fit_catalog(df8)
+    assert list(cat1["template"]) == list(cat8["template"])
+    assert list(cat1["freq"]) == list(cat8["freq"])
+    assert list(cat1["template"]) == list(oracle_result.catalog["template"])
