@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship log-pipeline DAG (fit → parse → window → score →
+route) over a pages table derived from the sf0.001 ``documents``
+parquet.  ``queries``/``oracle_sql``: the operator registry in
+``ai_log_analyzer_spark.queries`` (one entry per implemented operator
+family from SURVEY.md §2 + the training-data-pipeline extras), each
+with an exact DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped pages table (url, warc_ts, html, text, lang,
+    host, seq_no) derived deterministically from the documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.lit("all").alias("host"),          # single series at smoke scale
+        F.col("doc_id").cast("long").alias("seq_no"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse→enrich→score→route over sf0.001; returns the
+    per-severity sink counts (the north rule's acceptance aggregate)."""
+    from ai_log_analyzer_spark.operators import fit as fit_op
+    from ai_log_analyzer_spark.operators import parse as parse_op
+    from ai_log_analyzer_spark.operators import route as route_op
+    from ai_log_analyzer_spark.operators import windows as win_op
+
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
+    catalog_rows = fit_op.fit_catalog(pages)
+    parsed = parse_op.parse_pages(pages, catalog_rows)
+    samples = win_op.window_samples(parse_op.matched(parsed))
+    scored = win_op.score_windows(samples, num_classes=len(catalog_rows))
+    routed = route_op.with_severity(scored)
+    return route_op.sink_counts(routed)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from ai_log_analyzer_spark.queries import queries as _q
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ai_log_analyzer_spark.queries import oracle_sql as _o
+    return _o()

@@ -1,0 +1,134 @@
+"""Deduplication operators for the training-data pipeline: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB framing):
+- exact: one hash-groupBy — Spark's partial+final agg, one shuffle of
+  (hash, doc_id) pairs only (never the text).
+- ngram-jaccard: candidate pairs ONLY via the shingle inverted index
+  (self-join on shingle hash), i.e. output-sensitive, never O(n²);
+  hot shingles are capped (DF_CAP) exactly like production LSH
+  pipelines drop stop-shingles.
+- minhash-lsh: per-doc signatures are one groupBy over exploded
+  shingles (b bands × r rows); banding turns near-dup search into an
+  equi-join on (band, band_hash) — shuffle keys are fixed-width ints.
+- simhash: 32-bit sign-sum over token hashes; per-doc signature via a
+  single explode + groupBy(sum) — skew-safe because the group key is
+  doc_id (uniform).
+
+All hashes are md5-derived (functions/hashing.py) so every operator has
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import hash32
+
+# shingles occurring in more docs than this are dropped from the
+# inverted index (stop-shingles): bounds the self-join fan-out
+DF_CAP = 50
+
+
+def exact_dups(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_copies, keep_id) per duplicate group; keep_id =
+    min id — the canonical survivor."""
+    return (df
+            .select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id")))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc, hashed to 32-bit ints.
+    Built with sequence/transform — no Python, no explode-before-slice."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # sequence(0, k) DESCENDS when k < 0 → guard short/empty docs explicitly
+    idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+            .distinct()
+            .withColumn("shingle_hash", hash32(F.col("shingle"))))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.02,
+                        df_cap: int = DF_CAP) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle and exact
+    word-n-gram Jaccard ≥ threshold. doc_a < doc_b."""
+    sh = shingles(df, n=n).select("doc_id", "shingle_hash").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hot = (sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > df_cap).select("shingle_hash"))
+    idx = sh.join(F.broadcast(hot), "shingle_hash", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_sh", "sz_a"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("doc_a", "doc_b", "jaccard"))
+    return out
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 8, n: int = 3) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature over word n-gram shingles.
+    Permutation i = md5 salted with i — portable to the SQL oracle."""
+    sh = shingles(df, n=n).select("doc_id", "shingle")
+    aggs = [F.min(hash32(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 8,
+                      n: int = 3, threshold: float = 0.02) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band equi-join for candidates, exact
+    Jaccard verify.  bands × rows_per_band = n_hashes."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes=n_hashes, n=n)
+    band_cols = []
+    for bidx in range(bands):
+        cols = [F.col(f"h{bidx * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(bidx).alias("band"),
+                                  F.md5(F.concat_ws("_", *cols)).alias("sig")))
+    banded = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+              .select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")))
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (a.join(bb, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.sig") == F.col("b.sig")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    verified = ngram_jaccard_pairs(df, n=n, threshold=threshold)
+    return (cand.join(verified, ["doc_a", "doc_b"])
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — sign-sum of per-token 32-bit hash bits over
+    whitespace tokens (with multiplicity)."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+            .withColumn("h", hash32(F.col("tok"))))
+    bit_sums = [F.sum(((F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))) * 2 - 1))
+                .alias(f"s{i}") for i in range(bits)]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))

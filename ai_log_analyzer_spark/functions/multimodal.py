@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary +
+typed metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
+
+The decode kernels are STUBS by design: PIL/ffmpeg/torchaudio are not in
+this container, so ``decode_image``/``sample_frames`` run a clearly
+marked deterministic fake (or raise NotImplementedError when
+``strict=True``).  Everything Spark-side — schemas, batch iteration,
+partitioning, output shapes — is real and tested; swapping the fake for
+a real decoder changes ONE function body and no plan shape.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),        # image|audio|video
+    T.StructField("payload", T.BinaryType(), False),      # opaque bytes
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+IMAGE_FEATURES = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), False),  # 8-dim
+    T.StructField("decoder", T.StringType(), False),
+])
+
+FRAME_SAMPLES = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_no", T.IntegerType(), False),
+    T.StructField("frame_sig", T.StringType(), False),
+])
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE DECODER (container has no image/audio libs).
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
+    the fake derives an 8-dim feature from payload bytes so tests pin
+    exact values end-to-end."""
+    arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+    return (arr.reshape(8, 8).mean(axis=1) / 255.0).astype(np.float32)
+
+
+def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image decode requires PIL/libvips — not in this container")
+        for pdf in batches:
+            feats = [_fake_decode(p).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "feature": feats,
+                "decoder": "fake-deterministic",
+            })
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(_extract, schema=IMAGE_FEATURES))
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  strict: bool = False) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame,
+    frame signature = md5 of (payload, frame_no) — a stand-in for the
+    decoded frame tensor."""
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        if strict:
+            raise NotImplementedError("real frame decode requires ffmpeg")
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "frame_sig": []}
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                n = max(1, int(dur or 0) // every_ms)
+                for f in range(n):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_no"].append(f)
+                    rows["frame_sig"].append(
+                        hashlib.md5(payload + f.to_bytes(4, "little")).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload", "duration_ms")
+            .mapInPandas(_sample, schema=FRAME_SAMPLES))
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests/benches."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes((i * 37 + j * 11) % 256 for j in range(128 + i % 64))
+        rows.append((i, kind, payload, f"application/x-{kind}",
+                     64 if kind == "image" else None,
+                     48 if kind == "image" else None,
+                     3000 if kind == "video" else None))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

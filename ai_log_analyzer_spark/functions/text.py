@@ -1,0 +1,126 @@
+"""Text-analysis operators for the training-data pipeline (task spec:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+Everything is pure Catalyst (``pyspark.sql.functions`` — JVM-side,
+whole-stage codegen); regex dialects are kept to the common subset of
+Java regex (Spark) and RE2 (DuckDB) so each operator has an exact SQL
+oracle.  No Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash32
+
+WS = r"\s+"
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# frozen marker lexicons for the n-gram language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "on", "for"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS)))
+
+
+def token_count_sql(expr: str) -> str:
+    return (f"CASE WHEN trim({expr}) = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count: letter runs, digit runs,
+    single punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_ISH}'))"
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), WS, " "))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length —
+    the classic cheap quality signals, all codegen'd."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_rx = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_rx), 0))
+    return (df
+            .withColumn("n_chars", n_chars.cast("long"))
+            .withColumn("n_tokens", n_tokens.cast("long"))
+            .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+            .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6))
+            .withColumn("mean_word_len", F.round(
+                (F.length(F.regexp_replace(t, WS, ""))) / F.greatest(n_tokens, F.lit(1)), 6)))
+
+
+def quality_features_sql(text_expr: str) -> dict:
+    stop_rx = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_tokens = token_count_sql(text_expr)
+    return {
+        "n_chars": f"length({text_expr})",
+        "n_tokens": n_tokens,
+        "punct_ratio": (f"round((length({text_expr}) - length(regexp_replace({text_expr}, '[^\\w\\s]', '', 'g')))"
+                        f" / greatest(length({text_expr}), 1), 6)"),
+        "stopword_ratio": (f"round(len(regexp_extract_all(lower({text_expr}), '{stop_rx}'))"
+                           f" / greatest({n_tokens}, 1), 6)"),
+        "mean_word_len": (f"round(length(regexp_replace({text_expr}, '\\s+', '', 'g'))"
+                          f" / greatest({n_tokens}, 1), 6)"),
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: argmax over per-language marker hit
+    counts; ties and zero hits → 'und'.  Deterministic tie-break by
+    language code order."""
+    t = F.lower(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        rx = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        scores.append(F.size(F.regexp_extract_all(t, F.lit(rx), 0)).alias(f"score_{lang}"))
+    out = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    guess = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when((F.col(f"score_{lang}") == best) & (best > 0), lang).otherwise(guess)
+    return out.withColumn("lang_guess", guess)
+
+
+def lang_id_sql(text_expr: str) -> tuple[list[str], str]:
+    """Returns (score select-exprs, guess expr) mirroring ``lang_id``."""
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        rx = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        scores.append(f"len(regexp_extract_all(lower({text_expr}), '{rx}')) AS score_{lang}")
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    # same fold as lang_id: build from 'und' upward so the lowest lang
+    # code wins ties (outermost CASE)
+    guess = "'und'"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = (f"CASE WHEN score_{lang} = {best} AND {best} > 0 "
+                 f"THEN '{lang}' ELSE {guess} END")
+    return scores, guess

@@ -1,0 +1,491 @@
+"""Driver-contract query registry (SURVEY.md §5.4).
+
+One entry per implemented operator family: a PySpark DataFrame builder
+plus (where SQL-expressible) an exact DuckDB oracle over the same
+parquet tables.  Conventions that make the driver's value-hash compare
+deterministic:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- float aggregates are rounded (4-6 dp) on both sides;
+- all content hashes are md5-derived (functions/hashing.py) — portable
+  across Spark and DuckDB;
+- rankings order by (rounded score, id) — no float-order ties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as TX
+from .functions.hashing import hash32, hash32_sql
+
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Log-pipeline relational operators (SURVEY.md §2) over driver tables
+# ---------------------------------------------------------------------------
+
+@q("template_mask_counts", """
+SELECT event_type || ' ' || regexp_replace(props, '[0-9]+', '<:NUM:>', 'g') AS template,
+       count(*) AS cnt
+FROM events GROUP BY 1
+""")
+def template_mask_counts(spark, sf_dir):
+    """O8/O24: regex masking grok-parse + template occurrence counts."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select(F.concat(F.col("event_type"), F.lit(" "),
+                               F.regexp_replace("props", "[0-9]+", "<:NUM:>"))
+                      .alias("template"))
+            .groupBy("template").agg(F.count("*").alias("cnt")))
+
+
+@q("tokenize_stats", f"""
+SELECT doc_id, {TX.token_count_sql('text')} AS n_tokens
+FROM documents
+""")
+def tokenize_stats(spark, sf_dir):
+    """O9: whitespace tokenization + per-doc token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+@q("word_idf", """
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words)
+SELECT word, count(*) AS df, round(ln(n.n_docs::DOUBLE / count(*)), 6) AS idf
+FROM words, n GROUP BY word, n.n_docs
+""")
+def word_idf(spark, sf_dir):
+    """O25/O27: corpus word document-frequency + IDF (word-keyed join —
+    the deterministic fix of the reference's zip scramble,
+    template_miner.py:99)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = (docs.select("doc_id",
+                         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+             .distinct())
+    n_docs = words.select("doc_id").distinct().count()
+    return (words.groupBy("word").agg(F.count("*").alias("df"))
+            .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)))
+
+
+@q("distinct_counts", """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""")
+def distinct_counts(spark, sf_dir):
+    """O28: exact distinct counts per group."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+@q("window_lead_label", """
+SELECT user_id, event_id,
+       lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS label
+FROM events QUALIFY label IS NOT NULL
+""")
+def window_lead_label(spark, sf_dir):
+    """O32: the reference's lead-2 window label (dataset.py:77 quirk)
+    expressed relationally."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (ev.select("user_id", "event_id",
+                      F.lead("event_type", 2).over(w).alias("label"))
+            .filter(F.col("label").isNotNull()))
+
+
+@q("sliding_window_avg", """
+WITH w AS (
+  SELECT user_id, event_id,
+         sum(round(value * 100)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sum_cents,
+         count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_in_win
+  FROM events)
+SELECT user_id, event_id,
+       ((200 * sum_cents + n_in_win) // (2 * n_in_win)) / 10000.0 AS avg10,
+       n_in_win
+FROM w
+""")
+def sliding_window_avg(spark, sf_dir):
+    """O32/D6: 10-row sliding-window average per series, in exact
+    integer cents with explicit half-up integer division — immune to
+    both summation order AND round-half-tie differences between
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(-9, Window.currentRow))
+    cents = F.round(F.col("value") * 100).cast("long")
+    sum_c = F.sum(cents).over(w)
+    cnt = F.count("*").over(w)
+    num = F.lit(200) * sum_c + cnt          # half-up: +den/2 before int div
+    den = F.lit(2) * cnt
+    avg_e4 = (num - num % den) / den        # exact integer division in double
+    return ev.select("user_id", "event_id",
+                     (avg_e4 / 10000.0).alias("avg10"),
+                     cnt.alias("n_in_win"))
+
+
+@q("count_vector_pivot", """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+""")
+def count_vector_pivot(spark, sf_dir):
+    """O29: per-key template/event count vector as a pivot."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in ["click", "error", "purchase", "signup", "view"]]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@q("topk_per_group", """
+SELECT event_type, event_id, value, rnk FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events) WHERE rnk <= 3
+""")
+def topk_per_group(spark, sf_dir):
+    """O35: top-k per group via rank window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.select("event_type", "event_id", "value",
+                      F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 3))
+
+
+@q("severity_route_counts", """
+SELECT CASE WHEN value >= 300 THEN 'crit' WHEN value >= 200 THEN 'high'
+            WHEN value >= 100 THEN 'med'  WHEN value >= 30  THEN 'low'
+            ELSE 'info' END AS severity,
+       count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""")
+def severity_route_counts(spark, sf_dir):
+    """O17/O31: severity bucket predicate + per-sink aggregate counts."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    sev = (F.when(v >= 300, "crit").when(v >= 200, "high")
+           .when(v >= 100, "med").when(v >= 30, "low").otherwise("info"))
+    return (ev.select(sev.alias("severity"), "user_id")
+            .groupBy("severity")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+@q("time_window_agg", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def time_window_agg(spark, sf_dir):
+    """O34: event-time tumbling window aggregation (exact-cents sum)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(cents) / 100.0, 2).alias("sum_value")))
+
+
+@q("enrich_broadcast_join", """
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(*) AS n_customers,
+       round(sum(round(c.c_acctbal * 100)::BIGINT) / 100.0, 2) AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""")
+def enrich_broadcast_join(spark, sf_dir):
+    """O23: dimension enrich via broadcast hash joins (exact-cents sum)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum(cents) / 100.0, 2).alias("sum_acctbal")))
+
+
+@q("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty,
+       round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS sum_base_price,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    """Headline scan+agg benchmark query (pricing summary).  Money sums
+    in exact integer cents (discount in integer percent) so Spark and
+    DuckDB agree bit-for-bit regardless of summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
+                 F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+                 F.round(F.sum(price_c * (100 - disc_p)) / 10000.0, 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+@q("dedup_exact", """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(text) AS fingerprint, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM doubled GROUP BY 1
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (survivor = min id).
+    Corpus is self-doubled so every group is a real duplicate group."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.union(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return D.exact_dups(doubled)
+
+
+@q("dedup_ngram_jaccard", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         {hash32_sql("shingle")} AS shingle_hash
+  FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+hot AS (SELECT shingle_hash FROM sh GROUP BY 1 HAVING count(*) > {D.DF_CAP}),
+idx AS (SELECT * FROM sh ANTI JOIN hot USING (shingle_hash)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.02
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard via shingle inverted index."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.02)
+
+
+@q("dedup_minhash", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+  )
+)
+SELECT doc_id,
+       {', '.join(f"min({hash32_sql(chr(39) + str(i) + '|' + chr(39) + ' || shingle')}) AS h{i}" for i in range(8))}
+FROM sh GROUP BY doc_id
+""")
+def dedup_minhash(spark, sf_dir):
+    """MinHash signatures (8 md5-salted permutations over 3-gram shingles)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.minhash_signatures(docs, n_hashes=8, n=3)
+
+
+@q("dedup_simhash", f"""
+WITH toks AS (
+  SELECT doc_id, {hash32_sql("tok")} AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+),
+sums AS (
+  SELECT doc_id,
+         {', '.join(f"sum(((h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(32))}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id,
+       ({' + '.join(f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(32))})::BIGINT AS simhash
+FROM sums
+""")
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document over whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """list_dot_product(a.emb, b.emb) /
+       (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"""
+
+
+@q("ann_bruteforce_topk", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT query_id, vec_id, cos, rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         round({_COS_SQL}, 6) AS cos,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id) AS rnk
+  FROM e a JOIN e b ON b.vec_id >= 5
+  WHERE a.vec_id < 5)
+WHERE rnk <= 5
+""")
+def ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for queries vec_id 0-4 (exactness
+    baseline for ANN)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+@q("ann_lsh_topk", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+planes AS (SELECT vec_id AS plane_id, emb AS pvec FROM e WHERE vec_id < 4),
+bits AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN round(list_dot_product(e.emb, p.pvec) /
+              (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.pvec, p.pvec))), 9) >= 0
+              THEN (2 ** p.plane_id)::BIGINT ELSE 0 END) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+base AS (SELECT e.vec_id, e.emb, bits.bucket FROM e JOIN bits USING (vec_id))
+SELECT query_id, vec_id, cos, rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         round({_COS_SQL}, 6) AS cos,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_SQL}, 6) DESC, b.vec_id) AS rnk
+  FROM base a JOIN base b ON a.bucket = b.bucket AND b.vec_id >= 5
+  WHERE a.vec_id < 5)
+WHERE rnk <= 5
+""")
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (sign-random-projection, data-derived planes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.srp_lsh_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4)
+
+
+@q("embedding_neardup", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS_SQL}, 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_COS_SQL}, 6) >= 0.35
+""")
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute force; the LSH variant
+    above is the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", F.round(S.cosine(F.col("ea"), F.col("eb")), 6))
+            .filter(F.col("cos") >= 0.35)
+            .select("vec_a", "vec_b", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+def _lang_id_oracle() -> str:
+    scores, guess = TX.lang_id_sql("text")
+    return f"""
+WITH scored AS (SELECT doc_id, {', '.join(scores)} FROM documents)
+SELECT doc_id, {guess} AS lang_guess FROM scored
+"""
+
+
+@q("lang_id", _lang_id_oracle())
+def lang_id(spark, sf_dir):
+    """Marker-lexicon language ID heuristic."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.lang_id(docs).select("doc_id", "lang_guess")
+
+
+def _quality_oracle() -> str:
+    feats = TX.quality_features_sql("text")
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in feats.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+@q("quality_score", _quality_oracle())
+def quality_score(spark, sf_dir):
+    """Quality-signal features: length, punct/stopword ratios, word len."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_features(docs).select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio",
+        "stopword_ratio", "mean_word_len")
+
+
+@q("token_count_bpe", f"""
+SELECT doc_id, {TX.bpe_token_count_sql('text')} AS n_bpe
+FROM documents
+""")
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token counting."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.bpe_token_count(F.col("text")).alias("n_bpe"))
+
+
+@q("doc_fingerprint", f"""
+SELECT doc_id, {TX.fingerprint_sql('text')} AS fingerprint
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    """Normalized-content document fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,139 @@
+"""Known-answer + behavior tests for the training-data-pipeline extras
+(dedup / similarity / text / multimodal) and the streaming variant —
+complements the DuckDB oracle comparisons in test_driver_contract.py."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ai_log_analyzer_spark.functions import dedup as D
+from ai_log_analyzer_spark.functions import multimodal as MM
+from ai_log_analyzer_spark.functions import similarity as S
+from ai_log_analyzer_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different words entirely unrelated text here"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dups(docs):
+    out = D.exact_dups(docs).filter("n_copies > 1").collect()
+    assert len(out) == 1
+    assert out[0].n_copies == 2 and out[0].keep_id == 0
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0       # exact dup
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_recovers_exact_dup(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in
+             D.minhash_lsh_pairs(docs, threshold=0.01).collect()}
+    assert (0, 2) in pairs  # identical signatures → must be a candidate
+
+
+def test_simhash_identical_for_dups(docs):
+    sig = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sig[0] == sig[2]
+    ham01 = bin(sig[0] ^ sig[1]).count("1")
+    ham03 = bin(sig[0] ^ sig[3]).count("1")
+    assert ham01 < ham03  # near-dup closer in hamming space
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (5, [2.0, 0.0]), (6, [1.0, 1.0]), (7, [-1.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r.query_id, r.rnk): (r.vec_id, r.cos)
+           for r in S.cosine_topk(emb, query_ids=[0, 1], k=2).collect()}
+    assert out[(0, 1)] == (5, 1.0)          # same direction
+    assert out[(0, 2)][0] == 6              # 45° second
+    assert out[(1, 1)][0] == 6
+
+
+def test_srp_lsh_subset_of_bruteforce(spark):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bf = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, [0, 1, 2], k=50).collect()}
+    lsh = {(r.query_id, r.vec_id) for r in S.srp_lsh_topk(emb, [0, 1, 2], k=50).collect()}
+    assert lsh  # buckets non-empty
+    assert lsh <= bf or len(lsh - bf) == 0  # candidates are a subset
+
+
+def test_lang_id_markers(spark):
+    rows = [(0, "the cat and the dog of the house"),
+            (1, "der hund und die katze ist hier"),
+            (2, "le chat et la maison est grande"),
+            (3, "xyzzy plugh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.lang_guess for r in TX.lang_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame([(0, "Hello, world! The test."), (1, "")],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.quality_features(df).collect()}
+    assert out[0].n_tokens == 4
+    assert out[1].n_tokens == 0
+    bpe = {r.doc_id: r.n_bpe for r in df.select(
+        "doc_id", TX.bpe_token_count(F.col("text")).alias("n_bpe")).collect()}
+    assert bpe[0] == 7  # Hello , world ! The test .
+
+
+def test_multimodal_image_features(spark):
+    media = MM.synth_media(spark, n=30)
+    feats = MM.extract_image_features(media).collect()
+    assert len(feats) == len([1 for i in range(30) if i % 3 == 0])
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(r.decoder == "fake-deterministic" for r in feats)
+    # deterministic across runs
+    feats2 = MM.extract_image_features(media).collect()
+    assert sorted((r.media_id, tuple(r.feature)) for r in feats) == \
+        sorted((r.media_id, tuple(r.feature)) for r in feats2)
+
+
+def test_multimodal_strict_raises(spark):
+    media = MM.synth_media(spark, n=6)
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        MM.extract_image_features(media, strict=True).collect()
+
+
+def test_multimodal_frame_sampling(spark):
+    media = MM.synth_media(spark, n=30)
+    frames = MM.sample_frames(media, every_ms=1000).collect()
+    vids = [i for i in range(30) if i % 3 == 2]
+    assert {r.media_id for r in frames} == set(vids)
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r.frame_no)
+    assert all(sorted(v) == [0, 1, 2] for v in per.values())  # 3000ms/1000
+
+
+def test_streaming_parse_available_now(spark, pages_df, tmp_path):
+    from ai_log_analyzer_spark.operators import fit as fit_op
+    from ai_log_analyzer_spark.sources import pages as P
+    from ai_log_analyzer_spark.streaming import stream_pipeline as SP
+
+    pages_path = str(tmp_path / "pages")
+    P.write_pages(P.pages_to_spark(spark, pages_df), pages_path, n_buckets=4)
+    cat = fit_op.fit_catalog(spark.read.parquet(pages_path))
+    SP.run_available_now(pages_path, cat, str(tmp_path / "out"),
+                         str(tmp_path / "ckpt"), spark)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == len(pages_df)
+    assert out.filter("severity = 'dead'").count() == 0
