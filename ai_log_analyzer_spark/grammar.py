@@ -182,3 +182,34 @@ def generate_pages_arrow_batches(n_rows: int, seed: int = SEED,
         yield df
         done += take
         part += 1
+
+
+def render_rows(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
+    """PER-ROW deterministic page rendering: row ``i``'s content is a
+    pure function of (seed, i), independent of batching/partitioning —
+    the kernel behind the DISTRIBUTED generator (sources/pages.py).
+    seq_no == id (globally ordered), host/lang/template drawn from a
+    per-row PCG64 stream."""
+    probs = _zipf_probs(len(TEMPLATES))
+    cum = np.cumsum(probs)
+    lang_cum = np.cumsum(LANG_WEIGHTS)
+    out = {k: [] for k in ["url", "warc_ts", "html", "text", "lang",
+                           "host", "seq_no"]}
+    for i in ids:
+        i = int(i)
+        rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+        u = rng.random(3)
+        tmpl = int(np.searchsorted(cum, u[0]))
+        host = HOSTS[int(u[1] * len(HOSTS))]
+        lang = LANGS[int(np.searchsorted(lang_cum, u[2]))]
+        tld = TLDS[i % len(TLDS)]
+        text, _params = _render(TEMPLATES[tmpl], rng)
+        ts = BASE_TS + timedelta(seconds=i, microseconds=int(rng.integers(0, 1_000_000)))
+        out["url"].append(f"https://{host}.example.{tld}/p/{i}")
+        out["warc_ts"].append(ts)
+        out["html"].append(b"<html><body><pre>" + text.encode() + b"</pre></body></html>")
+        out["text"].append(text)
+        out["lang"].append(lang)
+        out["host"].append(host)
+        out["seq_no"].append(i)
+    return pd.DataFrame(out)

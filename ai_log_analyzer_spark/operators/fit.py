@@ -30,14 +30,26 @@ from ..drain import canonical_refit
 
 
 def _fit_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    tree = None
+    """Local fit over the partition's DISTINCT MASKED lines (sorted,
+    with multiplicities).  Log data is Zipfian, so distinct masked forms
+    ≪ raw lines — this turns the per-line Python loop into a per-form
+    loop (10-100× less work) AND makes the fit order-canonical within
+    the partition (no arrival-order dependence at all)."""
+    from .. import masking
+    from ..drain import Drain
+
+    counts: dict[str, int] = {}
     for pdf in batches:
-        if tree is None:
-            from ..drain import Drain
-            tree = Drain()
-        for line in pdf["text"]:
-            tree.add(line)
-    if tree is not None and tree.clusters:
+        masked = pdf["text"]
+        for _name, rx in masking._COMPILED:
+            masked = masked.str.replace(
+                rx, masking.MASK_PREFIX + _name + masking.MASK_SUFFIX, regex=True)
+        for form, c in masked.value_counts().items():
+            counts[form] = counts.get(form, 0) + int(c)
+    if counts:
+        tree = Drain()
+        for form in sorted(counts):
+            tree.add(form, count=counts[form])
         yield pd.DataFrame({
             "template": [c.template for c in tree.clusters],
             "count": pd.array([c.count for c in tree.clusters], dtype="int64"),
@@ -48,13 +60,10 @@ def _fit_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def fit_catalog(pages: DataFrame, sample_fraction: float | None = None,
                 seed: int = 7) -> pd.DataFrame:
     """Returns the frozen catalog as CATALOG-schema pandas rows."""
-    src = pages.select("text", "warc_ts", "url")
+    src = pages.select("text")
     if sample_fraction is not None and sample_fraction < 1.0:
         src = src.sample(fraction=sample_fraction, seed=seed)
-    partial_df = (
-        src.sortWithinPartitions("warc_ts", "url")
-        .mapInPandas(_fit_partial, schema=schemas.FIT_PARTIAL)
-    )
+    partial_df = src.mapInPandas(_fit_partial, schema=schemas.FIT_PARTIAL)
     partials = [(r["template"], int(r["count"]), r["example"])
                 for r in partial_df.collect()]
     tree = canonical_refit(partials)

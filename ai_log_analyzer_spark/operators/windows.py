@@ -42,8 +42,15 @@ def window_samples(matched_events: DataFrame,
     )
 
 
-def score_windows(samples: DataFrame, num_classes: int) -> DataFrame:
-    """Adds anomaly_score / is_anomaly via the frozen numpy scorer."""
+def score_windows(samples: DataFrame, num_classes: int,
+                  repartition: bool = True) -> DataFrame:
+    """Adds anomaly_score / is_anomaly via the frozen numpy scorer.
+
+    ``repartition=True`` round-robins the samples across the session's
+    default parallelism first: the scorer is compute-bound per row, so
+    partitions must be sized for CPU, not bytes — AQE's byte-based
+    coalescing would otherwise strangle this stage at small shuffle
+    volumes (observed: 4 post-AQE partitions on 32 cores)."""
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -59,4 +66,7 @@ def score_windows(samples: DataFrame, num_classes: int) -> DataFrame:
             out["is_anomaly"] = anom
             yield out
 
+    if repartition:
+        n = samples.sparkSession.sparkContext.defaultParallelism
+        samples = samples.repartition(n)
     return samples.mapInPandas(_score, schema=schemas.SCORED)

@@ -33,11 +33,21 @@ class OracleResult:
 
 
 def fit_catalog(pages: pd.DataFrame) -> List[CatalogEntry]:
-    """Canonical fit: online Drain over all lines in (warc_ts, url) order,
-    then the same canonical refit the distributed merge performs —
-    guaranteeing the oracle's catalog equals the k-partition engine's."""
-    ordered = pages.sort_values(["warc_ts", "url"], kind="mergesort")
-    tree = fit_local(ordered["text"].tolist())
+    """Canonical fit — the SAME procedure as the distributed fit
+    (operators/fit.py) run single-process: distinct masked line forms,
+    sorted, fed through Drain with multiplicities, then canonical refit.
+    Order-canonical by construction, so the k-partition engine catalog
+    equals this one exactly (property test 3c)."""
+    from ..drain import Drain
+
+    masked = pages["text"]
+    for _name, rx in masking._COMPILED:
+        masked = masked.str.replace(
+            rx, masking.MASK_PREFIX + _name + masking.MASK_SUFFIX, regex=True)
+    counts = masked.value_counts()
+    tree = Drain()
+    for form in sorted(counts.index):
+        tree.add(form, count=int(counts[form]))
     partials = [(c.template, c.count, c.example) for c in tree.clusters]
     return freeze(canonical_refit(partials))
 

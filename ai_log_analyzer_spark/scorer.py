@@ -41,23 +41,29 @@ SELF_PRIOR = 2.0
 SEVERITIES = ["crit", "high", "med", "low", "info"]
 
 
+_WEIGHT_CACHE: dict = {}
+
+
 def load_weights(num_classes: int, seed: int = SEED):
-    rng = np.random.default_rng(np.random.PCG64(seed))
-    w1 = rng.standard_normal((HIDDEN, num_classes)) / np.sqrt(num_classes)
-    w2 = rng.standard_normal((num_classes, HIDDEN)) / np.sqrt(HIDDEN)
-    m = rng.standard_normal((num_classes, num_classes)) / np.sqrt(num_classes)
-    return w1, w2, m
+    key = (num_classes, seed)
+    if key not in _WEIGHT_CACHE:
+        rng = np.random.default_rng(np.random.PCG64(seed))
+        w1 = rng.standard_normal((HIDDEN, num_classes)) / np.sqrt(num_classes)
+        w2 = rng.standard_normal((num_classes, HIDDEN)) / np.sqrt(HIDDEN)
+        m = rng.standard_normal((num_classes, num_classes)) / np.sqrt(num_classes)
+        _WEIGHT_CACHE[key] = (w1, w2, m)
+    return _WEIGHT_CACHE[key]
 
 
 def count_vectors(window_ids: np.ndarray, num_classes: int) -> np.ndarray:
     """(n, w) int window id matrix → (n, num_classes) dense count vectors
-    (vectorized np.add.at; the reference loops np.unique per sample,
+    via one flat bincount (the reference loops np.unique per sample,
     dataset.py:112-118)."""
-    n = window_ids.shape[0]
-    out = np.zeros((n, num_classes), dtype=np.float64)
-    rows = np.repeat(np.arange(n), window_ids.shape[1])
-    np.add.at(out, (rows, window_ids.ravel()), 1.0)
-    return out
+    n, w = window_ids.shape
+    flat = (np.arange(n, dtype=np.int64)[:, None] * num_classes
+            + window_ids).ravel()
+    return np.bincount(flat, minlength=n * num_classes) \
+        .reshape(n, num_classes).astype(np.float64)
 
 
 def score(window_ids: np.ndarray, label_ids: np.ndarray, num_classes: int,

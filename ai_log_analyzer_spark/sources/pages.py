@@ -38,14 +38,19 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 def generate_and_write(spark: SparkSession, path: str, n_rows: int,
                        seed: int = grammar.SEED, n_buckets: int = N_BUCKETS):
-    """Deterministic synthetic pages table at any scale, written in
-    chunks so bench-scale generation never materializes one giant
-    pandas frame."""
-    first = True
-    for chunk in grammar.generate_pages_arrow_batches(n_rows, seed=seed):
-        df = pages_to_spark(spark, chunk) \
-            .withColumn("bucket", F.pmod(F.hash("url"), F.lit(n_buckets))) \
-            .repartition(n_buckets, "bucket")
-        mode = "overwrite" if first else "append"
-        df.write.mode(mode).partitionBy("bucket").parquet(path)
-        first = False
+    """Deterministic synthetic pages table at any scale, generated
+    DISTRIBUTED: row i's content is a pure function of (seed, i)
+    (grammar.render_rows), so the corpus is identical regardless of
+    partitioning or cluster size — and generation parallelizes."""
+    import pandas as pd
+
+    def _gen(batches):
+        for pdf in batches:
+            yield grammar.render_rows(pdf["id"].to_numpy(), seed=seed)
+
+    parts = max(spark.sparkContext.defaultParallelism, n_buckets)
+    df = (spark.range(n_rows).repartition(parts)
+          .mapInPandas(_gen, schema=schemas.PAGES))
+    (df.withColumn("bucket", F.pmod(F.hash("url"), F.lit(n_buckets)))
+       .repartition(n_buckets, "bucket")
+       .write.mode("overwrite").partitionBy("bucket").parquet(path))

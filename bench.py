@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Times (a) the flagship pages parse→enrich→score→route pipeline over a
+cached deterministic synthetic pages corpus, and (b) every driver-
+contract query at $SPARK_GRAFT_SF_DIR.  A warmup pass absorbs Python
+worker cold-start; the e2e figure is best-of-N.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       (default 32)
+  SPARK_GRAFT_PAGES_ROWS (default 400000)
+  SPARK_GRAFT_BENCH_RUNS (default 2)
+  SPARK_GRAFT_SKIP_QUERIES=1  → pipeline only (used by bench_scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def ensure_pages(spark, n_rows: int) -> str:
+    from ai_log_analyzer_spark.sources import pages as P
+    path = os.path.join(CACHE, f"pages_{n_rows}")
+    marker = os.path.join(path, "_SUCCESS_GEN")
+    if not os.path.exists(marker):
+        P.generate_and_write(spark, path, n_rows)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def run_pipeline(spark, pages_path: str):
+    """One full parse→windows→score→route pass; returns (wall_s, counts)."""
+    from ai_log_analyzer_spark.operators import fit as fit_op
+    from ai_log_analyzer_spark.operators import parse as parse_op
+    from ai_log_analyzer_spark.operators import route as route_op
+    from ai_log_analyzer_spark.operators import windows as win_op
+
+    pages = spark.read.parquet(pages_path)
+    cat_path = pages_path + "_catalog"
+    if not os.path.exists(cat_path):
+        fit_op.write_catalog(spark, fit_op.fit_catalog(pages), cat_path)
+    cat = fit_op.read_catalog(spark, cat_path)
+
+    t0 = time.time()
+    parsed = parse_op.parse_pages(pages, cat)
+    samples = win_op.window_samples(parse_op.matched(parsed))
+    scored = win_op.score_windows(samples, len(cat))
+    routed = route_op.with_severity(scored)
+    counts = route_op.sink_counts(routed).collect()
+    return time.time() - t0, {r.severity: r.n_rows for r in counts}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "400000"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1"
+
+    from ai_log_analyzer_spark.conf import build_session
+    spark = build_session(app="bench", cores=cores)
+
+    os.makedirs(CACHE, exist_ok=True)
+    pages_path = ensure_pages(spark, n_rows)
+
+    # warmup: absorbs python-worker cold start + JIT
+    run_pipeline(spark, pages_path)
+    best = min(run_pipeline(spark, pages_path)[0] for _ in range(n_runs))
+
+    q_times: dict[str, float] = {"pipeline_e2e": round(best, 3)}
+    if not skip_queries:
+        import __spark_entry__ as E
+        qs = E.queries()
+        for name in sorted(qs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            q_times[name] = round(time.time() - t0, 3)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    print(json.dumps({
+        "metric": "pages_parse_route_e2e",
+        "value": round(best, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "pages_rows": n_rows,
+        "docs_per_sec": round(n_rows / best, 1),
+        "cores": cores,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Scaling-efficiency bench (north rule: throughput efficiency ≥ 0.8
+between two cluster sizes; sandbox protocol per BASELINE.md: same job,
+same input, local[8] vs local[32] in separate processes).
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+LEVELS = (8, 32)
+
+
+def run_level(cores: int, n_rows: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cores),
+               SPARK_GRAFT_PAGES_ROWS=str(n_rows),
+               SPARK_GRAFT_SKIP_QUERIES="1",
+               SPARK_GRAFT_BENCH_RUNS="3")
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "2000000"))
+    lo = run_level(LEVELS[0], n_rows)
+    hi = run_level(LEVELS[1], n_rows)
+    thr_lo, thr_hi = lo["docs_per_sec"], hi["docs_per_sec"]
+    ratio = LEVELS[1] / LEVELS[0]
+    eff = (thr_hi / thr_lo) / ratio
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "pages_rows": n_rows,
+        f"docs_per_sec_local{LEVELS[0]}": thr_lo,
+        f"docs_per_sec_local{LEVELS[1]}": thr_hi,
+        f"wall_s_local{LEVELS[0]}": lo["value"],
+        f"wall_s_local{LEVELS[1]}": hi["value"],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured numbers
+
+Protocol (BASELINE.md): same parse→enrich→score→route job, same
+deterministic pages corpus ({n_rows:,} rows), run at two parallelism
+levels in separate processes (the sandbox stand-in for N vs 4N
+executors). Wall time is best-of-3 after a warmup pass; fit/catalog is
+the offline stage and excluded (frozen-catalog production shape).
+
+| level | wall (s) | throughput (docs/s) |
+|---|---|---|
+| local[{LEVELS[0]}] | {lo['value']} | {thr_lo:,.0f} |
+| local[{LEVELS[1]}] | {hi['value']} | {thr_hi:,.0f} |
+
+**Scaling efficiency (thr{LEVELS[1]}/thr{LEVELS[0]})/{ratio:.0f} = {eff:.3f}**
+(target ≥ 0.8 per BASELINE.json north rule)
+""")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Physical-plan assertions (SURVEY.md §4): the plans we ship must be
+the plans we designed — broadcast joins stay broadcast, scans prune the
+fat html column, filters push down, and no Python UDF appears in
+Catalyst-only stages."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, pages_df, tmp_path_factory):
+    from ai_log_analyzer_spark.sources import pages as P
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    P.write_pages(P.pages_to_spark(spark, pages_df), p, n_buckets=4)
+    return p
+
+
+@pytest.fixture(scope="module")
+def catalog_rows(spark, pages_path):
+    from ai_log_analyzer_spark.operators import fit as fit_op
+    return fit_op.fit_catalog(spark.read.parquet(pages_path))
+
+
+def test_parse_scan_prunes_html(spark, pages_path, catalog_rows):
+    from ai_log_analyzer_spark.operators import parse as parse_op
+    plan = _plan(parse_op.parse_pages(spark.read.parquet(pages_path), catalog_rows))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema, f"fat column not pruned: {read_schema}"
+    assert "text" in read_schema
+
+
+def test_enrich_joins_are_broadcast(spark, pages_path, catalog_rows):
+    from ai_log_analyzer_spark.operators import enrich as enrich_op
+    from ai_log_analyzer_spark.operators import parse as parse_op
+    parsed = parse_op.parse_pages(spark.read.parquet(pages_path), catalog_rows)
+    plan = _plan(enrich_op.enrich(parsed, catalog_rows))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # fact side never shuffles for the joins
+    assert "Exchange hashpartitioning" not in plan.split("MapInPandas")[0]
+
+
+def test_bucket_filter_prunes_partitions(spark, pages_path):
+    df = spark.read.parquet(pages_path).filter(F.col("bucket") == 2)
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(bucket" in plan \
+        or "bucket#" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_severity_is_codegen_not_python(spark, pages_path, catalog_rows):
+    from ai_log_analyzer_spark.operators import route as route_op
+    scored = spark.createDataFrame(
+        [("h", 1, "u", None, 1, 2, [1, 2], 0.5, True)],
+        "host string, seq_no long, url string, warc_ts timestamp, "
+        "template_id long, label_id long, window_ids array<long>, "
+        "anomaly_score double, is_anomaly boolean")
+    plan = _plan(route_op.with_severity(scored))
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_sink_counts_is_partial_agg(spark, pages_path, catalog_rows):
+    from ai_log_analyzer_spark.operators import route as route_op
+    scored = spark.range(10).select(
+        F.lit("h").alias("host"), F.col("id").alias("seq_no"),
+        F.col("id").cast("string").alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit(0).cast("long").alias("template_id"),
+        F.lit(1).cast("long").alias("label_id"),
+        F.array(F.lit(1).cast("long")).alias("window_ids"),
+        F.rand(7).alias("anomaly_score"), (F.rand(8) > 0.5).alias("is_anomaly"))
+    plan = _plan(route_op.sink_counts(route_op.with_severity(scored)))
+    assert "partial" in plan.lower()  # map-side combine before the exchange
