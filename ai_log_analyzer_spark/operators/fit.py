@@ -38,7 +38,19 @@ def _fit_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .. import masking
     from ..drain import Drain
 
+    # memory safeguard for TB-scale partitions: when the distinct-form
+    # dict exceeds the cap, flush it into the tree and start a fresh
+    # dict — templates stay bounded by catalog cardinality even when
+    # masked forms are high-cardinality
+    FORM_CAP = 500_000
     counts: dict[str, int] = {}
+    tree = Drain()
+
+    def _flush():
+        for form in sorted(counts):
+            tree.add(form, count=counts[form])
+        counts.clear()
+
     for pdf in batches:
         masked = pdf["text"]
         for _name, rx in masking._COMPILED:
@@ -46,10 +58,10 @@ def _fit_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rx, masking.MASK_PREFIX + _name + masking.MASK_SUFFIX, regex=True)
         for form, c in masked.value_counts().items():
             counts[form] = counts.get(form, 0) + int(c)
-    if counts:
-        tree = Drain()
-        for form in sorted(counts):
-            tree.add(form, count=counts[form])
+        if len(counts) > FORM_CAP:
+            _flush()
+    _flush()
+    if tree.clusters:
         yield pd.DataFrame({
             "template": [c.template for c in tree.clusters],
             "count": pd.array([c.count for c in tree.clusters], dtype="int64"),

@@ -160,6 +160,25 @@ def sliding_window_avg(spark, sf_dir):
                      cnt.alias("n_in_win"))
 
 
+@q("salted_group_counts", """
+SELECT event_type, count(*) AS cnt,
+       round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+FROM events GROUP BY event_type
+""")
+def salted_group_counts(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation (north rule: salted keys
+    for hot templates) — same result as a plain GROUP BY, different
+    physical plan (two small shuffles instead of one skewed one)."""
+    from .functions.salting import salted_agg
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = salted_agg(ev, ["event_type"],
+                     {"cnt": F.count(F.lit(1)), "sum_cents": F.sum(cents)},
+                     salt=16, entropy_col="event_id")
+    return out.select("event_type", "cnt",
+                      F.round(F.col("sum_cents") / 100.0, 2).alias("sum_value"))
+
+
 @q("count_vector_pivot", """
 SELECT user_id,
        count(*) FILTER (event_type = 'click')    AS n_click,
