@@ -107,47 +107,87 @@ class Matcher:
         for lst in self.by_count.values():
             # specificity order: fewest param slots first, then id
             lst.sort(key=lambda e: (e.n_params, e.template_id))
+        self._cand_cache: dict[tuple, List[CatalogEntry]] = {}
+
+    def _candidates(self, count: int, tok0: str) -> List[CatalogEntry]:
+        """Prefix-tree-equivalent pruning: templates of this token count
+        whose first token is ``tok0`` literally, or is a param slot
+        (wildcard / mask-bearing) that could cover it.  Preserves the
+        (n_params, template_id) decision order of the full list."""
+        key = (count, tok0)
+        got = self._cand_cache.get(key)
+        if got is None:
+            got = [e for e in self.by_count.get(count, [])
+                   if e.tokens[0] == tok0 or e.tokens[0] == masking.WILDCARD
+                   or masking.MASK_SCAN_RE.search(e.tokens[0]) is not None]
+            self._cand_cache[key] = got
+        return got
 
     def match_frame(self, text: pd.Series) -> pd.DataFrame:
         """Vectorized batch match: returns a DataFrame aligned to
         ``text.index`` with columns template_id (nullable Int64), params
-        (list[str]), mask_names (list[str]), extracted_text (str|None)."""
-        masked = text
+        (list[str]), mask_names (list[str]), extracted_text (str|None).
+
+        All inner-loop indexing is positional numpy (no pandas label
+        alignment — profiled at ~40% of batch time)."""
+        orig_index = text.index
+        t = text.reset_index(drop=True)
+        masked = t
         for _name, rx in masking._COMPILED:
             masked = masked.str.replace(rx, masking.MASK_PREFIX + _name + masking.MASK_SUFFIX, regex=True)
-        token_count = masked.str.split().str.len()
+        toks = masked.str.split()
+        # separator = space: a token can never contain one ("\x00" would
+        # be silently dropped by pandas string concat)
+        key = toks.str.len().astype(str) + " " + toks.str[0].fillna("")
 
-        tid = pd.Series(np.full(len(text), -1, dtype="int64"), index=text.index)
-        params = pd.Series([None] * len(text), index=text.index, dtype="object")
+        n = len(t)
+        masked_np = masked.to_numpy()
+        text_np = t.to_numpy()
+        tid = np.full(n, -1, dtype=np.int64)
+        params = np.empty(n, dtype=object)
 
-        for count, grp_idx in token_count.groupby(token_count).groups.items():
-            candidates = self.by_count.get(count, [])
-            remaining = pd.Index(grp_idx)
+        for k, pos in pd.Series(range(n)).groupby(key.to_numpy(), sort=False).indices.items():
+            cnt_s, t0 = k.split(" ", 1)
+            candidates = self._candidates(int(cnt_s), t0)
+            remaining = np.asarray(pos)
             for e in candidates:
-                if len(remaining) == 0:
+                if remaining.size == 0:
                     break
-                hit = masked.loc[remaining].str.match(e.match_re)
-                hit_idx = remaining[hit.to_numpy()]
-                if len(hit_idx) == 0:
+                rx = e.match_re
+                hit = np.fromiter((rx.match(s) is not None
+                                   for s in masked_np[remaining]),
+                                  dtype=bool, count=remaining.size)
+                hit_pos = remaining[hit]
+                if hit_pos.size == 0:
                     continue
-                tid.loc[hit_idx] = e.template_id
+                tid[hit_pos] = e.template_id
                 if e.n_params:
-                    ext = text.loc[hit_idx].str.extract(e.extract_re)
-                    params.loc[hit_idx] = pd.Series(
-                        ext.to_numpy().tolist(), index=hit_idx, dtype="object")
+                    erx = e.extract_re
+                    for p in hit_pos:
+                        m = erx.match(text_np[p])
+                        params[p] = list(m.groups()) if m else None
                 else:
-                    params.loc[hit_idx] = pd.Series([[]] * len(hit_idx), index=hit_idx, dtype="object")
-                remaining = remaining[~hit.to_numpy()]
+                    for p in hit_pos:
+                        params[p] = []
+                remaining = remaining[~hit]
 
-        mask_names = tid.map(lambda t: self.entries[t].mask_names if t >= 0 else None)
-        ext_text = params.map(lambda p: masking.extracted_text(p) if p is not None else None)
-        out = pd.DataFrame({
-            "template_id": tid.where(tid >= 0).astype("Int64"),
+        mask_names = np.empty(n, dtype=object)
+        ext_text = np.empty(n, dtype=object)
+        for i in range(n):
+            ti = tid[i]
+            if ti >= 0 and params[i] is not None:
+                mask_names[i] = self.entries[ti].mask_names
+                ext_text[i] = masking.PARAM_SEP.join(params[i])
+            else:
+                params[i] = None
+        tid_arr = pd.array(tid, dtype="Int64")
+        tid_arr[tid < 0] = pd.NA
+        return pd.DataFrame({
+            "template_id": tid_arr,
             "params": params,
             "mask_names": mask_names,
             "extracted_text": ext_text,
-        }, index=text.index)
-        return out
+        }, index=orig_index)
 
 
 def fit_local(lines, counts=None) -> Drain:

@@ -14,6 +14,11 @@ def build_session(app: str = "ai-log-analyzer-spark",
                   cores: int | None = None,
                   shuffle_partitions: int | None = None,
                   extra: dict | None = None) -> SparkSession:
+    # one BLAS thread per python worker: N workers × multi-threaded BLAS
+    # oversubscribes the box and collapses the scorer stage at high core
+    # counts (measured: 4.4x slowdown at local[32] vs local[8])
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -24,7 +29,12 @@ def build_session(app: str = "ai-log-analyzer-spark",
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # byte-based shuffle coalescing measured PATHOLOGICAL for the
+        # CPU-bound scorer stage on this box (61s vs 19s at local[32],
+        # same final partition count) and caps UDF parallelism below
+        # core count at local-bench shuffle volumes; skew-join splitting
+        # stays on. At petabyte shuffle volumes re-enable per-job.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -184,7 +184,8 @@ def generate_pages_arrow_batches(n_rows: int, seed: int = SEED,
         part += 1
 
 
-def render_rows(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
+def render_rows(ids: np.ndarray, seed: int = SEED,
+                n_hosts: int = len(HOSTS)) -> pd.DataFrame:
     """PER-ROW deterministic page rendering: row ``i``'s content is a
     pure function of (seed, i), independent of batching/partitioning —
     the kernel behind the DISTRIBUTED generator (sources/pages.py).
@@ -200,7 +201,8 @@ def render_rows(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
         rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
         u = rng.random(3)
         tmpl = int(np.searchsorted(cum, u[0]))
-        host = HOSTS[int(u[1] * len(HOSTS))]
+        h = int(u[1] * n_hosts)
+        host = HOSTS[h] if n_hosts <= len(HOSTS) else f"host{h:05d}"
         lang = LANGS[int(np.searchsorted(lang_cum, u[2]))]
         tld = TLDS[i % len(TLDS)]
         text, _params = _render(TEMPLATES[tmpl], rng)

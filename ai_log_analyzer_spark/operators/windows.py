@@ -43,25 +43,29 @@ def window_samples(matched_events: DataFrame,
 
 
 def score_windows(samples: DataFrame, num_classes: int,
-                  repartition: bool = True) -> DataFrame:
+                  repartition: bool = False) -> DataFrame:
     """Adds anomaly_score / is_anomaly via the frozen numpy scorer.
 
-    ``repartition=True`` round-robins the samples across the session's
-    default parallelism first: the scorer is compute-bound per row, so
-    partitions must be sized for CPU, not bytes — AQE's byte-based
-    coalescing would otherwise strangle this stage at small shuffle
-    volumes (observed: 4 post-AQE partitions on 32 cores)."""
+    The scorer is compute-bound per row, so its partitions must be
+    sized for CPU, not bytes.  Normal path: the preceding host shuffle
+    plus a small AQE advisory size (conf.py, 16m) keeps parallelism ≥
+    core count.  ``repartition=True`` adds an explicit round-robin
+    shuffle first — use only when the series-key cardinality is below
+    the core count (degenerate corpora)."""
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.assign(anomaly_score=pd.Series(dtype="float64"),
-                                 is_anomaly=pd.Series(dtype="bool"))
+                yield pdf.drop(columns=["window_ids"]).assign(
+                    anomaly_score=pd.Series(dtype="float64"),
+                    is_anomaly=pd.Series(dtype="bool"))
                 continue
             win = np.stack(pdf["window_ids"].to_numpy()).astype(np.int64)
             labels = pdf["label_id"].to_numpy(dtype=np.int64)
             err, anom = scorer.score(win, labels, num_classes)
-            out = pdf.copy()
+            # window contents are consumed here; the routed output never
+            # carries the 10-wide arrays (shuffle/sink bytes ∝ rows only)
+            out = pdf.drop(columns=["window_ids"])
             out["anomaly_score"] = err
             out["is_anomaly"] = anom
             yield out

@@ -294,6 +294,25 @@ def tpch_q1(spark, sf_dir):
                  F.count("*").alias("count_order")))
 
 
+@q("semantic_template_vectors")  # no SQL oracle: PCG64 word vectors are
+def semantic_template_vectors(spark, sf_dir):  # not SQL-expressible → rows-only
+    """D9/O16/O21: TF-IDF-weighted semantic vector per masked template
+    (deterministic pseudo-fastText; driver records a rows-only check,
+    full value parity is pinned by tests/test_semantic.py)."""
+    from . import semantic
+    ev = _t(spark, sf_dir, "events")
+    tmpl = (ev.select(F.concat(F.col("event_type"), F.lit(" occurred value "),
+                               F.lit("<:NUM:>")).alias("template"))
+            .groupBy("template").agg(F.count("*").alias("freq"))
+            .orderBy("template").toPandas().reset_index(names="template_id"))
+    vecs = semantic.template_vectors(tmpl, dim=32)
+    out = tmpl.merge(vecs, on="template_id")
+    out["vec_norm"] = out["semantic_vec"].map(
+        lambda v: round(float(sum(x * x for x in v)) ** 0.5, 6))
+    return spark.createDataFrame(
+        out[["template_id", "template", "freq", "vec_norm"]])
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: dedup family
 # ---------------------------------------------------------------------------

@@ -53,7 +53,6 @@ SCORED = T.StructType([
     T.StructField("warc_ts", T.TimestampType(), False),
     T.StructField("template_id", T.LongType(), False),
     T.StructField("label_id", T.LongType(), False),
-    T.StructField("window_ids", T.ArrayType(T.LongType()), False),
     T.StructField("anomaly_score", T.DoubleType(), False),
     T.StructField("is_anomaly", T.BooleanType(), False),
 ])

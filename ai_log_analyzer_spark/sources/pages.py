@@ -37,16 +37,23 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def generate_and_write(spark: SparkSession, path: str, n_rows: int,
-                       seed: int = grammar.SEED, n_buckets: int = N_BUCKETS):
+                       seed: int = grammar.SEED, n_buckets: int = N_BUCKETS,
+                       n_hosts: int | None = None):
     """Deterministic synthetic pages table at any scale, generated
     DISTRIBUTED: row i's content is a pure function of (seed, i)
     (grammar.render_rows), so the corpus is identical regardless of
     partitioning or cluster size — and generation parallelizes."""
     import pandas as pd
 
+    if n_hosts is None:
+        # realistic series-key cardinality: windows shuffle on host, so
+        # hosts must comfortably exceed core count (web scale: millions)
+        n_hosts = max(16, min(4096, n_rows // 4000))
+
     def _gen(batches):
         for pdf in batches:
-            yield grammar.render_rows(pdf["id"].to_numpy(), seed=seed)
+            yield grammar.render_rows(pdf["id"].to_numpy(), seed=seed,
+                                      n_hosts=n_hosts)
 
     parts = max(spark.sparkContext.defaultParallelism, n_buckets)
     df = (spark.range(n_rows).repartition(parts)

@@ -29,7 +29,10 @@ def run_level(cores: int, n_rows: int) -> dict:
 
 
 def main():
-    n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "2000000"))
+    # sized for ≥60s of pipeline work per run (BASELINE.md): fixed
+    # session/scheduling overheads and box noise must be amortized or
+    # the efficiency ratio measures noise, not scaling
+    n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "8000000"))
     lo = run_level(LEVELS[0], n_rows)
     hi = run_level(LEVELS[1], n_rows)
     thr_lo, thr_hi = lo["docs_per_sec"], hi["docs_per_sec"]
