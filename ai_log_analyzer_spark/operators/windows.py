@@ -18,7 +18,7 @@ the batch, never shuffled — spill safety per SURVEY.md §4.4).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
@@ -46,31 +46,41 @@ def score_windows(samples: DataFrame, num_classes: int,
                   repartition: bool = False) -> DataFrame:
     """Adds anomaly_score / is_anomaly via the frozen numpy scorer.
 
-    The scorer is compute-bound per row, so its partitions must be
-    sized for CPU, not bytes.  Normal path: the preceding host shuffle
-    plus a small AQE advisory size (conf.py, 16m) keeps parallelism ≥
-    core count.  ``repartition=True`` adds an explicit round-robin
-    shuffle first — use only when the series-key cardinality is below
-    the core count (degenerate corpora)."""
+    Scalar struct-returning pandas_udf: ONLY (window_ids, label_id)
+    cross the JVM↔Python Arrow boundary — keys/urls/timestamps stay in
+    the JVM, and the 10-wide window arrays are consumed here, never
+    shuffled or written downstream.
 
-    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.drop(columns=["window_ids"]).assign(
-                    anomaly_score=pd.Series(dtype="float64"),
-                    is_anomaly=pd.Series(dtype="bool"))
+    The scorer is compute-bound per row, so its partitions must be
+    sized for CPU, not bytes (AQE byte-coalescing is off in conf.py).
+    ``repartition=True`` adds an explicit round-robin shuffle first —
+    use only when series-key cardinality is below the core count."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    result = T.StructType([
+        T.StructField("anomaly_score", T.DoubleType(), False),
+        T.StructField("is_anomaly", T.BooleanType(), False),
+    ])
+
+    @pandas_udf(result)
+    def _score(batches: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        for window_ids, label_id in batches:
+            if len(label_id) == 0:
+                yield pd.DataFrame({"anomaly_score": pd.Series(dtype="float64"),
+                                    "is_anomaly": pd.Series(dtype="bool")})
                 continue
-            win = np.stack(pdf["window_ids"].to_numpy()).astype(np.int64)
-            labels = pdf["label_id"].to_numpy(dtype=np.int64)
+            win = np.stack(window_ids.to_numpy()).astype(np.int64)
+            labels = label_id.to_numpy(dtype=np.int64)
             err, anom = scorer.score(win, labels, num_classes)
-            # window contents are consumed here; the routed output never
-            # carries the 10-wide arrays (shuffle/sink bytes ∝ rows only)
-            out = pdf.drop(columns=["window_ids"])
-            out["anomaly_score"] = err
-            out["is_anomaly"] = anom
-            yield out
+            yield pd.DataFrame({"anomaly_score": err, "is_anomaly": anom})
 
     if repartition:
         n = samples.sparkSession.sparkContext.defaultParallelism
         samples = samples.repartition(n)
-    return samples.mapInPandas(_score, schema=schemas.SCORED)
+    return (samples
+            .withColumn("_s", _score(F.col("window_ids"), F.col("label_id")))
+            .select("host", "seq_no", "url", "warc_ts", "template_id",
+                    "label_id",
+                    F.col("_s.anomaly_score").alias("anomaly_score"),
+                    F.col("_s.is_anomaly").alias("is_anomaly")))

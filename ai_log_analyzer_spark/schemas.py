@@ -16,7 +16,8 @@ PAGES = T.StructType([
     T.StructField("seq_no", T.LongType(), False),
 ])
 
-# output of operators/parse.parse_batch
+# output of operators/parse.parse_pages — no derivable columns: params
+# = split(extracted_text, PARAM_SEP); mask_names live in the catalog
 PARSED = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("warc_ts", T.TimestampType(), False),
@@ -24,8 +25,6 @@ PARSED = T.StructType([
     T.StructField("host", T.StringType(), False),
     T.StructField("seq_no", T.LongType(), False),
     T.StructField("template_id", T.LongType(), True),   # NULL = dead-letter
-    T.StructField("params", T.ArrayType(T.StringType()), True),
-    T.StructField("mask_names", T.ArrayType(T.StringType()), True),
     T.StructField("extracted_text", T.StringType(), True),
 ])
 

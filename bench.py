@@ -71,9 +71,21 @@ def main():
     os.makedirs(CACHE, exist_ok=True)
     pages_path = ensure_pages(spark, n_rows)
 
-    # warmup: absorbs python-worker cold start + JIT
-    run_pipeline(spark, pages_path)
-    best = min(run_pipeline(spark, pages_path)[0] for _ in range(n_runs))
+    # warmup: python-worker cold start, JIT/codegen, OS page cache —
+    # measured to take SEVERAL runs to stabilize (214→68s over 4 runs at
+    # local[32]); converge mode loops until the improvement flattens
+    if os.environ.get("SPARK_GRAFT_BENCH_CONVERGE") == "1":
+        prev = run_pipeline(spark, pages_path)[0]
+        best = prev
+        for _ in range(9):
+            cur = run_pipeline(spark, pages_path)[0]
+            best = min(best, cur)
+            if cur > prev * 0.92:   # <8% improvement → converged
+                break
+            prev = cur
+    else:
+        run_pipeline(spark, pages_path)
+        best = min(run_pipeline(spark, pages_path)[0] for _ in range(n_runs))
 
     q_times: dict[str, float] = {"pipeline_e2e": round(best, 3)}
     if not skip_queries:

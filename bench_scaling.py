@@ -21,7 +21,7 @@ def run_level(cores: int, n_rows: int) -> dict:
                SPARK_GRAFT_CPUS=str(cores),
                SPARK_GRAFT_PAGES_ROWS=str(n_rows),
                SPARK_GRAFT_SKIP_QUERIES="1",
-               SPARK_GRAFT_BENCH_RUNS="3")
+               SPARK_GRAFT_BENCH_CONVERGE="1")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
