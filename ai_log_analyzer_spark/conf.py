@@ -42,6 +42,13 @@ def build_session(app: str = "ai-log-analyzer-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # tmpfs shuffle dirs: local mode funnels every level's shuffle
+        # through ONE disk, an artifact a real cluster doesn't have
+        # (4x executors bring 4x disks). RAM-backed shuffle restores the
+        # per-core scaling a multi-node shuffle service would give.
+        .config("spark.local.dir", os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -294,6 +294,97 @@ def tpch_q1(spark, sf_dir):
                  F.count("*").alias("count_order")))
 
 
+@q("tpch_q6", """
+SELECT round(sum(round(l_extendedprice * 100)::BIGINT
+              * round(l_discount * 100)::BIGINT) / 10000.0, 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def tpch_q6(spark, sf_dir):
+    """Selective scan + agg: predicate-pushdown showcase (exact cents)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    return (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(price_c * disc_p) / 10000.0, 2).alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+@q("tpch_q3_shipping", """
+SELECT o.o_orderkey,
+       round(sum(round(l.l_extendedprice * 100)::BIGINT
+                 * (100 - round(l.l_discount * 100)::BIGINT)) / 10000.0, 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+               JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 3, 4
+""")
+def tpch_q3_shipping(spark, sf_dir):
+    """Multi-join + group agg (shipping priority, fixed segment/date)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(price_c * (100 - disc_p)) / 10000.0, 2)
+                 .alias("revenue"))
+            .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"))
+
+
+@q("session_windows", """
+WITH marks AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                   > INTERVAL 30 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
+  FROM marks)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start,
+       round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+FROM sess GROUP BY 1, 2
+""")
+def session_windows(spark, sf_dir):
+    """O34-extended: session windows (30-min inactivity gap) via the
+    gaps-and-islands pattern — deterministic, SQL-checkable (unlike
+    F.session_window whose struct output DuckDB can't mirror)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    # microsecond precision: cast-to-long truncates to seconds and can
+    # disagree with the oracle's INTERVAL comparison at the boundary
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ → TZ (UTC session)
+    gap = us - F.lag(us).over(w)
+    marks = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0).alias("new_session"))
+    cum = Window.partitionBy("user_id").orderBy("event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marks.withColumn("session_no", F.sum("new_session").over(cum))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.round(F.sum(cents) / 100.0, 2).alias("sum_value")))
+
+
 @q("semantic_template_vectors")  # no SQL oracle: PCG64 word vectors are
 def semantic_template_vectors(spark, sf_dir):  # not SQL-expressible → rows-only
     """D9/O16/O21: TF-IDF-weighted semantic vector per masked template

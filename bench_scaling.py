@@ -16,25 +16,51 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 LEVELS = (8, 32)
 
 
+def _prewarm_page_cache(path: str):
+    """Read the corpus once so neither level pays cold-disk reads."""
+    for root, _d, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
 def run_level(cores: int, n_rows: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cores),
                SPARK_GRAFT_PAGES_ROWS=str(n_rows),
                SPARK_GRAFT_SKIP_QUERIES="1",
                SPARK_GRAFT_BENCH_CONVERGE="1")
-    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                         env=env, capture_output=True, text=True, check=True)
+    # taskset: pin the WHOLE process (JVM service threads — GC, JIT,
+    # shuffle IO — and python workers included) to `cores` CPUs.
+    # Without it, local[8] still enjoys 32 cores of GC/JIT/IO and the
+    # efficiency ratio understates real N→4N cluster scaling.
+    cmd = ["taskset", "-c", f"0-{cores - 1}",
+           sys.executable, os.path.join(REPO, "bench.py")]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
 
 def main():
-    # sized for ≥60s of pipeline work per run (BASELINE.md): fixed
-    # session/scheduling overheads and box noise must be amortized or
-    # the efficiency ratio measures noise, not scaling
+    # Protocol (noisy shared box): ≥60s of work per run (BASELINE.md),
+    # page-cache prewarm, per-process converge loop, and INTERLEAVED
+    # level rounds (8,32,8,32,...) with per-level MIN — robust against
+    # monotonic environment drift that a single A-then-B order aliases
+    # into the efficiency ratio.
     n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "8000000"))
-    lo = run_level(LEVELS[0], n_rows)
-    hi = run_level(LEVELS[1], n_rows)
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    corpus = os.path.join(REPO, ".bench_cache", f"pages_{n_rows}")
+    best: dict[int, dict] = {}
+    for r in range(rounds):
+        for lvl in LEVELS:
+            if os.path.exists(corpus):
+                _prewarm_page_cache(corpus)
+            res = run_level(lvl, n_rows)
+            if lvl not in best or res["value"] < best[lvl]["value"]:
+                best[lvl] = res
+    lo, hi = best[LEVELS[0]], best[LEVELS[1]]
     thr_lo, thr_hi = lo["docs_per_sec"], hi["docs_per_sec"]
     ratio = LEVELS[1] / LEVELS[0]
     eff = (thr_hi / thr_lo) / ratio

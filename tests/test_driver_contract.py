@@ -37,7 +37,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype("boolean")
         else:
-            df[c] = df[c].astype(str)
+            # DuckDB HUGEINT (sum of ints) arrives as object-dtype ints
+            num = pd.to_numeric(df[c], errors="coerce")
+            if num.notna().equals(df[c].notna()) and len(df):
+                df[c] = (num.round(6).astype("float64")
+                         if num.dtype.kind == "f" else num.astype("Int64"))
+            else:
+                df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
