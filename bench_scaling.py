@@ -75,23 +75,16 @@ def main():
         f"wall_s_local{LEVELS[1]}": hi["value"],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured numbers
-
-Protocol (BASELINE.md): same parse→enrich→score→route job, same
-deterministic pages corpus ({n_rows:,} rows), run at two parallelism
-levels in separate processes (the sandbox stand-in for N vs 4N
-executors). Wall time is best-of-3 after a warmup pass; fit/catalog is
-the offline stage and excluded (frozen-catalog production shape).
-
-| level | wall (s) | throughput (docs/s) |
-|---|---|---|
-| local[{LEVELS[0]}] | {lo['value']} | {thr_lo:,.0f} |
-| local[{LEVELS[1]}] | {hi['value']} | {thr_hi:,.0f} |
-
-**Scaling efficiency (thr{LEVELS[1]}/thr{LEVELS[0]})/{ratio:.0f} = {eff:.3f}**
-(target ≥ 0.8 per BASELINE.json north rule)
-""")
+    # append-style history: the curated narrative in BENCH/BASELINE.md
+    # is maintained by hand; machine runs land here
+    with open(os.path.join(REPO, "BENCH", "RUNS.md"), "a") as f:
+        f.write(f"\n## run ({n_rows:,} rows, taskset-pinned, tmpfs shuffle,"
+                f" converge-min, interleaved ×{rounds})\n\n"
+                f"| level | wall (s) | throughput (docs/s) |\n|---|---|---|\n"
+                f"| local[{LEVELS[0]}] | {lo['value']} | {thr_lo:,.0f} |\n"
+                f"| local[{LEVELS[1]}] | {hi['value']} | {thr_hi:,.0f} |\n\n"
+                f"efficiency (thr{LEVELS[1]}/thr{LEVELS[0]})/{ratio:.0f}"
+                f" = **{eff:.3f}**\n")
     print(json.dumps(result))
 
 
