@@ -31,7 +31,8 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("html"),
         F.col("text"),
         F.col("lang"),
-        F.lit("all").alias("host"),          # single series at smoke scale
+        F.col("source").alias("host"),       # real series keys: windows
+        # stage shuffles/partitions by host, so parallelism > 1 even here
         F.col("doc_id").cast("long").alias("seq_no"),
     )
 

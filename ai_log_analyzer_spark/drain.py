@@ -52,6 +52,11 @@ class _Node:
 def _seq_sim(template: List[str], tokens: List[str]) -> Tuple[float, int]:
     """(similarity, n_params): fraction of positions with equal tokens;
     wildcard positions count as params, not as similarity (Drain paper §3)."""
+    if not template:
+        # zero-token cluster (blank/whitespace-only line): identical to a
+        # zero-token input by definition — avoids ZeroDivisionError once
+        # an empty cluster exists (blank lines are routine in real logs)
+        return (1.0 if not tokens else 0.0), 0
     sim = 0
     n_params = 0
     for t, s in zip(template, tokens):

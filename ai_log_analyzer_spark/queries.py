@@ -93,9 +93,15 @@ def word_idf(spark, sf_dir):
     words = (docs.select("doc_id",
                          F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
              .distinct())
-    n_docs = words.select("doc_id").distinct().count()
+    # n_docs via a broadcast 1-row cross join: ONE plan / ONE job (the
+    # identical distinct subtree is a ReusedExchange), no eager driver
+    # action mid-query
+    totals = words.agg(F.countDistinct("doc_id").alias("n_docs"))
     return (words.groupBy("word").agg(F.count("*").alias("df"))
-            .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)))
+            .crossJoin(F.broadcast(totals))
+            .withColumn("idf", F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")), 6))
+            .drop("n_docs"))
 
 
 @q("distinct_counts", """
@@ -154,7 +160,9 @@ def sliding_window_avg(spark, sf_dir):
     cnt = F.count("*").over(w)
     num = F.lit(200) * sum_c + cnt          # half-up: +den/2 before int div
     den = F.lit(2) * cnt
-    avg_e4 = (num - num % den) / den        # exact integer division in double
+    # pmod (not %): Spark % truncates toward zero while DuckDB // floors,
+    # diverging by one 1e-4 unit on negative windowed sums
+    avg_e4 = (num - F.pmod(num, den)) / den  # exact floor division in double
     return ev.select("user_id", "event_id",
                      (avg_e4 / 10000.0).alias("avg10"),
                      cnt.alias("n_in_win"))
@@ -267,12 +275,25 @@ def enrich_broadcast_join(spark, sf_dir):
                  F.round(F.sum(cents) / 100.0, 2).alias("sum_acctbal")))
 
 
-@q("tpch_q1", """
+def _half_up_e4(sum_e4):
+    """Exact half-up rounding of an integer 1e-4-units sum to cents,
+    as a double — round(x/10000.0, 2) hits round-half ties that Spark
+    (half-up) and DuckDB (half-even) resolve differently on doubles;
+    integer arithmetic first makes both engines bit-identical.  Valid
+    for non-negative sums (money columns here are all >= 0)."""
+    num = sum_e4 + F.lit(50)
+    return (num - F.pmod(num, F.lit(100))) / 10000.0
+
+
+_HALF_UP_E4_SQL = "(({x} + 50) - ({x} + 50) % 100) / 10000.0"
+
+
+@q("tpch_q1", f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(round(l_quantity * 100)::BIGINT) / 100.0, 2) AS sum_qty,
        round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 2) AS sum_base_price,
-       round(sum(round(l_extendedprice * 100)::BIGINT
-                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 2) AS sum_disc_price,
+       {_HALF_UP_E4_SQL.format(x='''sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT))''')} AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -289,14 +310,14 @@ def tpch_q1(spark, sf_dir):
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
                  F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
-                 F.round(F.sum(price_c * (100 - disc_p)) / 10000.0, 2)
+                 _half_up_e4(F.sum(price_c * (100 - disc_p)))
                  .alias("sum_disc_price"),
                  F.count("*").alias("count_order")))
 
 
-@q("tpch_q6", """
-SELECT round(sum(round(l_extendedprice * 100)::BIGINT
-              * round(l_discount * 100)::BIGINT) / 10000.0, 2) AS revenue,
+@q("tpch_q6", f"""
+SELECT {_HALF_UP_E4_SQL.format(x='''sum(round(l_extendedprice * 100)::BIGINT
+              * round(l_discount * 100)::BIGINT)''')} AS revenue,
        count(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -312,14 +333,14 @@ def tpch_q6(spark, sf_dir):
                       & (F.col("l_discount") >= 0.05)
                       & (F.col("l_discount") <= 0.07)
                       & (F.col("l_quantity") < 24))
-            .agg(F.round(F.sum(price_c * disc_p) / 10000.0, 2).alias("revenue"),
+            .agg(_half_up_e4(F.sum(price_c * disc_p)).alias("revenue"),
                  F.count("*").alias("n")))
 
 
-@q("tpch_q3_shipping", """
+@q("tpch_q3_shipping", f"""
 SELECT o.o_orderkey,
-       round(sum(round(l.l_extendedprice * 100)::BIGINT
-                 * (100 - round(l.l_discount * 100)::BIGINT)) / 10000.0, 2) AS revenue,
+       {_HALF_UP_E4_SQL.format(x='''sum(round(l.l_extendedprice * 100)::BIGINT
+                 * (100 - round(l.l_discount * 100)::BIGINT))''')} AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -338,7 +359,7 @@ def tpch_q3_shipping(spark, sf_dir):
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(F.round(F.sum(price_c * (100 - disc_p)) / 10000.0, 2)
+            .agg(_half_up_e4(F.sum(price_c * (100 - disc_p)))
                  .alias("revenue"))
             .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"))
 

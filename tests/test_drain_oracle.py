@@ -130,3 +130,20 @@ def test_severity_rule_buckets(oracle_result):
     got = set(oracle_result.scored["severity"].unique())
     assert got <= set(scorer.SEVERITIES)
     assert {"crit", "high"} <= got  # anomalies present in fixture corpus
+
+
+def test_empty_and_blank_lines_no_crash():
+    """Blank/whitespace-only lines are routine in real logs: fit must not
+    ZeroDivisionError once an empty-token cluster exists (round-2 fix in
+    drain._seq_sim), and inference must dead-letter or match, not crash."""
+    from ai_log_analyzer_spark.drain import Drain
+
+    tree = Drain()
+    tree.add("hello world")
+    tree.add("")
+    tree.add("   ")          # whitespace-only → same zero-token cluster
+    tree.add("\t\n")
+    empties = [c for c in tree.clusters if len(c.tokens) == 0]
+    assert len(empties) == 1 and empties[0].count == 3
+    assert tree.match("") is empties[0]
+    assert tree.match("hello world").template == "hello world"
