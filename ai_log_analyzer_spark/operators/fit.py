@@ -52,10 +52,7 @@ def _fit_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts.clear()
 
     for pdf in batches:
-        masked = pdf["text"]
-        for _name, rx in masking._COMPILED:
-            masked = masked.str.replace(
-                rx, masking.MASK_PREFIX + _name + masking.MASK_SUFFIX, regex=True)
+        masked = masking.mask_series(pdf["text"])
         for form, c in masked.value_counts().items():
             counts[form] = counts.get(form, 0) + int(c)
         if len(counts) > FORM_CAP:

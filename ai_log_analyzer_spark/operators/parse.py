@@ -49,7 +49,10 @@ def parse_pages(pages: DataFrame, catalog_rows: pd.DataFrame) -> DataFrame:
         from ..catalog import Matcher, from_rows
         matcher = Matcher(from_rows(bc.value))   # once per worker/partition
         for text in batches:
-            m = matcher.match_frame(text)
+            # with_params=False: params/mask_names are derivable columns
+            # (split extracted_text / catalog lookup) — skip the per-row
+            # object churn in the hot path
+            m = matcher.match_frame(text, with_params=False)
             yield pd.DataFrame({
                 "template_id": m["template_id"].astype(object).where(
                     m["template_id"].notna(), None),

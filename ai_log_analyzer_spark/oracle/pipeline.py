@@ -40,10 +40,7 @@ def fit_catalog(pages: pd.DataFrame) -> List[CatalogEntry]:
     equals this one exactly (property test 3c)."""
     from ..drain import Drain
 
-    masked = pages["text"]
-    for _name, rx in masking._COMPILED:
-        masked = masked.str.replace(
-            rx, masking.MASK_PREFIX + _name + masking.MASK_SUFFIX, regex=True)
+    masked = masking.mask_series(pages["text"])
     counts = masked.value_counts()
     tree = Drain()
     for form in sorted(counts.index):

@@ -68,3 +68,24 @@ def test_roundtrip_property_rendered_lines(seed):
     got = masking.extract_params(rx, line)
     assert got is not None, (line, masked)
     assert masking.substitute(tokens, got) == line
+
+
+def test_single_pass_equals_multipass_hypothesis():
+    """The single-pass alternation kernel must byte-match the sequential
+    per-instruction rewrite on adversarial inputs (digits, dots, 0x
+    prefixes, mask-like text, unicode)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ai_log_analyzer_spark import masking
+
+    alphabet = st.sampled_from(
+        list("0123456789abcdefx. :<>_-/") + ["0x", "1.2.3.4", "<:NUM:>",
+                                             "..", "99", "f", "G", "\t", "é"])
+    texts = st.lists(alphabet, min_size=0, max_size=30).map("".join)
+
+    @settings(max_examples=2000, deadline=None)
+    @given(texts)
+    def check(s):
+        assert masking.mask_line(s) == masking.mask_line_multipass(s), repr(s)
+
+    check()
