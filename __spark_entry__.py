@@ -48,8 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
     catalog_rows = fit_op.fit_catalog(pages)
     parsed = parse_op.parse_pages(pages, catalog_rows)
-    samples = win_op.window_samples(parse_op.matched(parsed))
-    scored = win_op.score_windows(samples, num_classes=len(catalog_rows))
+    scored = win_op.window_score_grouped(parse_op.matched(parsed),
+                                         num_classes=len(catalog_rows))
     routed = route_op.with_severity(scored)
     return route_op.sink_counts(routed)
 

@@ -84,3 +84,101 @@ def score_windows(samples: DataFrame, num_classes: int,
                     "label_id",
                     F.col("_s.anomaly_score").alias("anomaly_score"),
                     F.col("_s.is_anomaly").alias("is_anomaly")))
+
+
+_GROUPED_SCHEMA = ("host string, seq_no long, url string, warc_ts timestamp, "
+                   "template_id long, label_id long, "
+                   "anomaly_score double, is_anomaly boolean")
+
+
+def _score_host_arrays(cols: dict, num_classes: int, w: int, lead: int):
+    """Score ONE host series given column arrays (numpy).  Returns a dict
+    of output arrays or None when the series is too short.  This is the
+    bit-exact shared per-host kernel: the single-node oracle and the
+    Spark stage both call scorer.score on the identical per-host window
+    matrix, so no batching/blocking difference can leak into floats."""
+    n = len(cols["seq_no"])
+    if n < w + lead:
+        return None
+    order = np.argsort(cols["seq_no"], kind="stable")
+    ids = cols["template_id"][order]
+    ends = np.arange(w - 1, n - lead)
+    win = np.lib.stride_tricks.sliding_window_view(ids, w)[:len(ends)]
+    labels = ids[ends + lead]
+    err, anom = scorer.score(win, labels, num_classes)
+    take = order[ends]
+    return {
+        "host": cols["host"][take],
+        "seq_no": cols["seq_no"][take],
+        "url": cols["url"][take],
+        "warc_ts": cols["warc_ts"][take],
+        "template_id": ids[ends],
+        "label_id": labels,
+        "anomaly_score": err,
+        "is_anomaly": anom,
+    }
+
+
+_OUT_COLS = ["host", "seq_no", "url", "warc_ts", "template_id",
+             "label_id", "anomaly_score", "is_anomaly"]
+
+
+def window_score_grouped(matched_events: DataFrame, num_classes: int,
+                         w: int = scorer.WINDOW_SIZE,
+                         n_buckets: int | None = None) -> DataFrame:
+    """Fused windows+score: ``applyInPandas`` over HOST BUCKETS.
+
+    Replaces collect_list-over-Window + scalar scorer UDF for the
+    flagship DAG: the 10-wide window arrays (10x duplicated ids) never
+    exist JVM-side, the sort happens in numpy instead of the JVM sorter,
+    and windows are zero-copy strided views.  Round-2 probes: the old
+    two-step stage scaled 0.41 from 8->32 cores and dominated e2e wall;
+    per-HOST applyInPandas paid ~5ms of Arrow/group overhead per series,
+    so the shuffle key is a coarse bucket pmod(xxhash64(host), P) and
+    hosts are sub-grouped in pandas — per-call overhead amortizes over
+    ~rows/P rows regardless of how many (millions, at web scale) series
+    exist.  P defaults to 4x parallelism and is the explicit scale knob:
+    at 100 TB pick P so each bucket (~total_rows/P) fits executor memory.
+
+    Per-host scoring calls the identical kernel the single-node oracle
+    uses on the identical per-host arrays — bit-exact parity by
+    construction (tests/test_engine_parity.py)."""
+    lead = scorer.LABEL_LEAD
+    spark = matched_events.sparkSession
+    if n_buckets is None:
+        # 16x parallelism: buckets >> shuffle partitions so the balls-in-
+        # bins collision skew stays ~1.2x (4x gave max-load stragglers)
+        n_buckets = spark.sparkContext.defaultParallelism * 16
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {c: pdf[c].to_numpy() for c in
+                ["host", "seq_no", "url", "warc_ts", "template_id"]}
+        cols["seq_no"] = cols["seq_no"].astype(np.int64, copy=False)
+        cols["template_id"] = cols["template_id"].astype(np.int64, copy=False)
+        codes, hosts = pd.factorize(cols["host"], sort=False)
+        outs = []
+        for hi in range(len(hosts)):
+            pos = np.nonzero(codes == hi)[0]
+            got = _score_host_arrays(
+                {c: v[pos] for c, v in cols.items()}, num_classes, w, lead)
+            if got is not None:
+                outs.append(got)
+        if not outs:
+            return pd.DataFrame({
+                "host": pd.Series(dtype=object),
+                "seq_no": pd.Series(dtype="int64"),
+                "url": pd.Series(dtype=object),
+                "warc_ts": pd.Series(dtype="datetime64[us]"),
+                "template_id": pd.Series(dtype="int64"),
+                "label_id": pd.Series(dtype="int64"),
+                "anomaly_score": pd.Series(dtype="float64"),
+                "is_anomaly": pd.Series(dtype="bool")})
+        return pd.DataFrame({c: np.concatenate([o[c] for o in outs])
+                             for c in _OUT_COLS})
+
+    return (matched_events
+            .select("host", "seq_no", "url", "warc_ts", "template_id")
+            .withColumn("_b", F.pmod(F.xxhash64("host"), F.lit(n_buckets)))
+            .groupBy("_b")
+            .applyInPandas(lambda key, pdf: _fn(pdf.drop(columns=["_b"])),
+                           schema=_GROUPED_SCHEMA))

@@ -143,8 +143,7 @@ class PipelineRunner:
         # windows + frozen scorer (shuffle #1: by host)
         def _score(out):
             parsed = self.spark.read.parquet(parsed_path)
-            samples = win_op.window_samples(parse_op.matched(parsed))
-            win_op.score_windows(samples, num_classes) \
+            win_op.window_score_grouped(parse_op.matched(parsed), num_classes) \
                 .write.mode("overwrite").parquet(out)
             return self.spark.read.parquet(out).count()
         scored_path = self._stage("score", enr_fp, _score, "scored")

@@ -51,8 +51,7 @@ def run_pipeline(spark, pages_path: str):
 
     t0 = time.time()
     parsed = parse_op.parse_pages(pages, cat)
-    samples = win_op.window_samples(parse_op.matched(parsed))
-    scored = win_op.score_windows(samples, len(cat))
+    scored = win_op.window_score_grouped(parse_op.matched(parsed), len(cat))
     routed = route_op.with_severity(scored)
     counts = route_op.sink_counts(routed).collect()
     return time.time() - t0, {r.severity: r.n_rows for r in counts}
