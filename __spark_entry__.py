@@ -47,9 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
     pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
     catalog_rows = fit_op.fit_catalog(pages)
-    parsed = parse_op.parse_pages(pages, catalog_rows)
+    # id-only parse: the scoring branch prunes extracted_text, so the
+    # parse UDF skips extraction and ships 8 bytes/row (parse.py)
+    parsed = parse_op.parse_template_ids(pages, catalog_rows)
     scored = win_op.window_score_grouped(parse_op.matched(parsed),
-                                         num_classes=len(catalog_rows))
+                                         num_classes=len(catalog_rows),
+                                         carry=())
     routed = route_op.with_severity(scored)
     return route_op.sink_counts(routed)
 

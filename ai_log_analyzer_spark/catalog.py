@@ -190,6 +190,41 @@ class Matcher:
             self._ext_plan[tid] = got
         return got
 
+    def _ids_for_series(self, t: pd.Series) -> np.ndarray:
+        """Shared template-selection kernel: masked-form factorize +
+        memoized per-form decision.  Returns int64 ids, -1 = dead-letter."""
+        masked = masking.mask_series(t)
+        n = len(t)
+        codes, uniques = pd.factorize(masked, sort=False)
+        cache = self._form_cache
+        u_tid = np.empty(len(uniques), dtype=np.int64)
+        for j, form in enumerate(uniques):
+            got = cache.get(form)
+            if got is None:
+                got = self._match_form(form)
+                if len(cache) < self.FORM_CACHE_CAP:
+                    cache[form] = got
+            u_tid[j] = got
+        if n == 0 or len(uniques) == 0:
+            return np.full(n, -1, dtype=np.int64)
+        tid = u_tid[codes]
+        tid[codes < 0] = -1   # null text rows → dead-letter
+        return tid
+
+    def match_ids(self, text: pd.Series) -> pd.Series:
+        """Template-id-only fast path: IDENTICAL decision rule to
+        match_frame (same masking, same memoized form match — equality
+        pinned by tests/test_engine_parity.py), skipping parameter
+        extraction entirely.  This is projection pushdown INTO the
+        vectorized parse: the windows→score branch of the flagship DAG
+        prunes extracted_text immediately, so building + Arrow-shipping
+        the strings was pure waste (round-1 verdict: cut bytes/doc
+        through the bound stages)."""
+        tid = self._ids_for_series(text.reset_index(drop=True))
+        out = pd.array(tid, dtype="Int64")
+        out[tid < 0] = pd.NA
+        return pd.Series(out, index=text.index)
+
     def match_frame(self, text: pd.Series,
                     with_params: bool = True) -> pd.DataFrame:
         """Vectorized batch match: returns a DataFrame aligned to
@@ -205,24 +240,8 @@ class Matcher:
         vs the round-1 per-row path (pinned by the parity suite)."""
         orig_index = text.index
         t = text.reset_index(drop=True)
-        masked = masking.mask_series(t)
         n = len(t)
-
-        codes, uniques = pd.factorize(masked, sort=False)
-        cache = self._form_cache
-        u_tid = np.empty(len(uniques), dtype=np.int64)
-        for j, form in enumerate(uniques):
-            got = cache.get(form)
-            if got is None:
-                got = self._match_form(form)
-                if len(cache) < self.FORM_CACHE_CAP:
-                    cache[form] = got
-            u_tid[j] = got
-        if n == 0 or len(uniques) == 0:
-            tid = np.full(n, -1, dtype=np.int64)
-        else:
-            tid = u_tid[codes]
-            tid[codes < 0] = -1   # null text rows → dead-letter
+        tid = self._ids_for_series(t)
 
         ext_text = np.full(n, None, dtype=object)
         params = np.full(n, None, dtype=object)

@@ -41,18 +41,30 @@ def exact_dups(df: DataFrame, text_col: str = "text",
             .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id")))
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc, hashed to 32-bit ints.
+def raw_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) word n-grams WITH multiplicity — no shuffle.
     Built with sequence/transform — no Python, no explode-before-slice."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # sequence(0, k) DESCENDS when k < 0 → guard short/empty docs explicitly
     idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
         .otherwise(F.array().cast("array<int>"))
     grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-            .distinct()
-            .withColumn("shingle_hash", hash32(F.col("shingle"))))
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle_hash) distinct hashed shingles per doc.
+
+    Hash-THEN-distinct: the distinct shuffles fixed-width longs instead
+    of shingle strings (~4× less shuffle volume), and matches the DuckDB
+    oracle's `SELECT DISTINCT doc_id, hash(shingle)` exactly even under
+    32-bit collisions (distinct-before-hash diverged from the oracle on
+    any within-doc collision — latent round-1 bug)."""
+    return (raw_shingles(df, n=n, text_col=text_col, id_col=id_col)
+            .select("doc_id", hash32(F.col("shingle")).alias("shingle_hash"))
+            .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.02,
@@ -82,22 +94,51 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.02,
     return out
 
 
-def minhash_signatures(df: DataFrame, n_hashes: int = 8, n: int = 3) -> DataFrame:
+def minhash_signatures(df: DataFrame | None = None, n_hashes: int = 8,
+                       n: int = 3, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signature over word n-gram shingles.
-    Permutation i = md5 salted with i — portable to the SQL oracle."""
-    sh = shingles(df, n=n).select("doc_id", "shingle")
-    aggs = [F.min(hash32(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(n_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+    md5 digests are FACTORED into lanes: one digest is 128 bits = four
+    independent 32-bit permutation lanes, so k permutations cost
+    ceil(k/4) md5 calls per shingle instead of k (round-1 verdict: md5
+    dominated minhash wall time).  Lane (d, l) = hex chars
+    [8l, 8l+8) of md5(f"{d}|" + shingle) → h_{4d+l}; same decomposition
+    in the DuckDB oracle via substr(md5(...), 1+8l, 8)."""
+    assert n_hashes % 4 == 0, "n_hashes must be a multiple of 4 (md5 lanes)"
+    if sh is None:
+        # raw (non-distinct) shingles: min() over a multiset equals min()
+        # over the set, so signatures need NO distinct — the groupBy gets
+        # map-side partial min aggregation and the only shuffle is one
+        # pre-reduced row per (doc, partition)
+        sh = raw_shingles(df, n=n)
+    digs = sh.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{d}|"), F.col("shingle"))).alias(f"_dig{d}")
+          for d in range(n_hashes // 4)])
+    aggs = []
+    for i in range(n_hashes):
+        d, lane = divmod(i, 4)
+        lane_col = F.conv(F.substring(F.col(f"_dig{d}"), 1 + 8 * lane, 8),
+                          16, 10).cast("long")
+        aggs.append(F.min(lane_col).alias(f"h{i}"))
+    return digs.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 8,
                       n: int = 3, threshold: float = 0.02) -> DataFrame:
     """MinHash+LSH near-dup pairs: band equi-join for candidates, exact
-    Jaccard verify.  bands × rows_per_band = n_hashes."""
+    Jaccard verify computed ONLY for candidate pairs (round-1 verdict
+    fix: the old verify ran the full inverted-index self-join over the
+    whole corpus, defeating the banding).  bands × rows_per_band =
+    n_hashes.  The verify join fans each candidate pair out by its two
+    shingle sets — cost is output-sensitive in |candidates|, never
+    O(n²); no DF_CAP here because exact Jaccard needs full sets."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sig = minhash_signatures(df, n_hashes=n_hashes, n=n)
+    raw = raw_shingles(df, n=n).cache()
+    sh = (raw.select("doc_id", hash32(F.col("shingle")).alias("shingle_hash"))
+          .distinct())
+    sig = minhash_signatures(n_hashes=n_hashes, sh=raw)
     band_cols = []
     for bidx in range(bands):
         cols = [F.col(f"h{bidx * rows + r}").cast("string") for r in range(rows)]
@@ -112,8 +153,26 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 8,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    verified = ngram_jaccard_pairs(df, n=n, threshold=threshold)
-    return (cand.join(verified, ["doc_a", "doc_b"])
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingle_hash").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("_doc_b"),
+                   F.col("shingle_hash").alias("sh_b"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # equi-join key is (doc_b, shingle_hash) — intersection rows only,
+    # never the |sh_a| × |sh_b| per-pair cross product
+    inter = (cand.join(sa, "doc_a")
+             .join(sb, (F.col("doc_b") == F.col("_doc_b")) &
+                       (F.col("sh_a") == F.col("sh_b")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                       .withColumnRenamed("n_sh", "sz_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                       .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
 

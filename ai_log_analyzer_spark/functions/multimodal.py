@@ -74,8 +74,11 @@ def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   strict: bool = False) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame,
-    frame signature = md5 of (payload, frame_no) — a stand-in for the
-    decoded frame tensor."""
+    frame signature = md5 of (lowercase-hex payload, '|', frame_no) — a
+    stand-in for the decoded frame tensor.  Hex-string (not raw-byte)
+    hashing so the DuckDB oracle can mirror it exactly: this duckdb
+    build's md5() only accepts VARCHAR, and a BLOB→VARCHAR cast escapes
+    non-ASCII bytes engine-specifically."""
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         if strict:
@@ -85,11 +88,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
                                          pdf["duration_ms"]):
                 n = max(1, int(dur or 0) // every_ms)
+                hexp = bytes(payload).hex()
                 for f in range(n):
                     rows["media_id"].append(int(mid))
                     rows["frame_no"].append(f)
-                    rows["frame_sig"].append(
-                        hashlib.md5(payload + f.to_bytes(4, "little")).hexdigest())
+                    rows["frame_sig"].append(hashlib.md5(
+                        f"{hexp}|{f}".encode()).hexdigest())
             yield pd.DataFrame(rows)
 
     return (media.filter(F.col("kind") == "video")

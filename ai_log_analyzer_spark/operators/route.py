@@ -35,7 +35,16 @@ def write_sinks(routed: DataFrame, base_path: str):
 
 
 def sink_counts(routed: DataFrame) -> DataFrame:
+    """Per-sink aggregate counts (north-rule acceptance aggregate).
+
+    n_urls = distinct source pages per sink.  When the scoring branch
+    ran with carry=() (url pruned before the Arrow hop), the page
+    identity key (host, seq_no) stands in for url — exactly equal by
+    construction since url ↔ (host, seq_no) is 1:1 in the pages
+    contract (asserted in tests/test_engine_parity.py)."""
+    n_urls = (F.countDistinct("url") if "url" in routed.columns
+              else F.countDistinct("host", "seq_no"))
     return (routed.groupBy("severity")
             .agg(F.count("*").alias("n_rows"),
-                 F.countDistinct("url").alias("n_urls"))
+                 n_urls.alias("n_urls"))
             .orderBy("severity"))

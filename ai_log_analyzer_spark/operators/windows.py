@@ -86,12 +86,20 @@ def score_windows(samples: DataFrame, num_classes: int,
                     F.col("_s.is_anomaly").alias("is_anomaly")))
 
 
-_GROUPED_SCHEMA = ("host string, seq_no long, url string, warc_ts timestamp, "
-                   "template_id long, label_id long, "
-                   "anomaly_score double, is_anomaly boolean")
+DEFAULT_CARRY = ("url", "warc_ts")
+
+_CARRY_TYPES = {"url": "string", "warc_ts": "timestamp"}
 
 
-def _score_host_arrays(cols: dict, num_classes: int, w: int, lead: int):
+def _grouped_schema(carry: tuple) -> str:
+    carry_sql = "".join(f"{c} {_CARRY_TYPES[c]}, " for c in carry)
+    return (f"host string, seq_no long, {carry_sql}"
+            "template_id long, label_id long, "
+            "anomaly_score double, is_anomaly boolean")
+
+
+def _score_host_arrays(cols: dict, num_classes: int, w: int, lead: int,
+                       carry: tuple = DEFAULT_CARRY):
     """Score ONE host series given column arrays (numpy).  Returns a dict
     of output arrays or None when the series is too short.  This is the
     bit-exact shared per-host kernel: the single-node oracle and the
@@ -107,25 +115,23 @@ def _score_host_arrays(cols: dict, num_classes: int, w: int, lead: int):
     labels = ids[ends + lead]
     err, anom = scorer.score(win, labels, num_classes)
     take = order[ends]
-    return {
+    out = {
         "host": cols["host"][take],
         "seq_no": cols["seq_no"][take],
-        "url": cols["url"][take],
-        "warc_ts": cols["warc_ts"][take],
         "template_id": ids[ends],
         "label_id": labels,
         "anomaly_score": err,
         "is_anomaly": anom,
     }
-
-
-_OUT_COLS = ["host", "seq_no", "url", "warc_ts", "template_id",
-             "label_id", "anomaly_score", "is_anomaly"]
+    for c in carry:
+        out[c] = cols[c][take]
+    return out
 
 
 def window_score_grouped(matched_events: DataFrame, num_classes: int,
                          w: int = scorer.WINDOW_SIZE,
-                         n_buckets: int | None = None) -> DataFrame:
+                         n_buckets: int | None = None,
+                         carry: tuple = DEFAULT_CARRY) -> DataFrame:
     """Fused windows+score: ``applyInPandas`` over HOST BUCKETS.
 
     Replaces collect_list-over-Window + scalar scorer UDF for the
@@ -150,9 +156,16 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
         # bins collision skew stays ~1.2x (4x gave max-load stragglers)
         n_buckets = spark.sparkContext.defaultParallelism * 16
 
+    in_cols = ["host", "seq_no", *carry, "template_id"]
+    out_cols = ["host", "seq_no", *carry, "template_id", "label_id",
+                "anomaly_score", "is_anomaly"]
+    _empty_dtype = {"host": object, "seq_no": "int64", "url": object,
+                    "warc_ts": "datetime64[us]", "template_id": "int64",
+                    "label_id": "int64", "anomaly_score": "float64",
+                    "is_anomaly": "bool"}
+
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = {c: pdf[c].to_numpy() for c in
-                ["host", "seq_no", "url", "warc_ts", "template_id"]}
+        cols = {c: pdf[c].to_numpy() for c in in_cols}
         cols["seq_no"] = cols["seq_no"].astype(np.int64, copy=False)
         cols["template_id"] = cols["template_id"].astype(np.int64, copy=False)
         codes, hosts = pd.factorize(cols["host"], sort=False)
@@ -160,25 +173,19 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
         for hi in range(len(hosts)):
             pos = np.nonzero(codes == hi)[0]
             got = _score_host_arrays(
-                {c: v[pos] for c, v in cols.items()}, num_classes, w, lead)
+                {c: v[pos] for c, v in cols.items()}, num_classes, w, lead,
+                carry=carry)
             if got is not None:
                 outs.append(got)
         if not outs:
-            return pd.DataFrame({
-                "host": pd.Series(dtype=object),
-                "seq_no": pd.Series(dtype="int64"),
-                "url": pd.Series(dtype=object),
-                "warc_ts": pd.Series(dtype="datetime64[us]"),
-                "template_id": pd.Series(dtype="int64"),
-                "label_id": pd.Series(dtype="int64"),
-                "anomaly_score": pd.Series(dtype="float64"),
-                "is_anomaly": pd.Series(dtype="bool")})
+            return pd.DataFrame({c: pd.Series(dtype=_empty_dtype[c])
+                                 for c in out_cols})
         return pd.DataFrame({c: np.concatenate([o[c] for o in outs])
-                             for c in _OUT_COLS})
+                             for c in out_cols})
 
     return (matched_events
-            .select("host", "seq_no", "url", "warc_ts", "template_id")
+            .select(*in_cols)
             .withColumn("_b", F.pmod(F.xxhash64("host"), F.lit(n_buckets)))
             .groupBy("_b")
             .applyInPandas(lambda key, pdf: _fn(pdf.drop(columns=["_b"])),
-                           schema=_GROUPED_SCHEMA))
+                           schema=_grouped_schema(carry)))

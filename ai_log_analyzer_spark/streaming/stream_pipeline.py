@@ -51,6 +51,42 @@ def windowed_template_counts(parsed_stream: DataFrame,
                     "template_id", "n"))
 
 
+def windowed_event_counts_available_now(spark: SparkSession, events_path: str,
+                                        window: str = "1 hour") -> DataFrame:
+    """Run event-time tumbling-window counts over the events table AS A
+    STREAM (file source, Trigger.AvailableNow, memory sink) and return
+    the finished result — deterministic batch-equivalent semantics, used
+    by the driver-contract query ``stream_window_counts``.
+
+    Complete output mode so every window is emitted at end-of-stream
+    (append mode would hold back windows the watermark hasn't passed,
+    which for a finite corpus means the trailing windows never flush).
+    No watermark here: events.ts is TIMESTAMP_NTZ, which Spark's
+    watermark rejects, and complete mode needs none — the late-data
+    watermark pattern lives in ``windowed_template_counts`` above."""
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(events_path).schema
+    src = events_path
+    if os.path.isfile(events_path):
+        # the file stream source requires a DIRECTORY; stage a symlink
+        src = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(os.path.abspath(events_path),
+                   os.path.join(src, os.path.basename(events_path)))
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (stream
+           .groupBy(F.window("ts", window).alias("win"), "event_type")
+           .agg(F.count("*").alias("n"))
+           .select(F.col("win.start").alias("window_start"), "event_type", "n"))
+    name = f"swc_{uuid.uuid4().hex[:12]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_available_now(pages_path: str, catalog_rows: pd.DataFrame,
                       out_path: str, checkpoint: str,
                       spark: SparkSession) -> None:

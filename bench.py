@@ -50,8 +50,13 @@ def run_pipeline(spark, pages_path: str):
     cat = fit_op.read_catalog(spark, cat_path)
 
     t0 = time.time()
-    parsed = parse_op.parse_pages(pages, cat)
-    scored = win_op.window_score_grouped(parse_op.matched(parsed), len(cat))
+    # projection pushdown into the parse UDF: the scoring branch prunes
+    # extracted_text, so only template_id crosses Arrow (parse.py)
+    parsed = parse_op.parse_template_ids(pages, cat)
+    # carry=(): url/warc_ts are count-only downstream here, so they never
+    # enter the Arrow hop; n_urls comes from the 1:1 (host, seq_no) key
+    scored = win_op.window_score_grouped(parse_op.matched(parsed), len(cat),
+                                         carry=())
     routed = route_op.with_severity(scored)
     counts = route_op.sink_counts(routed).collect()
     return time.time() - t0, {r.severity: r.n_rows for r in counts}

@@ -55,6 +55,42 @@ def test_parse_byte_identity(spark, workspace, oracle_result):
     assert got["extracted_text"].tolist() == exp["extracted_text"].tolist()
 
 
+def test_id_only_parse_matches_full_parse(spark, workspace):
+    """parse_template_ids (projection pushdown into the parse UDF — the
+    scoring branch's fast path) must assign the IDENTICAL template_id
+    per url as the full extracting parse."""
+    from ai_log_analyzer_spark.operators import parse as parse_op
+    pages = spark.read.parquet(workspace["pages_path"])
+    cat = fit_op.read_catalog(spark, workspace["result"]["catalog_path"])
+    full = (parse_op.parse_pages(pages, cat).select("url", "template_id")
+            .toPandas().sort_values("url").reset_index(drop=True))
+    ids = (parse_op.parse_template_ids(pages, cat).select("url", "template_id")
+           .toPandas().sort_values("url").reset_index(drop=True))
+    assert ids["url"].tolist() == full["url"].tolist()
+    assert ids["template_id"].fillna(-1).tolist() == \
+        full["template_id"].fillna(-1).tolist()
+
+
+def test_pruned_carry_equals_full_sink_counts(spark, workspace):
+    """The bench/entry fast path (id-only parse + carry=() windows, url
+    never crossing Arrow) must produce per-sink counts identical to the
+    full-column DAG — n_urls via the 1:1 (host, seq_no) key."""
+    from ai_log_analyzer_spark.operators import parse as parse_op
+    from ai_log_analyzer_spark.operators import route as route_op
+    from ai_log_analyzer_spark.operators import windows as win_op
+    pages = spark.read.parquet(workspace["pages_path"])
+    cat = fit_op.read_catalog(spark, workspace["result"]["catalog_path"])
+    nc = len(cat)
+    full = route_op.sink_counts(route_op.with_severity(
+        win_op.window_score_grouped(
+            parse_op.matched(parse_op.parse_pages(pages, cat)), nc))).collect()
+    pruned = route_op.sink_counts(route_op.with_severity(
+        win_op.window_score_grouped(
+            parse_op.matched(parse_op.parse_template_ids(pages, cat)), nc,
+            carry=()))).collect()
+    assert [r.asDict() for r in full] == [r.asDict() for r in pruned]
+
+
 def test_routed_counts_and_row_sets(spark, workspace, oracle_result):
     res = workspace["result"]
     got_counts = pd.DataFrame(res["sink_counts"]).sort_values("severity") \

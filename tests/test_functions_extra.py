@@ -44,6 +44,28 @@ def test_minhash_lsh_recovers_exact_dup(docs):
     assert (0, 2) in pairs  # identical signatures → must be a candidate
 
 
+def _shingle_set(text, n=3):
+    toks = text.split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_minhash_lsh_verify_candidates_only(docs, monkeypatch):
+    """Round-1 verdict fix: the verify step must NOT rebuild the
+    full-corpus inverted-index join — minhash_lsh_pairs may not call
+    ngram_jaccard_pairs at all, and every reported jaccard must be the
+    EXACT full-set value (no DF_CAP in verify)."""
+    def boom(*a, **k):
+        raise AssertionError("verify recomputed the full corpus")
+    monkeypatch.setattr(D, "ngram_jaccard_pairs", boom)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in D.minhash_lsh_pairs(docs, threshold=0.01).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    for (a, b), j in pairs.items():
+        sa, sb = _shingle_set(texts[a]), _shingle_set(texts[b])
+        assert j == round(len(sa & sb) / len(sa | sb), 6)
+
+
 def test_simhash_identical_for_dups(docs):
     sig = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
     assert sig[0] == sig[2]
@@ -72,6 +94,30 @@ def test_srp_lsh_subset_of_bruteforce(spark):
     lsh = {(r.query_id, r.vec_id) for r in S.srp_lsh_topk(emb, [0, 1, 2], k=50).collect()}
     assert lsh  # buckets non-empty
     assert lsh <= bf or len(lsh - bf) == 0  # candidates are a subset
+
+
+def test_srp_neardup_recall_vs_bruteforce(spark):
+    """The LSH-banded near-dup is the scale path; brute force over the
+    same planted-union input is the recall oracle (r1 verdict item 3).
+    LSH output must be a subset (verify step is exact cosine) with
+    recall >= 0.95 for the planted cos~0.99999 pairs."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = {(r.vec_a, r.vec_b) for r in S.srp_neardup_pairs(emb).collect()}
+    bf = {(r.vec_a, r.vec_b) for r in S.bruteforce_neardup_pairs(emb).collect()}
+    assert bf, "planted near-dups missing from brute-force oracle"
+    assert all(b - a == S.NEARDUP_OFFSET for a, b in bf)
+    assert lsh <= bf
+    assert len(lsh) / len(bf) >= 0.95
+
+
+def test_srp_neardup_plan_has_no_nested_loop(spark):
+    """Scale guard: candidate generation + verify must be equi-joins —
+    the O(n²) BroadcastNestedLoopJoin was the round-1 scale killer."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (S.srp_neardup_pairs(emb)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_lang_id_markers(spark):
