@@ -71,7 +71,9 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.02,
                         df_cap: int = DF_CAP) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle and exact
     word-n-gram Jaccard ≥ threshold. doc_a < doc_b."""
-    sh = shingles(df, n=n).select("doc_id", "shingle_hash").cache()
+    p = df.sparkSession.sparkContext.defaultParallelism
+    sh = (shingles(df.repartition(p), n=n)
+          .select("doc_id", "shingle_hash").cache())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
            .filter(F.col("df") > df_cap).select("shingle_hash"))
@@ -124,18 +126,29 @@ def minhash_signatures(df: DataFrame | None = None, n_hashes: int = 8,
     return digs.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 8,
-                      n: int = 3, threshold: float = 0.02) -> DataFrame:
+def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
+                      n: int = 3, threshold: float = 0.5) -> DataFrame:
     """MinHash+LSH near-dup pairs: band equi-join for candidates, exact
     Jaccard verify computed ONLY for candidate pairs (round-1 verdict
     fix: the old verify ran the full inverted-index self-join over the
     whole corpus, defeating the banding).  bands × rows_per_band =
     n_hashes.  The verify join fans each candidate pair out by its two
     shingle sets — cost is output-sensitive in |candidates|, never
-    O(n²); no DF_CAP here because exact Jaccard needs full sets."""
+    O(n²); no DF_CAP here because exact Jaccard needs full sets.
+
+    Banding defaults follow the S-curve: with b bands of r rows the
+    candidate knee sits at j* ≈ (1/b)^(1/r); 4×2 puts it at 0.5, the
+    near-dup regime.  1-row bands (collision prob ≈ b·j) admit every
+    mildly-overlapping pair as a candidate — measured 82k candidates
+    from 5k web docs at sf0.1 — and exist only for recall-at-any-cost
+    scans; recall at j: 1-(1-j^r)^b (0.9987 at j=0.9 for 4×2)."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    raw = raw_shingles(df, n=n).cache()
+    # spread the pre-explode rows first: a small single-file input scan
+    # is ONE partition, which would serialize the shingle explode + md5
+    # (the cheap shuffle moves docs, not the ~200x bigger shingle rows)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    raw = raw_shingles(df.repartition(p), n=n).cache()
     sh = (raw.select("doc_id", hash32(F.col("shingle")).alias("shingle_hash"))
           .distinct())
     sig = minhash_signatures(n_hashes=n_hashes, sh=raw)

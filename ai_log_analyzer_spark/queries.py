@@ -525,7 +525,7 @@ shh AS (SELECT DISTINCT doc_id, {hash32_sql('shingle')} AS shingle_hash FROM sh)
 digs AS (SELECT doc_id, {_MINHASH_DIGS} FROM sh),
 sig AS (SELECT doc_id, {_MINHASH_LANES} FROM digs GROUP BY doc_id),
 bands AS (
-  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, md5(h{b}::VARCHAR) AS sig FROM sig" for b in range(8))}
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, md5(h{2 * b}::VARCHAR || '_' || h{2 * b + 1}::VARCHAR) AS sig FROM sig" for b in range(4))}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -542,14 +542,15 @@ SELECT doc_a, doc_b,
        round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.02
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 """)
 def dedup_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (8 bands × 1 row): band equi-join for
-    candidates, exact Jaccard verified ONLY on candidate pairs — the
-    flagship dedup-at-scale operator (round-1 verdict items 2/4)."""
+    """MinHash+LSH near-dup pairs (4 bands × 2 rows — S-curve knee at
+    j* ≈ 0.5): band equi-join for candidates, exact Jaccard verified
+    ONLY on candidate pairs — the flagship dedup-at-scale operator
+    (round-1 verdict items 2/4)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return D.minhash_lsh_pairs(docs, n_hashes=8, bands=8, n=3, threshold=0.02)
+    return D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
 
 
 @q("dedup_simhash", f"""

@@ -48,7 +48,7 @@ def main():
     pages = spark.read.parquet(pages_path)
 
     parsed_path = pages_path + "_parsed"
-    if stage in ("winscore", "winscore2", "winscoreZ", "grouparrow", "shufonly", "scanparsed") and not os.path.exists(parsed_path + "/_SUCCESS"):
+    if stage in ("winscore", "winscore2", "winscore3", "winscoreZ", "grouparrow", "shufonly", "scanparsed") and not os.path.exists(parsed_path + "/_SUCCESS"):
         parse_op.parse_pages(pages, cat).write.mode("overwrite").parquet(parsed_path)
 
     def job():
@@ -75,6 +75,38 @@ def main():
             parsed = spark.read.parquet(parsed_path)
             scored = win_op.window_score_grouped(parse_op.matched(parsed), len(cat))
             scored.select(F.sum(F.col("anomaly_score"))).collect()
+        elif stage == "winscore3":
+            # round-2 production shape: carry=() — no url/warc_ts through
+            # Arrow, the numpy scorer dominates (CPU-bound probe)
+            parsed = spark.read.parquet(parsed_path)
+            scored = win_op.window_score_grouped(parse_op.matched(parsed),
+                                                 len(cat), carry=())
+            scored.select(F.sum(F.col("anomaly_score"))).collect()
+        elif stage == "cpuburn":
+            # pure-CPU control: numpy work with negligible memory traffic;
+            # shows what the harness itself scales to on this box when the
+            # bottleneck is CPU (separates scheduler/Arrow overhead from
+            # memory-bandwidth saturation)
+            import numpy as np
+            import pandas as pd
+
+            def _burn(batches):
+                for pdf in batches:
+                    a = np.random.default_rng(1).standard_normal((96, 96))
+                    acc = 0.0
+                    for _ in range(len(pdf)):
+                        acc += float((a @ a).trace())
+                        a[0, 0] = acc % 3.0
+                    yield pd.DataFrame({"s": [acc]})
+            n_tasks = cores * 4
+            (spark.range(n_rows // 2000).repartition(n_tasks)
+             .mapInPandas(_burn, schema="s double")
+             .agg(F.sum("s")).collect())
+        elif stage == "parseids":
+            # round-2 production shape: id-only parse (no extraction,
+            # 8 bytes/row out of Python)
+            parsed = parse_op.parse_template_ids(pages, cat)
+            parsed.select(F.count("template_id")).collect()
         elif stage == "grouparrow":
             # scan + shuffle-by-host + Arrow group transfer, trivial python
             import pandas as pd
