@@ -163,6 +163,49 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.99,
             .select("vec_a", "vec_b", "cos"))
 
 
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_cells: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse quantizer + inverted cell lists + nprobe.
+
+    Centroids are DATA-DERIVED (the first ``n_cells`` vectors — same
+    deterministic/oracle-portable trick as the SRP planes; a production
+    build would k-means them offline, which changes the centroid table
+    and nothing else).  Every vector is assigned to its max-cosine cell
+    (tie → lowest cell id); a query probes its top-``nprobe`` cells and
+    ranks ONLY vectors assigned there.  At 100 TB the assignment is a
+    pure projection over centroid literals (zero joins) and the probe
+    is a cell equi-join — cost ∝ corpus/n_cells × nprobe per query,
+    never O(n).  Recall vs brute force measured in pytest."""
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.transform(vec_col, lambda x: x.cast("double")).alias("emb"))
+    cents = srp_plane_literals(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cell_structs = []
+    for c, cent in enumerate(cents):
+        norm = sum(x * x for x in cent) ** 0.5
+        cs = F.round(_dot_lit(F.col("emb"), cent) /
+                     (_norm(F.col("emb")) * F.lit(norm)), 9)
+        cell_structs.append(F.struct(cs.alias("cs"), F.lit(c).alias("cell")))
+    cosmat = (base.select("vec_id", "emb",
+                          F.explode(F.array(*cell_structs)).alias("cc"))
+              .select("vec_id", "emb", F.col("cc.cs").alias("cs"),
+                      F.col("cc.cell").alias("cell")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
+    ranked = cosmat.withColumn("rn", F.row_number().over(w))
+    assign = (ranked.filter((F.col("rn") == 1) & ~F.col("vec_id").isin(query_ids))
+              .select(F.col("vec_id"), F.col("emb").alias("cvec"), "cell"))
+    probe = (ranked.filter((F.col("rn") <= nprobe) &
+                           F.col("vec_id").isin(query_ids))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("emb").alias("qvec"), "cell"))
+    scored = (assign.join(F.broadcast(probe), "cell")
+              .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "cos", "rnk"))
+
+
 def bruteforce_neardup_pairs(emb: DataFrame, threshold: float = 0.99,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:

@@ -624,6 +624,45 @@ def ann_lsh_topk(spark, sf_dir):
     return S.srp_lsh_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4)
 
 
+@q("ann_ivf_topk", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < 8),
+cosmat AS (
+  SELECT e.vec_id, cents.cell,
+         round(list_dot_product(e.emb, cents.c) /
+               (sqrt(list_dot_product(e.emb, e.emb)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 9) AS cs
+  FROM e CROSS JOIN cents),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+  FROM cosmat),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1 AND vec_id >= 5),
+probe AS (SELECT vec_id AS query_id, cell FROM ranked
+          WHERE rn <= 2 AND vec_id < 5),
+scored AS (
+  SELECT p.query_id, asg.vec_id,
+         round({_COS_SQL}, 6) AS cos
+  FROM probe p JOIN assign asg USING (cell)
+       JOIN e a ON a.vec_id = p.query_id
+       JOIN e b ON b.vec_id = asg.vec_id
+)
+SELECT query_id, vec_id, cos, rnk FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+""")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: data-derived coarse quantizer (8 cells), nprobe=2
+    — assignment is a centroid-literal projection (zero joins), probing
+    is a cell equi-join (functions/similarity.ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5,
+                      n_cells=8, nprobe=2)
+
+
 @q("embedding_neardup", f"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 e AS (

@@ -39,15 +39,18 @@ def main():
     spark = build_session(app=f"probe-{stage}", cores=cores)
     sys.path.insert(0, REPO)
     import bench
-    pages_path = bench.ensure_pages(spark, n_rows)
-    cat_path = pages_path + "_catalog"
-    if not os.path.exists(cat_path):
-        fit_op.write_catalog(spark, fit_op.fit_catalog(
-            spark.read.parquet(pages_path)), cat_path)
-    cat = fit_op.read_catalog(spark, cat_path)
-    pages = spark.read.parquet(pages_path)
+    if stage == "cpuburn":     # corpus-free control stage
+        pages_path = cat = pages = None
+    else:
+        pages_path = bench.ensure_pages(spark, n_rows)
+        cat_path = pages_path + "_catalog"
+        if not os.path.exists(cat_path):
+            fit_op.write_catalog(spark, fit_op.fit_catalog(
+                spark.read.parquet(pages_path)), cat_path)
+        cat = fit_op.read_catalog(spark, cat_path)
+        pages = spark.read.parquet(pages_path)
 
-    parsed_path = pages_path + "_parsed"
+    parsed_path = (pages_path or "") + "_parsed"
     if stage in ("winscore", "winscore2", "winscore3", "winscoreZ", "grouparrow", "shufonly", "scanparsed") and not os.path.exists(parsed_path + "/_SUCCESS"):
         parse_op.parse_pages(pages, cat).write.mode("overwrite").parquet(parsed_path)
 
@@ -92,9 +95,9 @@ def main():
 
             def _burn(batches):
                 for pdf in batches:
-                    a = np.random.default_rng(1).standard_normal((96, 96))
+                    a = np.random.default_rng(1).standard_normal((128, 128))
                     acc = 0.0
-                    for _ in range(len(pdf)):
+                    for _ in range(len(pdf) * 24):
                         acc += float((a @ a).trace())
                         a[0, 0] = acc % 3.0
                     yield pd.DataFrame({"s": [acc]})

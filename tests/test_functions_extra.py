@@ -120,6 +120,23 @@ def test_srp_neardup_plan_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_topk_structure_and_recall(spark):
+    """IVF probes nprobe=2 of 8 cells; results must be exact cosines
+    over a candidate subset (every hit also appears in brute force with
+    the same score) with measured recall above the floor."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    bf = {(r.query_id, r.vec_id): (r.cos, r.rnk)
+          for r in S.cosine_topk(emb, qids, k=500).collect()}
+    ivf = S.ivf_topk(emb, qids, k=5, n_cells=8, nprobe=2).collect()
+    assert {r.query_id for r in ivf} == set(qids)
+    for r in ivf:
+        assert bf[(r.query_id, r.vec_id)][0] == r.cos  # exact, just pruned
+    top5 = {key for key, (_c, rnk) in bf.items() if rnk <= 5}
+    hits = {(r.query_id, r.vec_id) for r in ivf} & top5
+    assert len(hits) / len(top5) >= 0.3
+
+
 def test_lang_id_markers(spark):
     rows = [(0, "the cat and the dog of the house"),
             (1, "der hund und die katze ist hier"),
