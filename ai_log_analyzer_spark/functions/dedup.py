@@ -189,6 +189,56 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs —
+    the keep/drop decision a dedup pipeline actually needs (survivor =
+    cluster min; everything else drops).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbours' labels — two shuffles per
+    round (edge join + groupBy min), converging in O(component
+    diameter) rounds; near-dup clusters are shallow (pairs share
+    content), so this is ~3-5 rounds in practice.  The driver loop is
+    over ROUNDS with a convergence count, never over rows, and each
+    round is ``localCheckpoint``-ed so the plan does not grow with the
+    iteration count (the standard Spark iterative-algorithm guard).
+    The fixpoint (min label reachable from each node) is unique, so the
+    result is deterministic regardless of partitioning or round count —
+    which is also what lets DuckDB mirror it with a recursive CTE."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (e.unionAll(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("node").alias("dst"),
+                                        F.col("label")), "dst")
+               .select(F.col("src").alias("node"), "label"))
+        new_labels = (labels.unionAll(nbr)
+                      .groupBy("node").agg(F.min("label").alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "node")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_cluster_table(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, n_members, keep): per-doc cluster assignment
+    with the survivor flag (keep = doc is the cluster min)."""
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (comp.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "n_members",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("keep")))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(doc_id, simhash) — sign-sum of per-token 32-bit hash bits over

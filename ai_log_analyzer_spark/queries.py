@@ -519,8 +519,7 @@ def dedup_minhash(spark, sf_dir):
     return D.minhash_signatures(docs, n_hashes=8, n=3)
 
 
-@q("dedup_lsh_pairs", f"""
-WITH sh AS ({_SHINGLE_CTE}),
+_LSH_CTES = f"""sh AS ({_SHINGLE_CTE}),
 shh AS (SELECT DISTINCT doc_id, {hash32_sql('shingle')} AS shingle_hash FROM sh),
 digs AS (SELECT doc_id, {_MINHASH_DIGS} FROM sh),
 sig AS (SELECT doc_id, {_MINHASH_LANES} FROM digs GROUP BY doc_id),
@@ -537,13 +536,16 @@ inter AS (
   FROM cand JOIN shh sa ON sa.doc_id = cand.doc_a
             JOIN shh sb ON sb.doc_id = cand.doc_b
                        AND sa.shingle_hash = sb.shingle_hash
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
+  GROUP BY 1, 2)"""
+
+_LSH_SELECT = """SELECT doc_a, doc_b,
        round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
-""")
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5"""
+
+
+@q("dedup_lsh_pairs", f"WITH {_LSH_CTES}\n{_LSH_SELECT}\n")
 def dedup_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (4 bands × 2 rows — S-curve knee at
     j* ≈ 0.5): band equi-join for candidates, exact Jaccard verified
@@ -551,6 +553,31 @@ def dedup_lsh_pairs(spark, sf_dir):
     (round-1 verdict items 2/4)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
+
+
+@q("dedup_clusters", f"""
+WITH RECURSIVE {_LSH_CTES},
+pairs AS ({_LSH_SELECT}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+comp(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.node
+),
+labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY 1),
+csizes AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY 1)
+SELECT doc_id, cluster_id, n_members, doc_id = cluster_id AS keep
+FROM labels JOIN csizes USING (cluster_id)
+""")
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH near-dup pairs — the keep/drop
+    decision (survivor = cluster min).  Spark: iterative min-label
+    propagation, O(diameter) rounds, localCheckpoint per round; oracle:
+    DuckDB recursive CTE (the unique fixpoint makes both exact)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
+    return D.dedup_cluster_table(pairs)
 
 
 @q("dedup_simhash", f"""
@@ -842,4 +869,20 @@ def stream_window_counts(spark, sf_dir):
     the DuckDB oracle is the plain windowed GROUP BY."""
     from .streaming import stream_pipeline as SP
     return SP.windowed_event_counts_available_now(
+        spark, f"{sf_dir}/events.parquet")
+
+
+@q("stream_stateful_counts", """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         AS running_count
+FROM events
+""")
+def stream_stateful_counts(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count with explicit per-key state carried
+    across micro-batches — batch-equivalent to a row_number() window,
+    which is the DuckDB oracle."""
+    from .streaming import stream_pipeline as SP
+    return SP.stateful_running_counts_available_now(
         spark, f"{sf_dir}/events.parquet")

@@ -87,6 +87,151 @@ def windowed_event_counts_available_now(spark: SparkSession, events_path: str,
     return spark.table(name)
 
 
+def score_stream_stateful(matched_stream: DataFrame, num_classes: int,
+                          w: int | None = None,
+                          lead: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    incremental per-host sliding-window scoring.
+
+    State per host = (total rows seen, tail of the last w+lead-1
+    (seq_no, template_id) pairs).  Each micro-batch appends its rows to
+    the tail, scores every window end whose lead-label has NOW arrived,
+    and keeps the new tail — so a window spanning two micro-batches is
+    scored exactly once, when its label lands.  The per-end result is
+    the same frozen-scorer kernel the batch stage uses; batch↔stream
+    parity is pinned in tests/test_streaming_stateful.py (decisions
+    exact; scores to float32-GEMM tolerance, since BLAS accumulation
+    order varies with batch shape).
+
+    Requires per-host seq_no order across micro-batches (file source
+    with ascending files / maxFilesPerTrigger) — the same contract the
+    reference's serial file reader provides."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .. import scorer
+
+    w = scorer.WINDOW_SIZE if w is None else w
+    lead = scorer.LABEL_LEAD if lead is None else lead
+    out_schema = ("host string, seq_no long, template_id long, "
+                  "label_id long, anomaly_score double, is_anomaly boolean")
+    state_schema = "total_seen long, tail_seq array<long>, tail_ids array<long>"
+
+    def fn(key, pdfs, state):
+        host = key[0]
+        chunks = [p[["seq_no", "template_id"]] for p in pdfs]
+        rows = (pd.concat(chunks, ignore_index=True).sort_values("seq_no")
+                if chunks else pd.DataFrame({"seq_no": [], "template_id": []}))
+        new_seq = rows["seq_no"].to_numpy(dtype=np.int64)
+        new_ids = rows["template_id"].to_numpy(dtype=np.int64)
+        if state.exists:
+            prev_seen, tail_seq, tail_ids = state.get
+            tail_seq = np.asarray(tail_seq, dtype=np.int64)
+            tail_ids = np.asarray(tail_ids, dtype=np.int64)
+        else:
+            prev_seen = 0
+            tail_seq = tail_ids = np.empty(0, dtype=np.int64)
+        full_seq = np.concatenate([tail_seq, new_seq])
+        full_ids = np.concatenate([tail_ids, new_ids])
+        offset = prev_seen - len(tail_seq)      # global index of full[0]
+        n_total = prev_seen + len(new_seq)
+        ends_g = np.arange(max(w - 1, prev_seen - lead), n_total - lead)
+        if len(ends_g):
+            ends_l = ends_g - offset
+            win = np.lib.stride_tricks.sliding_window_view(full_ids, w)
+            winm = win[ends_l - w + 1]
+            labels = full_ids[ends_l + lead]
+            err, anom = scorer.score(winm, labels, num_classes)
+            out = pd.DataFrame({
+                "host": host, "seq_no": full_seq[ends_l],
+                "template_id": full_ids[ends_l], "label_id": labels,
+                "anomaly_score": err, "is_anomaly": anom})
+        else:
+            out = pd.DataFrame({"host": pd.Series(dtype=object),
+                                "seq_no": pd.Series(dtype="int64"),
+                                "template_id": pd.Series(dtype="int64"),
+                                "label_id": pd.Series(dtype="int64"),
+                                "anomaly_score": pd.Series(dtype="float64"),
+                                "is_anomaly": pd.Series(dtype="bool")})
+        keep = min(len(full_ids), w + lead - 1)
+        state.update((int(n_total),
+                      full_seq[len(full_seq) - keep:].tolist(),
+                      full_ids[len(full_ids) - keep:].tolist()))
+        yield out
+
+    return (matched_stream
+            .select("host", "seq_no", "template_id")
+            .groupBy("host")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_scores_available_now(spark: SparkSession, pages_path: str,
+                                      catalog_rows: pd.DataFrame,
+                                      num_classes: int,
+                                      max_files_per_trigger: int | None = None
+                                      ) -> DataFrame:
+    """Streaming flagship: file-source pages → id-only parse → stateful
+    incremental scorer → memory sink (AvailableNow); returns the scored
+    rows once the stream drains."""
+    import uuid
+
+    stream = read_pages_stream(spark, pages_path, max_files_per_trigger)
+    parsed = parse_op.parse_template_ids(stream, catalog_rows)
+    scored = score_stream_stateful(
+        parsed.filter(F.col("template_id").isNotNull()), num_classes)
+    name = f"sss_{uuid.uuid4().hex[:12]}"
+    q = (scored.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stateful_running_counts_available_now(spark: SparkSession,
+                                          events_path: str) -> DataFrame:
+    """Driver-checkable ``applyInPandasWithState`` op with a pure-SQL
+    oracle: per-user RUNNING event count in event_id order, computed
+    statefully across micro-batches (state = rows seen so far per
+    user); batch-equivalent to a row_number() window."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    src = events_path
+    if os.path.isfile(events_path):
+        src = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(os.path.abspath(events_path),
+                   os.path.join(src, os.path.basename(events_path)))
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        rows = pd.concat([p[["event_id"]] for p in pdfs], ignore_index=True) \
+            .sort_values("event_id")
+        seen = state.get[0] if state.exists else 0
+        n = len(rows)
+        out = pd.DataFrame({
+            "user_id": user,
+            "event_id": rows["event_id"].to_numpy(),
+            "running_count": range(seen + 1, seen + n + 1)})
+        state.update((seen + n,))
+        yield out
+
+    counts = (stream.select("user_id", "event_id")
+              .groupBy("user_id")
+              .applyInPandasWithState(
+                  fn, "user_id long, event_id long, running_count long",
+                  "seen long", "append", GroupStateTimeout.NoTimeout))
+    name = f"src_{uuid.uuid4().hex[:12]}"
+    q = (counts.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_available_now(pages_path: str, catalog_rows: pd.DataFrame,
                       out_path: str, checkpoint: str,
                       spark: SparkSession) -> None:
