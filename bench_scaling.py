@@ -49,7 +49,11 @@ def main():
     # level rounds (8,32,8,32,...) with per-level MIN — robust against
     # monotonic environment drift that a single A-then-B order aliases
     # into the efficiency ratio.
-    n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "8000000"))
+    # 32M rows ≈ 60 s of work per run at the FAST level (839k docs/s at
+    # local[32]) — the protocol's "≥60 s per run" rule is load-bearing:
+    # at 8M rows the 32-core wall shrank to ~15 s and fixed per-job cost
+    # suppressed measured efficiency by ~0.28 (RUNS.md round-2 history)
+    n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "32000000"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
     corpus = os.path.join(REPO, ".bench_cache", f"pages_{n_rows}")
     best: dict[int, dict] = {}
