@@ -89,8 +89,17 @@ def score(window_ids: np.ndarray, label_ids: np.ndarray, num_classes: int,
 
     logits = xn @ m.T + np.float32(SELF_PRIOR) * xn
     kk = min(k, num_classes)
-    topk = np.argpartition(-logits, kk - 1, axis=1)[:, :kk]
-    in_topk = (topk == label_ids[:, None]).any(axis=1)
+    # top-k membership as a rank count: label is in the top-k iff fewer
+    # than k logits are STRICTLY greater than the label's logit.  Same
+    # decision as the reference's torch.topk membership (LSTM.py:128-134)
+    # with ties resolved by value (inclusive) instead of argpartition's
+    # selection order — value ties are batch-shape-independent, which the
+    # incremental streaming scorer needs, and the vectorized compare is
+    # ~2x faster than argpartition (profiled: argpartition was half the
+    # kernel).
+    lab = logits[np.arange(len(label_ids)), label_ids]
+    n_greater = (logits > lab[:, None]).sum(axis=1)
+    in_topk = n_greater < kk
     return err, ~in_topk
 
 
