@@ -92,6 +92,44 @@ def quality_features_sql(text_expr: str) -> dict:
     }
 
 
+# PII scrubbing for web-scale training data: (name, regex, replacement),
+# applied IN ORDER, most-specific first — email/ip/ssn run before the
+# greedy phone pattern so their digit runs are already gone when phone
+# matching sees the text.  Patterns stay in the Java-regex ∩ RE2 subset
+# so the DuckDB oracle is exact.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn_like", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\+?\d[\d -]{7,14}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-rule redaction counts and the scrubbed text's
+    fingerprint — the standard pre-training privacy pass, pure Catalyst
+    (sequential regexp_replace chain, codegen'd; counts BEFORE each
+    replacement so overlapping rules count what they actually ate)."""
+    scrubbed = F.col(text_col)
+    out = df
+    for name, rx, repl in PII_RULES:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(scrubbed, F.lit(rx), 0)))
+        scrubbed = F.regexp_replace(scrubbed, rx, repl)
+    return out.withColumn("scrub_fingerprint", F.md5(scrubbed))
+
+
+def pii_scrub_sql(text_expr: str) -> dict:
+    """Column exprs mirroring ``pii_scrub`` (same rule order)."""
+    cols = {}
+    scrubbed = text_expr
+    for name, rx, repl in PII_RULES:
+        cols[f"n_{name}"] = f"len(regexp_extract_all({scrubbed}, '{rx}'))"
+        scrubbed = f"regexp_replace({scrubbed}, '{rx}', '{repl}', 'g')"
+    cols["scrub_fingerprint"] = f"md5({scrubbed})"
+    return cols
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-lexicon language ID: argmax over per-language marker hit
     counts; ties and zero hits → 'und'.  Deterministic tie-break by

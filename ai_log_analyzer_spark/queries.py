@@ -784,6 +784,46 @@ def doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def _pii_oracle() -> str:
+    cols = TX.pii_scrub_sql("text")
+    sel = ", ".join(f"{expr} AS {name}" for name, expr in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
+
+
+def _split_oracle() -> str:
+    from .functions import sampling as SA
+    return f"""
+SELECT doc_id, {SA.split_assign_sql('doc_id')} AS split,
+       {SA.in_sample_sql('doc_id', 10)} AS in_sample10
+FROM documents
+"""
+
+
+@q("train_split_assign", _split_oracle())
+def train_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment + 10% sample
+    flag, hash-bucketed on (doc_id, salt) — reproducible across runs,
+    partitionings, and cluster sizes; a stateless projection at any
+    scale (functions/sampling.py)."""
+    from .functions import sampling as SA
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        SA.split_assign(F.col("doc_id")).alias("split"),
+        SA.in_sample(F.col("doc_id"), 10).alias("in_sample10"))
+
+
+@q("pii_scrub_stats", _pii_oracle())
+def pii_scrub_stats(spark, sf_dir):
+    """PII scrubbing pass (emails/IPs/phones/SSN-likes → placeholders):
+    per-rule redaction counts + scrubbed-text fingerprint — the
+    standard pre-training privacy stage, pure Catalyst."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.pii_scrub(docs)
+    return out.select("doc_id", *[f"n_{n}" for n, _r, _p in TX.PII_RULES],
+                      "scrub_fingerprint")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: multimodal columns (driver-checkable — the fake
 # decoder is a pure byte function, so DuckDB mirrors it bit-exactly)

@@ -16,6 +16,21 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 LEVELS = (8, 32)
 
 
+def _memcpy_gbps() -> float:
+    """Single-thread memcpy bandwidth probe — logged per run because this
+    shared VM's memory bandwidth swings with co-tenant traffic (measured
+    3.1-12 GB/s over one afternoon) and it is the resource the
+    string-heavy pipeline binds on; a low probe explains a slow run."""
+    import numpy as np
+    import time
+    a = np.empty(25_000_000, dtype=np.float64)   # 200 MB
+    b = np.empty_like(a)
+    b[:] = a    # warm
+    t0 = time.time()
+    b[:] = a
+    return round(a.nbytes / (time.time() - t0) / 1e9, 2)
+
+
 def _prewarm_page_cache(path: str):
     """Read the corpus once so neither level pays cold-disk reads."""
     for root, _d, files in os.walk(path):
@@ -57,10 +72,12 @@ def main():
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
     corpus = os.path.join(REPO, ".bench_cache", f"pages_{n_rows}")
     best: dict[int, dict] = {}
+    probes = []
     for r in range(rounds):
         for lvl in LEVELS:
             if os.path.exists(corpus):
                 _prewarm_page_cache(corpus)
+            probes.append(_memcpy_gbps())
             res = run_level(lvl, n_rows)
             if lvl not in best or res["value"] < best[lvl]["value"]:
                 best[lvl] = res
@@ -88,7 +105,8 @@ def main():
                 f"| local[{LEVELS[0]}] | {lo['value']} | {thr_lo:,.0f} |\n"
                 f"| local[{LEVELS[1]}] | {hi['value']} | {thr_hi:,.0f} |\n\n"
                 f"efficiency (thr{LEVELS[1]}/thr{LEVELS[0]})/{ratio:.0f}"
-                f" = **{eff:.3f}**\n")
+                f" = **{eff:.3f}**"
+                f" — memcpy probe per round: {probes} GB/s\n")
     print(json.dumps(result))
 
 

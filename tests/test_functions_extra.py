@@ -147,6 +147,24 @@ def test_lang_id_markers(spark):
     assert out == {0: "en", 1: "de", 2: "fr", 3: "und"}
 
 
+def test_pii_scrub_redacts(spark):
+    rows = [(0, "mail bob.smith+x@corp.example.org now"),
+            (1, "server 10.0.42.7 answered; call +1 415 555 0133 today"),
+            (2, "ssn 123-45-6789 leaked"),
+            (3, "clean text no pii at all")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.pii_scrub(df).collect()}
+    assert out[0].n_email == 1 and out[1].n_ipv4 == 1
+    assert out[1].n_phone == 1 and out[2].n_ssn_like == 1
+    assert out[2].n_phone == 0  # ssn rule runs first; phone must not double-count
+    assert out[3].n_email == out[3].n_ipv4 == out[3].n_phone == 0
+    # scrubbed fingerprints: PII rows change, clean row equals raw md5
+    import hashlib
+    assert out[3].scrub_fingerprint == hashlib.md5(rows[3][1].encode()).hexdigest()
+    assert out[0].scrub_fingerprint == hashlib.md5(
+        b"mail <EMAIL> now").hexdigest()
+
+
 def test_quality_and_tokens(spark):
     df = spark.createDataFrame([(0, "Hello, world! The test."), (1, "")],
                                ["doc_id", "text"])
