@@ -90,31 +90,69 @@ def test_srp_lsh_subset_of_bruteforce(spark):
     rng = np.random.default_rng(0)
     rows = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    bf = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, [0, 1, 2], k=50).collect()}
-    lsh = {(r.query_id, r.vec_id) for r in S.srp_lsh_topk(emb, [0, 1, 2], k=50).collect()}
+    bf = {(r.query_id, r.vec_id): r.cos
+          for r in S.cosine_topk(emb, [0, 1, 2], k=60).collect()}
+    lsh = S.srp_lsh_topk(emb, [0, 1, 2], k=50).collect()
     assert lsh  # buckets non-empty
-    assert lsh <= bf or len(lsh - bf) == 0  # candidates are a subset
+    # every LSH hit is a real candidate with the EXACT brute-force cosine
+    assert all((r.query_id, r.vec_id) in bf
+               and bf[(r.query_id, r.vec_id)] == r.cos for r in lsh)
+
+
+def test_srp_lsh_topk_recall_floor(spark):
+    """r2 verdict item 5: multi-band OR-construction must clear a
+    measured recall floor vs brute force at the DRIVER config (8 bands
+    × 2 planes — the exact parameterization ann_lsh_topk ships).
+    Deterministic corpus + data-derived planes → exact reproducibility
+    (measured 1.00 at sf0.001; floor left at 0.9 for headroom)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    bf = {(r.query_id, r.vec_id)
+          for r in S.cosine_topk(emb, qids, k=5).collect()}
+    lsh = {(r.query_id, r.vec_id)
+           for r in S.srp_lsh_topk(emb, qids, k=5,
+                                   bands=8, planes_per_band=2).collect()}
+    assert len(lsh & bf) / len(bf) >= 0.9
 
 
 def test_srp_neardup_recall_vs_bruteforce(spark):
     """The LSH-banded near-dup is the scale path; brute force over the
     same planted-union input is the recall oracle (r1 verdict item 3).
     LSH output must be a subset (verify step is exact cosine) with
-    recall >= 0.95 for the planted cos~0.99999 pairs."""
+    recall >= 0.95 for the planted cos~0.99999 pairs.  Planting happens
+    HERE (the caller), not in the operator (r2 verdict item 2)."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    lsh = {(r.vec_a, r.vec_b) for r in S.srp_neardup_pairs(emb).collect()}
-    bf = {(r.vec_a, r.vec_b) for r in S.bruteforce_neardup_pairs(emb).collect()}
+    planted = S.perturbed_union(emb)
+    lsh = {(r.vec_a, r.vec_b)
+           for r in S.srp_neardup_pairs(planted, vec_col="emb").collect()}
+    bf = {(r.vec_a, r.vec_b)
+          for r in S.bruteforce_neardup_pairs(planted, vec_col="emb").collect()}
     assert bf, "planted near-dups missing from brute-force oracle"
     assert all(b - a == S.NEARDUP_OFFSET for a, b in bf)
     assert lsh <= bf
     assert len(lsh) / len(bf) >= 0.95
 
 
+def test_srp_neardup_corpus_honest(spark):
+    """r2 verdict item 2: the operator must report pairs from the GIVEN
+    corpus only — a clean corpus yields zero pairs (no planted output),
+    and an explicitly planted duplicate IS found."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    clean = S.srp_neardup_pairs(emb).collect()
+    assert clean == []  # no synthetic pairs invented by the operator
+    dup = emb.limit(1).select((F.col("vec_id") + 777000).alias("vec_id"),
+                              "embedding")
+    one_dup = emb.select("vec_id", "embedding").unionAll(dup)
+    found = {(r.vec_a, r.vec_b) for r in S.srp_neardup_pairs(one_dup).collect()}
+    base_id = emb.limit(1).collect()[0].vec_id
+    assert found == {(base_id, base_id + 777000)}
+
+
 def test_srp_neardup_plan_has_no_nested_loop(spark):
     """Scale guard: candidate generation + verify must be equi-joins —
     the O(n²) BroadcastNestedLoopJoin was the round-1 scale killer."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    plan = (S.srp_neardup_pairs(emb)
+    plan = (S.srp_neardup_pairs(S.perturbed_union(emb), vec_col="emb")
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
