@@ -88,19 +88,37 @@ def score(window_ids: np.ndarray, label_ids: np.ndarray, num_classes: int,
     err = np.linalg.norm(recon - xn, axis=1).astype(np.float64)
 
     logits = xn @ m.T + np.float32(SELF_PRIOR) * xn
+    in_topk = topk_membership(logits, label_ids, k)
+    return err, ~in_topk
+
+
+def topk_membership(logits: np.ndarray, label_ids: np.ndarray,
+                    k: int = TOP_K) -> np.ndarray:
+    """bool[n]: is row i's label among the top-k logits of row i.
+
+    Rank-count rule: the label is in the top-k iff fewer than k logits
+    are STRICTLY greater than the label's logit.  Same decision as the
+    reference's torch.topk membership (LSTM.py:128-134) with ties
+    resolved by VALUE (inclusive): a label whose logit exactly ties the
+    k-th value counts as in-top-k, where argsort[:k]/argpartition would
+    pick a selection-order-dependent subset.  This is a deliberate,
+    documented deviation — value ties are batch-shape-independent,
+    which the incremental streaming scorer requires, and the vectorized
+    compare is ~2x faster than argpartition (profiled).  Tie semantics
+    pinned in tests/test_scorer.py."""
+    num_classes = logits.shape[1]
+    label_ids = np.asarray(label_ids)
+    if label_ids.size and (label_ids.min() < 0
+                           or label_ids.max() >= num_classes):
+        bad = label_ids[(label_ids < 0) | (label_ids >= num_classes)]
+        raise ValueError(
+            f"label_ids out of range [0, {num_classes}): {bad[:5]} — the "
+            f"catalog the labels were parsed with does not match "
+            f"num_classes (stale catalog snapshot?)")
     kk = min(k, num_classes)
-    # top-k membership as a rank count: label is in the top-k iff fewer
-    # than k logits are STRICTLY greater than the label's logit.  Same
-    # decision as the reference's torch.topk membership (LSTM.py:128-134)
-    # with ties resolved by value (inclusive) instead of argpartition's
-    # selection order — value ties are batch-shape-independent, which the
-    # incremental streaming scorer needs, and the vectorized compare is
-    # ~2x faster than argpartition (profiled: argpartition was half the
-    # kernel).
     lab = logits[np.arange(len(label_ids)), label_ids]
     n_greater = (logits > lab[:, None]).sum(axis=1)
-    in_topk = n_greater < kk
-    return err, ~in_topk
+    return n_greater < kk
 
 
 def severity(anomaly_score: np.ndarray, is_anomaly: np.ndarray) -> np.ndarray:

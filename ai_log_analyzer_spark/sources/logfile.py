@@ -6,18 +6,20 @@ order (``/root/reference/ailoganalyzer/dataset/logFileDataset.py`` —
 user switching to this engine needs "point it at .log files" to work,
 not just the pages parquet table.
 
-Re-expression: ``spark.read.text`` over the file(s)/glob, with a
-DETERMINISTIC per-file 0-based line number as the series order key.
-The DataFrame text source exposes no intra-file offset, so line
-numbers come from ``RDD.zipWithIndex`` — Hadoop text splits enumerate
-in (file, byte-offset) order and zipWithIndex is order-preserving, so
-the global index is stable for a fixed file set regardless of
-parallelism (pinned by test_logfile_source.py at several partition
-counts); the per-file number is then (global index − file's minimum).
-zipWithIndex costs one extra pass over the data — the same price the
-reference pays by reading the file serially, and at cluster scale this
-source is the ingest edge, not the steady-state path (events normally
-arrive as a table or a stream).
+Re-expression: one ``sc.textFile`` PER FILE + ``RDD.zipWithIndex``,
+unioned.  Hadoop's FileInputFormat enumerates a single file's splits
+in byte-offset order and zipWithIndex is order-preserving, so the
+index IS the 0-based line number at any split count.  The DataFrame
+text scan can NOT be used here: FileSourceScanExec bin-packs splits by
+size, so a file read as several tiny splits lands in non-contiguous,
+size-sorted partitions and any global-index scheme mis-numbers the
+lines (caught by test_logfile_source.py, which really varies
+maxPartitionBytes; the round-2 version of this source had exactly that
+bug).  The driver-side loop is over FILES (the listing is distributed,
+only names are collected) — fine at the ingest edge, where file counts
+are thousands, not billions; steady-state events arrive as a table or
+a stream.  zipWithIndex costs one extra pass per file — the price the
+reference pays by reading the file serially.
 
 The output conforms to the pages contract, so the whole fit → parse →
 window → score → route pipeline runs unchanged on top:
@@ -30,30 +32,36 @@ window → score → route pipeline runs unchanged on top:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BASE_TS = 1704067200  # 2024-01-01T00:00:00Z, matches the synth corpus
 
 
-def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
+def read_log_lines(spark: SparkSession, path: str,
+                   min_partitions: int | None = None) -> DataFrame:
     """(file, seq_no, text): raw lines with a deterministic per-file
-    0-based line number."""
+    0-based line number, stable at any scan parallelism
+    (``min_partitions`` forces finer per-file splits; numbering must
+    not change — pinned in test_logfile_source.py)."""
     schema = T.StructType([
         T.StructField("file", T.StringType(), False),
-        T.StructField("idx", T.LongType(), False),
+        T.StructField("seq_no", T.LongType(), False),
         T.StructField("text", T.StringType(), True),
     ])
-    lines = (spark.read.text(path)
-             .select(F.input_file_name().alias("file"), F.col("value").alias("text")))
-    indexed = (lines.rdd
-               .zipWithIndex()
-               .map(lambda t: (t[0]["file"], t[1], t[0]["text"])))
-    df = spark.createDataFrame(indexed, schema)
-    w_min = F.min("idx").over(Window.partitionBy("file"))
-    return (df.withColumn("seq_no", (F.col("idx") - w_min).cast("long"))
-            .select("file", "seq_no", "text"))
+    # distributed listing; only the (small) file-name set is collected
+    files = sorted(r.file for r in spark.read.text(path)
+                   .select(F.input_file_name().alias("file"))
+                   .distinct().collect())
+    sc = spark.sparkContext
+    rdds = [sc.textFile(f, min_partitions)
+            .zipWithIndex()
+            .map(lambda t, fname=f: (fname, t[1], t[0]))
+            for f in files]
+    if not rdds:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(sc.union(rdds), schema)
 
 
 def pages_from_logfile(spark: SparkSession, path: str) -> DataFrame:

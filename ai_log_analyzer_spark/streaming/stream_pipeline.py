@@ -23,6 +23,40 @@ from ..operators import parse as parse_op
 from ..operators import route as route_op
 
 
+def _stage_dir_for(events_path: str) -> tuple[str, str | None]:
+    """The file stream source requires a DIRECTORY; for a single file,
+    stage a symlink in a temp dir.  Returns (source_dir, staged_dir) —
+    staged_dir is None when no staging happened, else it must be removed
+    after the stream drains (ADVICE r2: these used to leak)."""
+    import os
+    import tempfile
+
+    if not os.path.isfile(events_path):
+        return events_path, None
+    staged = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.abspath(events_path),
+               os.path.join(staged, os.path.basename(events_path)))
+    return staged, staged
+
+
+def _drain_memory_sink(spark: SparkSession, query, name: str,
+                       staged_dir: str | None = None) -> DataFrame:
+    """Await an AvailableNow memory-sink query, materialize its rows,
+    then drop the temp view and any staging dir (ADVICE r2: the memory
+    sink tables and mkdtemp symlink dirs were never cleaned up).  The
+    returned DataFrame owns its rows — no dangling reference to the
+    dropped sink."""
+    import shutil
+
+    query.awaitTermination()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    if staged_dir is not None:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+    return out
+
+
 def read_pages_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     reader = (spark.readStream.schema(schemas.PAGES)
@@ -64,17 +98,10 @@ def windowed_event_counts_available_now(spark: SparkSession, events_path: str,
     No watermark here: events.ts is TIMESTAMP_NTZ, which Spark's
     watermark rejects, and complete mode needs none — the late-data
     watermark pattern lives in ``windowed_template_counts`` above."""
-    import os
-    import tempfile
     import uuid
 
     schema = spark.read.parquet(events_path).schema
-    src = events_path
-    if os.path.isfile(events_path):
-        # the file stream source requires a DIRECTORY; stage a symlink
-        src = tempfile.mkdtemp(prefix="stream_events_")
-        os.symlink(os.path.abspath(events_path),
-                   os.path.join(src, os.path.basename(events_path)))
+    src, staged = _stage_dir_for(events_path)
     stream = spark.readStream.schema(schema).parquet(src)
     agg = (stream
            .groupBy(F.window("ts", window).alias("win"), "event_type")
@@ -83,8 +110,7 @@ def windowed_event_counts_available_now(spark: SparkSession, events_path: str,
     name = f"swc_{uuid.uuid4().hex[:12]}"
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, q, name, staged)
 
 
 def score_stream_stateful(matched_stream: DataFrame, num_classes: int,
@@ -183,8 +209,7 @@ def run_stateful_scores_available_now(spark: SparkSession, pages_path: str,
     name = f"sss_{uuid.uuid4().hex[:12]}"
     q = (scored.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, q, name)
 
 
 def stateful_running_counts_available_now(spark: SparkSession,
@@ -192,19 +217,23 @@ def stateful_running_counts_available_now(spark: SparkSession,
     """Driver-checkable ``applyInPandasWithState`` op with a pure-SQL
     oracle: per-user RUNNING event count in event_id order, computed
     statefully across micro-batches (state = rows seen so far per
-    user); batch-equivalent to a row_number() window."""
-    import os
-    import tempfile
+    user); batch-equivalent to a row_number() window.
+
+    ORDERING CONTRACT (ADVICE r2): rows are sorted by event_id only
+    WITHIN a micro-batch; across batches, file arrival order stands in
+    for event_id order.  The row_number() oracle therefore requires the
+    source to deliver event_id-ascending batches — trivially true here
+    (a single parquet file → one micro-batch), and on a real stream the
+    same contract the reference's serial file reader provides (ascending
+    file names / maxFilesPerTrigger=1).  An out-of-order multi-file
+    source would need the tail-buffering of ``score_stream_stateful``
+    instead."""
     import uuid
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = spark.read.parquet(events_path).schema
-    src = events_path
-    if os.path.isfile(events_path):
-        src = tempfile.mkdtemp(prefix="stream_events_")
-        os.symlink(os.path.abspath(events_path),
-                   os.path.join(src, os.path.basename(events_path)))
+    src, staged = _stage_dir_for(events_path)
     stream = spark.readStream.schema(schema).parquet(src)
 
     def fn(key, pdfs, state):
@@ -228,8 +257,7 @@ def stateful_running_counts_available_now(spark: SparkSession,
     name = f"src_{uuid.uuid4().hex[:12]}"
     q = (counts.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, q, name, staged)
 
 
 def run_available_now(pages_path: str, catalog_rows: pd.DataFrame,

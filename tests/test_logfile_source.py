@@ -31,16 +31,23 @@ def test_per_file_line_numbers(spark, log_dir):
 
 
 def test_line_numbers_partition_invariant(spark, log_dir):
+    """ADVICE r2: actually VARY the split count — read once at the
+    default (1 split/file for these tiny files) and once forced to 7
+    splits per file, and require identical numbering.  The split counts
+    are asserted to really differ; the round-2 version of this test
+    read identically twice (and the round-2 source it was meant to pin
+    really did mis-number under multi-split scans)."""
     path, _ = log_dir
     base = LOG.read_log_lines(spark, path).toPandas() \
         .sort_values(["file", "seq_no"]).reset_index(drop=True)
-    for minparts in (1, 7):
-        df = spark.read.text(path)
-        # the source's determinism claim: same numbering regardless of
-        # split count — emulate by re-reading with different settings
-        got = LOG.read_log_lines(spark, path).toPandas() \
-            .sort_values(["file", "seq_no"]).reset_index(drop=True)
-        assert got.equals(base)
+    import glob as _g
+    one = sorted(_g.glob(path + "/*.log"))[0]
+    n_default = spark.sparkContext.textFile(one).getNumPartitions()
+    n_forced = spark.sparkContext.textFile(one, 7).getNumPartitions()
+    assert n_forced > n_default, (n_default, n_forced)
+    got = LOG.read_log_lines(spark, path, min_partitions=7).toPandas() \
+        .sort_values(["file", "seq_no"]).reset_index(drop=True)
+    assert got.equals(base)
 
 
 def test_pages_contract_and_pipeline(spark, log_dir):
