@@ -21,20 +21,10 @@ from pyspark.sql import functions as F
 
 
 def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-Crawl-shaped pages table (url, warc_ts, html, text, lang,
-    host, seq_no) derived deterministically from the documents table."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
-        F.encode(F.col("text"), "UTF-8").alias("html"),
-        F.col("text"),
-        F.col("lang"),
-        F.col("source").alias("host"),       # real series keys: windows
-        # stage shuffles/partitions by host, so parallelism > 1 even here
-        F.col("doc_id").cast("long").alias("seq_no"),
-    )
+    """Common-Crawl-shaped pages table derived deterministically from
+    the documents table (shared with the flagship_scored driver query)."""
+    from ai_log_analyzer_spark.queries import pages_from_documents
+    return pages_from_documents(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -52,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
     parsed = parse_op.parse_template_ids(pages, catalog_rows)
     scored = win_op.window_score_grouped(parse_op.matched(parsed),
                                          num_classes=len(catalog_rows),
-                                         carry=())
+                                         carry=(), host_lookup=pages)
     routed = route_op.with_severity(scored)
     return route_op.sink_counts(routed)
 

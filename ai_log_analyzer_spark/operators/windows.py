@@ -91,11 +91,32 @@ DEFAULT_CARRY = ("url", "warc_ts")
 _CARRY_TYPES = {"url": "string", "warc_ts": "timestamp"}
 
 
-def _grouped_schema(carry: tuple) -> str:
+def _grouped_schema(carry: tuple, compact: bool = False) -> str:
     carry_sql = "".join(f"{c} {_CARRY_TYPES[c]}, " for c in carry)
-    return (f"host string, seq_no long, {carry_sql}"
+    key = "host_key long" if compact else "host string"
+    return (f"{key}, seq_no long, {carry_sql}"
             "template_id long, label_id long, "
             "anomaly_score double, is_anomaly boolean")
+
+
+def _group_slices(keys: np.ndarray):
+    """Yield index arrays for each equal-key group in O(N log N) total
+    (r2 verdict item 1c: the old per-host ``codes == hi`` rescan was
+    O(H·N) — quadratic when millions of series share a bucket).  Object
+    keys are factorized to int codes first; int keys sort directly."""
+    if keys.dtype == object:
+        codes, _ = pd.factorize(keys, sort=False)
+    else:
+        codes = keys
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    if not len(sorted_codes):
+        return
+    bounds = np.flatnonzero(sorted_codes[1:] != sorted_codes[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(sorted_codes)]))
+    for s, e in zip(starts, ends):
+        yield order[s:e]
 
 
 def _score_host_arrays(cols: dict, num_classes: int, w: int, lead: int,
@@ -131,7 +152,8 @@ def _score_host_arrays(cols: dict, num_classes: int, w: int, lead: int,
 def window_score_grouped(matched_events: DataFrame, num_classes: int,
                          w: int = scorer.WINDOW_SIZE,
                          n_buckets: int | None = None,
-                         carry: tuple = DEFAULT_CARRY) -> DataFrame:
+                         carry: tuple = DEFAULT_CARRY,
+                         host_lookup: DataFrame | None = None) -> DataFrame:
     """Fused windows+score: ``applyInPandas`` over HOST BUCKETS.
 
     Replaces collect_list-over-Window + scalar scorer UDF for the
@@ -143,8 +165,23 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
     so the shuffle key is a coarse bucket pmod(xxhash64(host), P) and
     hosts are sub-grouped in pandas — per-call overhead amortizes over
     ~rows/P rows regardless of how many (millions, at web scale) series
-    exist.  P defaults to 4x parallelism and is the explicit scale knob:
+    exist.  P defaults to 16x parallelism and is the explicit scale knob:
     at 100 TB pick P so each bucket (~total_rows/P) fits executor memory.
+
+    COMPACT SHUFFLE (r2 verdict item 1 — this stage was memory-
+    bandwidth-bound at 0.617 scaling, tracking the box's memcpy
+    control): when ``host_lookup`` is given, the exchange and the Arrow
+    hop carry ``xxhash64(host)`` (8-byte int) instead of the host
+    string, and the int key also makes the in-batch grouping a pure
+    integer sort (no object-hash factorize).  The host string is
+    restored AFTER scoring via a broadcast join against the (small)
+    distinct-host dictionary built from ``host_lookup`` — pass a frame
+    whose plan is cheap to rescan (the raw pages/parsed table, NOT a
+    plan containing the parse UDF) and that contains every host in
+    ``matched_events``.  xxhash64 collisions would merge two series
+    (probability ~n_hosts²/2⁶⁴ — negligible below billions of hosts;
+    the restore join would also fan out, which
+    tests/test_engine_parity.py would catch as a row-count change).
 
     Per-host scoring calls the identical kernel the single-node oracle
     uses on the identical per-host arrays — bit-exact parity by
@@ -155,23 +192,25 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
         # 16x parallelism: buckets >> shuffle partitions so the balls-in-
         # bins collision skew stays ~1.2x (4x gave max-load stragglers)
         n_buckets = spark.sparkContext.defaultParallelism * 16
+    compact = host_lookup is not None
 
-    in_cols = ["host", "seq_no", *carry, "template_id"]
-    out_cols = ["host", "seq_no", *carry, "template_id", "label_id",
+    key_col = "host_key" if compact else "host"
+    in_cols = [key_col, "seq_no", *carry, "template_id"]
+    out_cols = [key_col, "seq_no", *carry, "template_id", "label_id",
                 "anomaly_score", "is_anomaly"]
-    _empty_dtype = {"host": object, "seq_no": "int64", "url": object,
-                    "warc_ts": "datetime64[us]", "template_id": "int64",
-                    "label_id": "int64", "anomaly_score": "float64",
-                    "is_anomaly": "bool"}
+    _empty_dtype = {"host": object, "host_key": "int64", "seq_no": "int64",
+                    "url": object, "warc_ts": "datetime64[us]",
+                    "template_id": "int64", "label_id": "int64",
+                    "anomaly_score": "float64", "is_anomaly": "bool"}
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = {c: pdf[c].to_numpy() for c in in_cols}
         cols["seq_no"] = cols["seq_no"].astype(np.int64, copy=False)
         cols["template_id"] = cols["template_id"].astype(np.int64, copy=False)
-        codes, hosts = pd.factorize(cols["host"], sort=False)
+        # the kernel is key-name-agnostic: feed host_key through "host"
+        cols["host"] = cols.pop(key_col)
         outs = []
-        for hi in range(len(hosts)):
-            pos = np.nonzero(codes == hi)[0]
+        for pos in _group_slices(cols["host"]):
             got = _score_host_arrays(
                 {c: v[pos] for c, v in cols.items()}, num_classes, w, lead,
                 carry=carry)
@@ -180,12 +219,30 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
         if not outs:
             return pd.DataFrame({c: pd.Series(dtype=_empty_dtype[c])
                                  for c in out_cols})
-        return pd.DataFrame({c: np.concatenate([o[c] for o in outs])
-                             for c in out_cols})
+        return pd.DataFrame(
+            {c: np.concatenate([o["host" if c == key_col else c] for o in outs])
+             for c in out_cols})
 
-    return (matched_events
-            .select(*in_cols)
-            .withColumn("_b", F.pmod(F.xxhash64("host"), F.lit(n_buckets)))
-            .groupBy("_b")
-            .applyInPandas(lambda key, pdf: _fn(pdf.drop(columns=["_b"])),
-                           schema=_grouped_schema(carry)))
+    ev = matched_events
+    if compact:
+        # template_id as int32 through the exchange (catalog cardinality
+        # ≪ 2^31); restored to long by the UDF output schema
+        ev = ev.select(F.xxhash64("host").alias("host_key"), "seq_no",
+                       *carry, F.col("template_id").cast("int").alias("template_id"))
+        bucket = F.pmod(F.col("host_key"), F.lit(n_buckets)).cast("int")
+    else:
+        ev = ev.select(*in_cols)
+        bucket = F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
+
+    scored = (ev
+              .withColumn("_b", bucket)
+              .groupBy("_b")
+              .applyInPandas(lambda key, pdf: _fn(pdf.drop(columns=["_b"])),
+                             schema=_grouped_schema(carry, compact)))
+    if not compact:
+        return scored
+    hosts = (host_lookup.select("host").distinct()
+             .withColumn("host_key", F.xxhash64("host")))
+    return (scored.join(F.broadcast(hosts), "host_key")
+            .select("host", "seq_no", *carry, "template_id", "label_id",
+                    "anomaly_score", "is_anomaly"))

@@ -88,23 +88,32 @@ class PipelineRunner:
         self.executed: list[str] = []   # stages actually run (not resumed)
 
     # -- lineage ----------------------------------------------------------
-    def _lineage(self, stage: str, out_path: str):
-        """Per-partition lineage rows for the stage's materialized output."""
+    def _lineage(self, stage: str, out_path: str) -> int:
+        """Per-partition lineage rows for the stage's materialized output.
+        Returns the stage's TOTAL row count summed from the (tiny)
+        per-partition aggregation — the single read of the stage output
+        (r2 verdict item 4: stages used to re-scan their output a second
+        time just for the manifest row count)."""
         df = self.spark.read.parquet(out_path)
         lin = (df.groupBy(F.spark_partition_id().alias("partition_id"))
                .agg(F.count("*").alias("rows"))
-               .withColumn("stage", F.lit(stage))
-               .withColumn("run_id", F.lit(self.run_id))
-               .select("stage", "partition_id", "rows", "run_id"))
-        lin.write.mode("append").parquet(os.path.join(self.workdir, "lineage"))
+               .toPandas())
+        lin["stage"] = stage
+        lin["run_id"] = self.run_id
+        (self.spark.createDataFrame(
+            lin[["stage", "partition_id", "rows", "run_id"]],
+            schema="stage string, partition_id int, rows long, run_id string")
+         .coalesce(1)
+         .write.mode("append").parquet(os.path.join(self.workdir, "lineage")))
+        return int(lin["rows"].sum())
 
     def _stage(self, name: str, fp: str, build, out_name: str | None = None):
         out = os.path.join(self.workdir, out_name or name)
         if self.manifest.is_done(name, fp) and os.path.exists(out):
             return out
         t0 = time.time()
-        rows = build(out)
-        self._lineage(name, out)
+        build(out)
+        rows = self._lineage(name, out)
         self.manifest.mark(name, fp, rows, time.time() - t0)
         self.executed.append(name)
         return out
@@ -118,7 +127,6 @@ class PipelineRunner:
         def _fit(out):
             cat = fit_op.fit_catalog(pages, sample_fraction=self.fit_sample)
             fit_op.write_catalog(self.spark, cat, out)
-            return len(cat)
         cat_path = self._stage("fit", pages_fp, _fit, "catalog")
         catalog_rows = fit_op.read_catalog(self.spark, cat_path)
         num_classes = len(catalog_rows)
@@ -127,7 +135,6 @@ class PipelineRunner:
         def _parse(out):
             parsed = parse_op.parse_pages(pages, catalog_rows)
             parsed.write.mode("overwrite").parquet(out)
-            return self.spark.read.parquet(out).count()
         parse_fp = pages_fp + ":" + _fingerprint(cat_path)
         parsed_path = self._stage("parse", parse_fp, _parse, "parsed")
 
@@ -136,16 +143,15 @@ class PipelineRunner:
             parsed = self.spark.read.parquet(parsed_path)
             enrich_op.enrich(parsed, catalog_rows) \
                 .write.mode("overwrite").parquet(out)
-            return self.spark.read.parquet(out).count()
         enr_fp = _fingerprint(parsed_path)
         enriched_path = self._stage("enrich", enr_fp, _enrich, "enriched")
 
         # windows + frozen scorer (shuffle #1: by host)
         def _score(out):
             parsed = self.spark.read.parquet(parsed_path)
-            win_op.window_score_grouped(parse_op.matched(parsed), num_classes) \
+            win_op.window_score_grouped(parse_op.matched(parsed), num_classes,
+                                        host_lookup=parsed) \
                 .write.mode("overwrite").parquet(out)
-            return self.spark.read.parquet(out).count()
         scored_path = self._stage("score", enr_fp, _score, "scored")
 
         # route: severity + fan-out sinks + per-sink counts (shuffle #2)
@@ -156,7 +162,6 @@ class PipelineRunner:
             counts = route_op.sink_counts(self.spark.read.parquet(out))
             counts.toPandas().to_json(
                 os.path.join(self.workdir, "sink_counts.json"), orient="records")
-            return self.spark.read.parquet(out).count()
         routed_path = self._stage("route", _fingerprint(scored_path), _route, "routed")
 
         with open(os.path.join(self.workdir, "sink_counts.json")) as f:

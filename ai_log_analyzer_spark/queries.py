@@ -32,6 +32,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped pages table (url, warc_ts, html, text, lang,
+    host, seq_no) derived deterministically from the driver's documents
+    table — the flagship's input everywhere a driver sf_dir is the
+    source (__spark_entry__.entry, flagship_scored).  Mirrored in
+    pandas by scripts/gen_flagship_fixture.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source").alias("host"),       # real series keys: windows
+        # stage shuffles/partitions by host, so parallelism > 1 even here
+        F.col("doc_id").cast("long").alias("seq_no"),
+    )
+
+
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         _REGISTRY[name] = fn
@@ -433,6 +453,40 @@ def semantic_template_vectors(spark, sf_dir):
         lambda v: round(float(sum(x * x for x in v)) ** 0.5, 6))
     return spark.createDataFrame(
         out[["template_id", "template", "freq", "vec_norm"]])
+
+
+_FLAGSHIP_FIXTURE = "/root/repo/tests/fixtures/flagship_scored.parquet"
+
+
+@q("flagship_scored", f"""
+SELECT host, seq_no, template_id, label_id, anomaly_score, severity
+FROM read_parquet('{_FLAGSHIP_FIXTURE}')
+WHERE n_docs = (SELECT count(*) FROM documents)
+  AND text_len_sum = (SELECT sum(length(text)) FROM documents)
+""")
+def flagship_scored(spark, sf_dir):
+    """Value-level driver check of the flagship scored output (round-2
+    verdict item 4: entry() exposes only sink counts; this hashes the
+    scorer's actual per-row decisions).  The full distributed DAG —
+    fit → id-only parse → compact-shuffle fused window/score → severity
+    — over the documents-derived pages table; the oracle is a committed
+    expected-value fixture generated by the SINGLE-NODE pandas referee
+    (scripts/gen_flagship_fixture.py), keyed by corpus size, so any
+    distribution bug (partition-local fit drift, shuffle mis-grouping,
+    hash-key collisions, severity skew) breaks the value hash."""
+    from .operators import fit as fit_op
+    from .operators import parse as parse_op
+    from .operators import route as route_op
+    from .operators import windows as win_op
+    pages = pages_from_documents(spark, sf_dir)
+    cat = fit_op.fit_catalog(pages)
+    parsed = parse_op.parse_template_ids(pages, cat)
+    scored = win_op.window_score_grouped(parse_op.matched(parsed), len(cat),
+                                         carry=(), host_lookup=pages)
+    routed = route_op.with_severity(scored)
+    return routed.select(
+        "host", "seq_no", "template_id", "label_id",
+        F.round("anomaly_score", 6).alias("anomaly_score"), "severity")
 
 
 # ---------------------------------------------------------------------------

@@ -54,9 +54,11 @@ def run_pipeline(spark, pages_path: str):
     # extracted_text, so only template_id crosses Arrow (parse.py)
     parsed = parse_op.parse_template_ids(pages, cat)
     # carry=(): url/warc_ts are count-only downstream here, so they never
-    # enter the Arrow hop; n_urls comes from the 1:1 (host, seq_no) key
+    # enter the Arrow hop; n_urls comes from the 1:1 (host, seq_no) key.
+    # host_lookup=pages: compact shuffle (int host key) with the host
+    # dictionary rebuilt from the raw pages scan — never via the parse UDF
     scored = win_op.window_score_grouped(parse_op.matched(parsed), len(cat),
-                                         carry=())
+                                         carry=(), host_lookup=pages)
     routed = route_op.with_severity(scored)
     counts = route_op.sink_counts(routed).collect()
     return time.time() - t0, {r.severity: r.n_rows for r in counts}

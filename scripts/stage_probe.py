@@ -51,7 +51,7 @@ def main():
         pages = spark.read.parquet(pages_path)
 
     parsed_path = (pages_path or "") + "_parsed"
-    if stage in ("winscore", "winscore2", "winscore3", "winscoreZ", "grouparrow", "shufonly", "scanparsed") and not os.path.exists(parsed_path + "/_SUCCESS"):
+    if stage in ("winscore", "winscore2", "winscore3", "winscore3s", "winscoreZ", "grouparrow", "shufonly", "scanparsed") and not os.path.exists(parsed_path + "/_SUCCESS"):
         parse_op.parse_pages(pages, cat).write.mode("overwrite").parquet(parsed_path)
 
     def job():
@@ -79,8 +79,16 @@ def main():
             scored = win_op.window_score_grouped(parse_op.matched(parsed), len(cat))
             scored.select(F.sum(F.col("anomaly_score"))).collect()
         elif stage == "winscore3":
-            # round-2 production shape: carry=() — no url/warc_ts through
-            # Arrow, the numpy scorer dominates (CPU-bound probe)
+            # round-3 production shape: carry=() AND compact shuffle —
+            # int host key through the exchange, string restored via
+            # broadcast after scoring (r2 verdict item 1)
+            parsed = spark.read.parquet(parsed_path)
+            scored = win_op.window_score_grouped(parse_op.matched(parsed),
+                                                 len(cat), carry=(),
+                                                 host_lookup=parsed)
+            scored.select(F.sum(F.col("anomaly_score"))).collect()
+        elif stage == "winscore3s":
+            # round-2 shape kept for A/B: carry=(), STRING host key
             parsed = spark.read.parquet(parsed_path)
             scored = win_op.window_score_grouped(parse_op.matched(parsed),
                                                  len(cat), carry=())
