@@ -13,7 +13,13 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-LEVELS = (8, 32)
+# N and 4N cores; default 8→32.  SPARK_GRAFT_LEVELS=4,16 exercises the
+# same 4× ratio below the box's 32-wide co-tenant bandwidth ceiling
+# (see BENCH/BASELINE.md — at 32-wide the shared VM caps ~840k docs/s
+# regardless of code, so a faster small level lowers the measurable
+# ratio; 4→16 measures code scaling, not the ceiling).
+LEVELS = tuple(int(x) for x in
+               os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(","))
 
 
 def _memcpy_gbps() -> float:
