@@ -97,10 +97,18 @@ def main():
     if not skip_queries:
         import __spark_entry__ as E
         qs = E.queries()
+        # min-of-N per query: single-pass sweeps on this co-tenanted VM
+        # show 10-20x outliers (doc_fingerprint measured 93 s in one
+        # sweep, 0.43 s warm — BENCH/BASELINE.md round-3 caveat)
+        q_runs = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "2"))
         for name in sorted(qs):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            q_times[name] = round(time.time() - t0, 3)
+            walls = []
+            for _ in range(q_runs):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                walls.append(time.time() - t0)
+            q_times[name] = round(min(walls), 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     print(json.dumps({
