@@ -36,11 +36,31 @@ class CatalogEntry:
     template: str
     token_count: int
     n_params: int
-    match_re: re.Pattern      # on MASKED text (template selection)
-    extract_re: re.Pattern    # on RAW text (param capture)
+    match_pattern: str        # regex SOURCE on MASKED text (selection)
+    extract_pattern: str      # regex SOURCE on RAW text (param capture)
     mask_names: List[str]
     example: str
     freq: int
+    # compiled lazily: eager compilation of 2 regexes × catalog
+    # cardinality cost ~5.7 s at 5k templates (measured, r4) and ran
+    # TWICE per job (freeze on the driver, from_rows per worker); the
+    # matcher's candidate pruning touches only a handful of entries per
+    # distinct masked form, so lazy compile does O(forms) work instead
+    # of O(catalog)
+    _match_re: Optional[re.Pattern] = None
+    _extract_re: Optional[re.Pattern] = None
+
+    @property
+    def match_re(self) -> re.Pattern:
+        if self._match_re is None:
+            self._match_re = re.compile(self.match_pattern)
+        return self._match_re
+
+    @property
+    def extract_re(self) -> re.Pattern:
+        if self._extract_re is None:
+            self._extract_re = re.compile(self.extract_pattern)
+        return self._extract_re
 
 
 def _match_regex(tokens: List[str]) -> str:
@@ -62,8 +82,8 @@ def freeze(tree: Drain) -> List[CatalogEntry]:
             template=c.template,
             token_count=len(c.tokens),
             n_params=len(names),
-            match_re=re.compile(_match_regex(c.tokens)),
-            extract_re=re.compile(masking.template_regex(c.tokens)),
+            match_pattern=_match_regex(c.tokens),
+            extract_pattern=masking.template_regex(c.tokens),
             mask_names=names,
             example=c.example,
             freq=c.count,
@@ -77,7 +97,7 @@ def to_rows(entries: List[CatalogEntry]) -> pd.DataFrame:
         "template_id": [e.template_id for e in entries],
         "template": [e.template for e in entries],
         "token_count": np.array([e.token_count for e in entries], dtype="int32"),
-        "regex": [e.extract_re.pattern for e in entries],
+        "regex": [e.extract_pattern for e in entries],
         "example": [e.example for e in entries],
         "freq": np.array([e.freq for e in entries], dtype="int64"),
     })
@@ -91,8 +111,8 @@ def from_rows(df: pd.DataFrame) -> List[CatalogEntry]:
         entries.append(CatalogEntry(
             template_id=int(r.template_id), tokens=tokens, template=r.template,
             token_count=int(r.token_count), n_params=len(names),
-            match_re=re.compile(_match_regex(tokens)),
-            extract_re=re.compile(r.regex), mask_names=names,
+            match_pattern=_match_regex(tokens),
+            extract_pattern=r.regex, mask_names=names,
             example=getattr(r, "example", ""), freq=int(getattr(r, "freq", 0)),
         ))
     return entries

@@ -37,17 +37,39 @@ _RESULT = T.StructType([
     T.StructField("extracted_text", T.StringType(), True),
 ])
 
+# per-PYTHON-WORKER-PROCESS matcher cache: Matcher(from_rows(...)) is
+# O(catalog cardinality) (~0.4 s at 5k templates) and the UDF closure
+# re-runs per TASK — without this, a 10k-task stage pays it 10k times.
+# Keyed by a driver-side token unique to each parse call; bounded LRU so
+# long-lived workers serving many catalogs don't accumulate.  The cached
+# matcher also carries the memoized masked-form cache across tasks.
+_MATCHER_CACHE: dict[str, object] = {}
+_MATCHER_CACHE_CAP = 4
+
+
+def _cached_matcher(token: str, bc):
+    from ..catalog import Matcher, from_rows
+    m = _MATCHER_CACHE.get(token)
+    if m is None:
+        if len(_MATCHER_CACHE) >= _MATCHER_CACHE_CAP:
+            _MATCHER_CACHE.pop(next(iter(_MATCHER_CACHE)))
+        m = Matcher(from_rows(bc.value))
+        _MATCHER_CACHE[token] = m
+    return m
+
 
 def parse_pages(pages: DataFrame, catalog_rows: pd.DataFrame) -> DataFrame:
     """pages (any superset of PARSE_INPUT_COLS) → PARSED rows
     (url, warc_ts, lang, host, seq_no, template_id, extracted_text)."""
+    import uuid
+
     sc = pages.sparkSession.sparkContext
     bc = sc.broadcast(catalog_rows)
+    token = uuid.uuid4().hex
 
     @pandas_udf(_RESULT)
     def _parse(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        from ..catalog import Matcher, from_rows
-        matcher = Matcher(from_rows(bc.value))   # once per worker/partition
+        matcher = _cached_matcher(token, bc)     # once per worker PROCESS
         for text in batches:
             # with_params=False: params/mask_names are derivable columns
             # (split extracted_text / catalog lookup) — skip the per-row
@@ -76,13 +98,15 @@ def parse_template_ids(pages: DataFrame, catalog_rows: pd.DataFrame) -> DataFram
     bytes/doc through the memory-bandwidth-bound stages).  Use when the
     consumer prunes extracted_text (scoring, counting, routing on
     severity); sinks that persist extracted text use ``parse_pages``."""
+    import uuid
+
     sc = pages.sparkSession.sparkContext
     bc = sc.broadcast(catalog_rows)
+    token = uuid.uuid4().hex
 
     @pandas_udf(T.LongType())
     def _match(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from ..catalog import Matcher, from_rows
-        matcher = Matcher(from_rows(bc.value))
+        matcher = _cached_matcher(token, bc)
         for text in batches:
             yield matcher.match_ids(text)
 

@@ -63,8 +63,12 @@ def score_windows(samples: DataFrame, num_classes: int,
         T.StructField("is_anomaly", T.BooleanType(), False),
     ])
 
+    bw = samples.sparkSession.sparkContext.broadcast(
+        scorer.load_weights(num_classes))
+
     @pandas_udf(result)
     def _score(batches: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        scorer.seed_weight_cache(num_classes, bw.value)
         for window_ids, label_id in batches:
             if len(label_id) == 0:
                 yield pd.DataFrame({"anomaly_score": pd.Series(dtype="float64"),
@@ -149,11 +153,19 @@ def _score_host_arrays(cols: dict, num_classes: int, w: int, lead: int,
     return out
 
 
+# Above this many distinct hosts the restore dictionary is too big to
+# broadcast (~10⁷ hosts ≈ 1 GB+ of strings on every executor); restore
+# via a shuffle hash join instead.  The compact exchange itself is
+# host-count-independent.
+HOST_BROADCAST_LIMIT = 10_000_000
+
+
 def window_score_grouped(matched_events: DataFrame, num_classes: int,
                          w: int = scorer.WINDOW_SIZE,
                          n_buckets: int | None = None,
                          carry: tuple = DEFAULT_CARRY,
-                         host_lookup: DataFrame | None = None) -> DataFrame:
+                         host_lookup: DataFrame | None = None,
+                         n_hosts_hint: int | None = None) -> DataFrame:
     """Fused windows+score: ``applyInPandas`` over HOST BUCKETS.
 
     Replaces collect_list-over-Window + scalar scorer UDF for the
@@ -174,14 +186,24 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
     hop carry ``xxhash64(host)`` (8-byte int) instead of the host
     string, and the int key also makes the in-batch grouping a pure
     integer sort (no object-hash factorize).  The host string is
-    restored AFTER scoring via a broadcast join against the (small)
-    distinct-host dictionary built from ``host_lookup`` — pass a frame
-    whose plan is cheap to rescan (the raw pages/parsed table, NOT a
-    plan containing the parse UDF) and that contains every host in
-    ``matched_events``.  xxhash64 collisions would merge two series
-    (probability ~n_hosts²/2⁶⁴ — negligible below billions of hosts;
-    the restore join would also fan out, which
-    tests/test_engine_parity.py would catch as a row-count change).
+    restored AFTER scoring via a join against the distinct-host
+    dictionary built from ``host_lookup`` — pass a frame whose plan is
+    cheap to rescan (the raw pages/parsed table, NOT a plan containing
+    the parse UDF) and that contains every host in ``matched_events``.
+    The every-host contract is enforced loudly: the restore is a LEFT
+    join and a missing host raises at execution time instead of
+    silently dropping that host's scored rows (round-3 advice item 2).
+    The dictionary is broadcast only below ``HOST_BROADCAST_LIMIT``
+    distinct hosts — pass ``n_hosts_hint`` (e.g. an approx_count_distinct
+    from an earlier pass) above ~10⁷ to switch the restore to a shuffle
+    hash join; past that scale the broadcast would OOM executors long
+    before xxhash64 collisions matter (~n_hosts²/2⁶⁴; a collision would
+    merge two series, which the restore fan-out makes visible as a
+    row-count change in tests/test_engine_parity.py).
+
+    Frozen-scorer weights are built once on the driver and shipped via
+    SparkContext.broadcast (O(C·LOGIT_RANK) bytes) — workers never
+    regenerate them (round-3 verdict item 1).
 
     Per-host scoring calls the identical kernel the single-node oracle
     uses on the identical per-host arrays — bit-exact parity by
@@ -203,7 +225,10 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
                     "template_id": "int64", "label_id": "int64",
                     "anomaly_score": "float64", "is_anomaly": "bool"}
 
+    bw = spark.sparkContext.broadcast(scorer.load_weights(num_classes))
+
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        scorer.seed_weight_cache(num_classes, bw.value)
         cols = {c: pdf[c].to_numpy() for c in in_cols}
         cols["seq_no"] = cols["seq_no"].astype(np.int64, copy=False)
         cols["template_id"] = cols["template_id"].astype(np.int64, copy=False)
@@ -243,6 +268,17 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
         return scored
     hosts = (host_lookup.select("host").distinct()
              .withColumn("host_key", F.xxhash64("host")))
-    return (scored.join(F.broadcast(hosts), "host_key")
-            .select("host", "seq_no", *carry, "template_id", "label_id",
+    if n_hosts_hint is None or n_hosts_hint <= HOST_BROADCAST_LIMIT:
+        hosts = F.broadcast(hosts)
+    # LEFT join + raise-on-null: a host in matched_events but absent
+    # from host_lookup fails loudly instead of silently dropping rows
+    return (scored.join(hosts, "host_key", "left")
+            .select(F.coalesce(
+                        F.col("host"),
+                        F.raise_error(F.lit(
+                            "window_score_grouped: scored rows reference a "
+                            "host missing from host_lookup — the compact-"
+                            "shuffle restore dictionary must contain every "
+                            "host in matched_events"))).alias("host"),
+                    "seq_no", *carry, "template_id", "label_id",
                     "anomaly_score", "is_anomaly"))

@@ -37,6 +37,14 @@ T_LO = 1.36
 # next-id logits (makes the frozen model behave like a real sequence
 # model on recurrent hot templates instead of a coin flip)
 SELF_PRIOR = 2.0
+# rank of the factorized next-id logit map (round-3 verdict item 1: the
+# full-rank C×C matrix was O(C²) memory per worker and O(n·C²) GEMM —
+# 21.5 s at 4,992 classes, ~40 GB at 10⁵; the factorized form is
+# O(C·LOGIT_RANK) / O(n·C·LOGIT_RANK) and survives a 100× catalog
+# scale-up).  The reference's own output layer is catalog-width-bound
+# the same way (LSTM.py:49 num_keys fc); low-rank + self-prior keeps
+# the decision semantics (top-k membership over per-class logits).
+LOGIT_RANK = 16
 
 SEVERITIES = ["crit", "high", "med", "low", "info"]
 
@@ -49,15 +57,34 @@ def load_weights(num_classes: int, seed: int = SEED):
     (deterministic).  float32 halves the memory traffic of the scorer's
     (n, num_classes) GEMMs — measured 1.56x single-core and a better
     8->32 scaling point (the f64 GEMM control scales 0.43 on this box;
-    bandwidth is the binding resource)."""
+    bandwidth is the binding resource).
+
+    Returns (w1, w2, mu, mv): autoencoder (HIDDEN×C, C×HIDDEN) plus the
+    FACTORIZED logit map (C×LOGIT_RANK, LOGIT_RANK×C).  Total memory is
+    O(C·h) — 4·C·16 float32 ≈ 320 KB at C=4,992 vs ~100 MB for the old
+    full-rank C×C form — and regeneration is O(C·h) draws, so per-worker
+    reconstruction is milliseconds; the window stage still ships the
+    weights once via SparkContext.broadcast (operators/windows.py) to
+    avoid even that.  w1/w2 are drawn FIRST from the same PCG64 stream
+    as before, so anomaly_score is bit-identical to the full-rank model;
+    only the next-id logits (is_anomaly) changed with the r4 refactor."""
     key = (num_classes, seed)
     if key not in _WEIGHT_CACHE:
         rng = np.random.default_rng(np.random.PCG64(seed))
         w1 = rng.standard_normal((HIDDEN, num_classes)) / np.sqrt(num_classes)
         w2 = rng.standard_normal((num_classes, HIDDEN)) / np.sqrt(HIDDEN)
-        m = rng.standard_normal((num_classes, num_classes)) / np.sqrt(num_classes)
-        _WEIGHT_CACHE[key] = tuple(a.astype(np.float32) for a in (w1, w2, m))
+        mu = rng.standard_normal((num_classes, LOGIT_RANK)) / np.sqrt(LOGIT_RANK)
+        mv = rng.standard_normal((LOGIT_RANK, num_classes)) / np.sqrt(num_classes)
+        _WEIGHT_CACHE[key] = tuple(a.astype(np.float32)
+                                   for a in (w1, w2, mu, mv))
     return _WEIGHT_CACHE[key]
+
+
+def seed_weight_cache(num_classes: int, weights, seed: int = SEED) -> None:
+    """Install broadcast-shipped weights into the per-process cache so
+    executor-side ``score`` calls skip regeneration entirely (round-3
+    verdict item 1: ship weights once instead of per-worker regen)."""
+    _WEIGHT_CACHE[(num_classes, seed)] = tuple(weights)
 
 
 def count_vectors(window_ids: np.ndarray, num_classes: int) -> np.ndarray:
@@ -77,8 +104,11 @@ def score(window_ids: np.ndarray, label_ids: np.ndarray, num_classes: int,
 
     anomaly_score = L2 reconstruction error of the frozen autoencoder on
     the unit-normalized count vector; is_anomaly = true label NOT in the
-    top-k next-id logits."""
-    w1, w2, m = load_weights(num_classes)
+    top-k next-id logits.  Logits use the factorized map — two thin
+    GEMMs (n,C)@(C,h) then (n,h)@(h,C), O(n·C·h) vs the old O(n·C²) —
+    evaluated in a FIXED association order so the single-node oracle and
+    the Spark workers accumulate identically."""
+    w1, w2, mu, mv = load_weights(num_classes)
     x = count_vectors(window_ids, num_classes)          # float32
     norm = np.linalg.norm(x, axis=1, keepdims=True).astype(np.float32)
     norm[norm == 0.0] = np.float32(1.0)
@@ -87,7 +117,7 @@ def score(window_ids: np.ndarray, label_ids: np.ndarray, num_classes: int,
     recon = h @ w2.T
     err = np.linalg.norm(recon - xn, axis=1).astype(np.float64)
 
-    logits = xn @ m.T + np.float32(SELF_PRIOR) * xn
+    logits = (xn @ mv.T) @ mu.T + np.float32(SELF_PRIOR) * xn
     in_topk = topk_membership(logits, label_ids, k)
     return err, ~in_topk
 

@@ -13,7 +13,7 @@ def test_topk_membership_strict_rank():
     logits = np.array([[5.0, 4.0, 3.0, 2.0, 1.0]])
     # k=2: labels 0,1 in; 2,3,4 out
     for lab, expect in [(0, True), (1, True), (2, False), (4, False)]:
-        assert scorer.topk_membership(logits, np.array([lab]), k=2)[0] is np.bool_(expect)
+        assert bool(scorer.topk_membership(logits, np.array([lab]), k=2)[0]) == expect
 
 
 def test_topk_membership_tie_inclusive():
@@ -51,3 +51,37 @@ def test_score_end_to_end_uses_guard():
     win = np.zeros((1, scorer.WINDOW_SIZE), dtype=np.int64)
     with pytest.raises(ValueError, match="label_ids out of range"):
         scorer.score(win, np.array([99]), num_classes=5)
+
+
+def test_weight_memory_linear_in_classes():
+    """r3 verdict item 1: scorer memory must be O(C·h), not O(C²).
+    Doubling num_classes must ~double total weight bytes (a full-rank
+    C×C term would quadruple it), and the absolute footprint at C must
+    stay under the 4·C·max(HIDDEN, LOGIT_RANK)·4-byte linear bound."""
+    for c in (512, 1024, 2048):
+        total = sum(a.nbytes for a in scorer.load_weights(c))
+        bound = 4 * c * max(scorer.HIDDEN, scorer.LOGIT_RANK) * 4
+        assert total <= bound, (c, total, bound)
+    b1 = sum(a.nbytes for a in scorer.load_weights(1024))
+    b2 = sum(a.nbytes for a in scorer.load_weights(2048))
+    assert b2 <= 2.05 * b1
+
+
+def test_seed_weight_cache_installs_broadcast_weights():
+    w = scorer.load_weights(64)
+    scorer._WEIGHT_CACHE.pop((64, scorer.SEED))
+    scorer.seed_weight_cache(64, w)
+    got = scorer.load_weights(64)
+    assert all(a is b for a, b in zip(w, got))
+
+
+def test_anomaly_score_unchanged_by_logit_factorization():
+    """w1/w2 are drawn before mu/mv from the same PCG64 stream, so the
+    reconstruction error is bit-identical to the pre-r4 full-rank model
+    — pin the first draws directly."""
+    rng = np.random.default_rng(np.random.PCG64(scorer.SEED))
+    w1_ref = (rng.standard_normal((scorer.HIDDEN, 32)) / np.sqrt(32)).astype(np.float32)
+    w1, _, mu, mv = scorer.load_weights(32)
+    np.testing.assert_array_equal(w1, w1_ref)
+    assert mu.shape == (32, scorer.LOGIT_RANK)
+    assert mv.shape == (scorer.LOGIT_RANK, 32)
