@@ -42,6 +42,16 @@ FRAME_SAMPLES = T.StructType([
     T.StructField("frame_sig", T.StringType(), False),
 ])
 
+AUDIO_FEATURES = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), False),
+    T.StructField("zcr", T.DoubleType(), False),
+    T.StructField("peak", T.DoubleType(), False),
+    T.StructField("decoder", T.StringType(), False),
+])
+
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """DETERMINISTIC FAKE DECODER (container has no image/audio libs).
@@ -69,6 +79,53 @@ def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return (media.filter(F.col("kind") == "image")
             .select("media_id", "payload")
             .mapInPandas(_extract, schema=IMAGE_FEATURES))
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[float, float, float]:
+    """DETERMINISTIC FAKE AUDIO DECODER (container has no torchaudio/
+    ffmpeg).  A real implementation would decode PCM and compute these
+    over the waveform; the fake treats the first 64 payload bytes
+    (zero-padded) as unsigned samples so the DuckDB oracle can mirror
+    the math bit-exactly in SQL:
+      rms  = sqrt(mean(b²)) / 255       (loudness)
+      zcr  = sign changes around 96 / 63    (zero-crossing rate;
+             96, not 128, so ASCII text payloads — letters above,
+             space/punct below — produce a non-degenerate rate)
+      peak = max(b) / 255
+    All math in float64 in the SAME association order as the SQL."""
+    arr = np.frombuffer(payload[:64].ljust(64, b"\0"),
+                        dtype=np.uint8).astype(np.float64)
+    rms = float(np.sqrt(float((arr * arr).sum()) / 64.0) / 255.0)
+    sign = arr < 96.0
+    zcr = float(np.count_nonzero(sign[1:] != sign[:-1])) / 63.0
+    peak = float(arr.max()) / 255.0
+    return rms, zcr, peak
+
+
+def extract_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Audio feature plumbing (round-3 verdict item 5: image and video
+    had operators, audio did not) — same Arrow-batched ``mapInPandas``
+    shape as ``extract_image_features``, per-clip scalar features."""
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real audio decode requires torchaudio/ffmpeg — not in "
+                "this container")
+        for pdf in batches:
+            feats = [_fake_decode_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "duration_ms": pdf["duration_ms"],
+                "rms": [round(f[0], 6) for f in feats],
+                "zcr": [round(f[1], 6) for f in feats],
+                "peak": [round(f[2], 6) for f in feats],
+                "decoder": "fake-deterministic",
+            })
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload", "duration_ms")
+            .mapInPandas(_extract, schema=AUDIO_FEATURES))
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
@@ -111,5 +168,5 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         rows.append((i, kind, payload, f"application/x-{kind}",
                      64 if kind == "image" else None,
                      48 if kind == "image" else None,
-                     3000 if kind == "video" else None))
+                     {"video": 3000, "audio": 2000}.get(kind)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

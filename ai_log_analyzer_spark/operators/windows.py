@@ -270,6 +270,10 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
              .withColumn("host_key", F.xxhash64("host")))
     if n_hosts_hint is None or n_hosts_hint <= HOST_BROADCAST_LIMIT:
         hosts = F.broadcast(hosts)
+    else:
+        # shuffle hash join, never sort-merge (the dict has unique keys,
+        # no sort needed) and never broadcast (it wouldn't fit)
+        hosts = hosts.hint("shuffle_hash")
     # LEFT join + raise-on-null: a host in matched_events but absent
     # from host_lookup fails loudly instead of silently dropping rows
     return (scored.join(hosts, "host_key", "left")

@@ -960,6 +960,45 @@ def media_image_features(spark, sf_dir):
                         *[F.col("feature")[k].alias(f"f{k}") for k in range(8)])
 
 
+@q("media_audio_features", """
+WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload,
+                  (1 + doc_id % 7) * 1000 AS dur
+           FROM documents WHERE doc_id % 3 = 1),
+hx AS (SELECT media_id, hex(payload) AS h, octet_length(payload) AS nb,
+              dur FROM m),
+b AS (SELECT media_id, nb, dur, i,
+             CASE WHEN i < nb THEN ('0x' || substr(h, i * 2 + 1, 2))::BIGINT
+                  ELSE 0 END AS byte
+      FROM hx, (SELECT unnest(range(0, 64)) AS i)),
+c AS (SELECT media_id, nb, dur, byte,
+             lead(byte) OVER (PARTITION BY media_id ORDER BY i) AS nxt
+      FROM b)
+SELECT media_id, any_value(nb) AS n_bytes, any_value(dur) AS duration_ms,
+       round(sqrt(sum(byte * byte) / 64.0) / 255.0, 6) AS rms,
+       round(sum(CASE WHEN nxt IS NOT NULL
+                       AND ((byte < 96) != (nxt < 96))
+                      THEN 1 ELSE 0 END) / 63.0, 6) AS zcr,
+       round(max(byte) / 255.0, 6) AS peak
+FROM c GROUP BY media_id
+""")
+def media_audio_features(spark, sf_dir):
+    """Audio decode→feature plumbing (r3 verdict item 5): docs with
+    doc_id % 3 = 1 become an audio media table (payload = UTF-8 text
+    bytes, duration (1 + doc_id % 7) s); the Arrow-batched mapInPandas
+    fake decoder emits per-clip rms / zero-crossing-rate / peak over the
+    first 64 payload bytes (functions/multimodal.py — deterministic fake
+    because torchaudio/ffmpeg are absent; Spark plumbing real)."""
+    from .functions import multimodal as MM
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        ((F.lit(1) + F.col("doc_id") % 7) * 1000).cast("long").alias("duration_ms"))
+    return MM.extract_audio_features(media).select(
+        "media_id", "n_bytes", "duration_ms", "rms", "zcr", "peak")
+
+
 @q("media_frame_samples", """
 WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload,
                   (3 + doc_id % 5) * 1000 AS dur

@@ -212,6 +212,33 @@ def run_stateful_scores_available_now(spark: SparkSession, pages_path: str,
     return _drain_memory_sink(spark, q, name)
 
 
+def run_stateful_scores_to_parquet(spark: SparkSession, pages_path: str,
+                                   catalog_rows: pd.DataFrame,
+                                   num_classes: int,
+                                   out_path: str, checkpoint: str,
+                                   max_files_per_trigger: int | None = None
+                                   ) -> None:
+    """Scale-path sink for the stateful streaming scorer (round-3
+    verdict item 4): parquet file sink + checkpoint, zero driver-side
+    collect — the memory-sink form above stays test/driver-contract
+    only.  Restart-safe: re-running after new page files land resumes
+    from the checkpoint (processed files + per-host scorer state both
+    recover) and appends only the newly scored rows; a mid-corpus
+    restart therefore yields the identical row set the batch stage
+    produces (pinned by tests/test_streaming_stateful.py)."""
+    stream = read_pages_stream(spark, pages_path, max_files_per_trigger)
+    parsed = parse_op.parse_template_ids(stream, catalog_rows)
+    scored = score_stream_stateful(
+        parsed.filter(F.col("template_id").isNotNull()), num_classes)
+    q = (scored.writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def stateful_running_counts_available_now(spark: SparkSession,
                                           events_path: str) -> DataFrame:
     """Driver-checkable ``applyInPandasWithState`` op with a pure-SQL

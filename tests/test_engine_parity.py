@@ -203,3 +203,48 @@ def test_compact_shuffle_equals_string_path(spark, workspace):
     b0 = base0.sort_values(["host", "seq_no"]).reset_index(drop=True)
     c0 = comp0.sort_values(["host", "seq_no"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(b0, c0, check_exact=True)
+
+
+def test_compact_shuffle_host_restore_shuffle_join_fallback(spark, workspace):
+    """r3 verdict item 3: above HOST_BROADCAST_LIMIT distinct hosts the
+    restore dictionary must switch from broadcast to a shuffle hash join
+    — drive that branch via n_hosts_hint and require output equality
+    with the broadcast path."""
+    import pandas as pd
+
+    from ai_log_analyzer_spark.operators import parse as parse_op
+    from ai_log_analyzer_spark.operators import windows as win_op
+
+    parsed = spark.read.parquet(workspace["result"]["parsed_path"])
+    ncls = workspace["result"]["num_classes"]
+    bcast = win_op.window_score_grouped(
+        parse_op.matched(parsed), ncls, host_lookup=parsed)
+    shuf = win_op.window_score_grouped(
+        parse_op.matched(parsed), ncls, host_lookup=parsed,
+        n_hosts_hint=win_op.HOST_BROADCAST_LIMIT + 1)
+    # the fallback plan must NOT broadcast the host dictionary
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in shuf._jdf.queryExecution().executedPlan().toString()
+    b = bcast.toPandas().sort_values(["host", "seq_no"]).reset_index(drop=True)
+    s = shuf.toPandas().sort_values(["host", "seq_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_exact=True)
+
+
+def test_compact_shuffle_missing_host_raises(spark, workspace):
+    """r3 advice item 2: a host present in matched_events but absent
+    from host_lookup must raise at execution time, not silently drop
+    that host's scored rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ai_log_analyzer_spark.operators import parse as parse_op
+    from ai_log_analyzer_spark.operators import windows as win_op
+
+    parsed = spark.read.parquet(workspace["result"]["parsed_path"])
+    ncls = workspace["result"]["num_classes"]
+    one_host = parsed.select("host").distinct().limit(1).collect()[0]["host"]
+    incomplete = parsed.filter(F.col("host") != one_host)
+    with pytest.raises(Exception, match="missing from host_lookup"):
+        win_op.window_score_grouped(
+            parse_op.matched(parsed), ncls,
+            host_lookup=incomplete).toPandas()

@@ -267,6 +267,31 @@ def test_multimodal_strict_raises(spark):
         MM.extract_image_features(media, strict=True).collect()
 
 
+def test_multimodal_audio_features(spark):
+    media = MM.synth_media(spark, n=30)
+    feats = MM.extract_audio_features(media).collect()
+    auds = [i for i in range(30) if i % 3 == 1]
+    assert sorted(r.media_id for r in feats) == auds
+    for r in feats:
+        assert r.duration_ms == 2000
+        assert 0.0 <= r.rms <= 1.0 and 0.0 <= r.zcr <= 1.0 \
+            and 0.0 <= r.peak <= 1.0
+        assert r.decoder == "fake-deterministic"
+    # pin one value against the shared fake kernel (bit-exact)
+    import numpy as np
+    payload = bytes((4 * 37 + j * 11) % 256 for j in range(128 + 4 % 64))
+    exp_rms, exp_zcr, exp_peak = MM._fake_decode_audio(payload)
+    got = next(r for r in feats if r.media_id == 4)
+    assert (got.rms, got.zcr, got.peak) == \
+        (round(exp_rms, 6), round(exp_zcr, 6), round(exp_peak, 6))
+
+
+def test_multimodal_audio_strict_raises(spark):
+    media = MM.synth_media(spark, n=6)
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        MM.extract_audio_features(media, strict=True).collect()
+
+
 def test_multimodal_frame_sampling(spark):
     media = MM.synth_media(spark, n=30)
     frames = MM.sample_frames(media, every_ms=1000).collect()

@@ -79,3 +79,36 @@ def test_stateful_stream_multiple_batches_ran(spark, split_corpus):
     got = SP.run_stateful_scores_available_now(
         spark, path, cat, len(cat), max_files_per_trigger=1)
     assert got.count() == expected_total
+
+
+def test_stateful_parquet_sink_checkpoint_restart(spark, split_corpus,
+                                                  tmp_path):
+    """r3 verdict item 4: the parquet-sink wrapper must survive a
+    mid-corpus restart — drain half the files, stop, land the rest,
+    re-run with the SAME checkpoint, and the sink must hold exactly the
+    batch stage's scored row set (per-host state recovered, no window
+    dropped or double-scored at the restart boundary)."""
+    import shutil
+
+    path, cat = split_corpus
+    src = tmp_path / "incoming"
+    out = str(tmp_path / "scored_out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    for i in range(2):
+        shutil.copytree(f"{path}/chunk{i}", src / f"chunk{i}")
+    SP.run_stateful_scores_to_parquet(spark, str(src), cat, len(cat),
+                                      out, ckpt, max_files_per_trigger=1)
+    mid_rows = spark.read.parquet(out).count()
+    for i in (2, 3):
+        shutil.copytree(f"{path}/chunk{i}", src / f"chunk{i}")
+    SP.run_stateful_scores_to_parquet(spark, str(src), cat, len(cat),
+                                      out, ckpt, max_files_per_trigger=1)
+    got = (spark.read.parquet(out).toPandas()
+           .sort_values(["host", "seq_no"]).reset_index(drop=True))
+    exp = _batch_expected(spark, path, cat)
+    assert mid_rows < len(got) == len(exp)   # restart actually appended
+    for c in ("host", "seq_no", "template_id", "label_id", "is_anomaly"):
+        assert got[c].tolist() == exp[c].tolist(), f"column {c} diverges"
+    np.testing.assert_allclose(got["anomaly_score"], exp["anomaly_score"],
+                               rtol=1e-5, atol=1e-7)
