@@ -164,15 +164,65 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.99,
             .select("vec_a", "vec_b", "cos"))
 
 
+def kmeans_centroids(emb: DataFrame, n_cells: int = 8, iters: int = 5,
+                     sample_n: int = 4096, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Offline coarse-quantizer fit (round-3 verdict item 6): fixed-
+    iteration Lloyd's k-means over a bounded deterministic sample,
+    returning the centroid table ``ivf_topk(centroids=...)`` consumes.
+
+    This is the standard IVF recipe (Faiss trains its quantizer on a
+    sample too): the sample is the ``sample_n`` rows with the smallest
+    ``xxhash64(vec_id)`` — a distributed TakeOrdered, no full sort or
+    collect of the corpus — and the Lloyd's iterations run in numpy on
+    the driver in a FIXED order (rows sorted by vec_id, float64), so
+    the same corpus always yields the same centroids.  At 100 TB the
+    sample stays ~MBs; only the O(n_cells·dim) centroid table ships
+    back into the assignment projection as literals.  Cosine-metric
+    Lloyd's: assign by max cosine (tie → lowest cell), update = mean of
+    assigned unit vectors (empty cell keeps its centroid); init = first
+    n_cells sample rows, which the iterations then move — the recall
+    win over raw first-n centroids on clustered data is asserted in
+    tests/test_functions_extra.py."""
+    import numpy as np
+
+    rows = (emb.select(F.col(id_col).alias("vec_id"),
+                       F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+            .orderBy(F.xxhash64(F.col("vec_id").cast("long")), "vec_id")
+            .limit(sample_n)
+            .collect())
+    sample = np.array([list(r["v"]) for r in
+                       sorted(rows, key=lambda r: r["vec_id"])],
+                      dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    unit = sample / norms
+    cents = unit[:n_cells].copy()
+    for _ in range(iters):
+        cn = np.linalg.norm(cents, axis=1, keepdims=True)
+        cn[cn == 0.0] = 1.0
+        cos = unit @ (cents / cn).T                  # (n, n_cells)
+        assign = np.argmax(cos, axis=1)              # ties → lowest cell
+        for c in range(n_cells):
+            members = unit[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_cells: int = 8, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN: coarse quantizer + inverted cell lists + nprobe.
 
-    Centroids are DATA-DERIVED (the first ``n_cells`` vectors — same
-    deterministic/oracle-portable trick as the SRP planes; a production
-    build would k-means them offline, which changes the centroid table
-    and nothing else).  Every vector is assigned to its max-cosine cell
+    Centroids default to DATA-DERIVED first ``n_cells`` vectors (the
+    deterministic/oracle-portable trick shared with the SRP planes —
+    DuckDB can reconstruct them, so the driver value-hashes this path);
+    pass ``centroids=kmeans_centroids(emb, ...)`` for the production
+    quantizer — a clustered-corpus recall comparison between the two
+    lives in tests/test_functions_extra.py.  Every vector is assigned
+    to its max-cosine cell
     (tie → lowest cell id); a query probes its top-``nprobe`` cells and
     ranks ONLY vectors assigned there.  At 100 TB the assignment is a
     pure projection over centroid literals (zero joins) and the probe
@@ -180,7 +230,9 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     never O(n).  Recall vs brute force measured in pytest."""
     base = emb.select(F.col(id_col).alias("vec_id"),
                       F.transform(vec_col, lambda x: x.cast("double")).alias("emb"))
-    cents = srp_plane_literals(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cents = (centroids if centroids is not None
+             else srp_plane_literals(emb, n_cells, id_col=id_col,
+                                     vec_col=vec_col))
     cell_structs = []
     for c, cent in enumerate(cents):
         norm = sum(x * x for x in cent) ** 0.5

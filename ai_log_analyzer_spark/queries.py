@@ -778,6 +778,22 @@ def ann_ivf_topk(spark, sf_dir):
                       n_cells=8, nprobe=2)
 
 
+@q("ann_ivf_kmeans_topk")   # no SQL oracle: iterative Lloyd's is not
+                            # SQL-expressible — driver rows-only check;
+                            # value-level pinning lives in pytest
+                            # (test_kmeans_centroids_beat_first_n_for_ivf)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with the PRODUCTION coarse quantizer (r3 verdict item 6):
+    centroids from the offline fixed-iteration Lloyd's job
+    (functions/similarity.kmeans_centroids — deterministic sample fit,
+    centroid literals into the same zero-join assignment projection);
+    ivf_topk itself is unchanged from ann_ivf_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, n_cells=8, iters=5, sample_n=256)
+    return S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5,
+                      nprobe=2, centroids=cents)
+
+
 @q("embedding_neardup", f"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 e AS (

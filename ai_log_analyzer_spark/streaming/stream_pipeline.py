@@ -45,7 +45,14 @@ def _drain_memory_sink(spark: SparkSession, query, name: str,
     then drop the temp view and any staging dir (ADVICE r2: the memory
     sink tables and mkdtemp symlink dirs were never cleaned up).  The
     returned DataFrame owns its rows — no dangling reference to the
-    dropped sink."""
+    dropped sink.
+
+    TEST/DRIVER-CONTRACT SCALE ONLY: the memory sink is inherently
+    driver-resident and this helper collect()s it — both bound the
+    result to driver memory by design (≤10k rows here).  Production
+    streams use the parquet-sink wrappers (``run_available_now``,
+    ``run_stateful_scores_to_parquet``), which never touch the
+    driver."""
     import shutil
 
     query.awaitTermination()

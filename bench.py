@@ -94,6 +94,11 @@ def main():
         best = min(run_pipeline(spark, pages_path)[0] for _ in range(n_runs))
 
     q_times: dict[str, float] = {"pipeline_e2e": round(best, 3)}
+    # raw per-run walls alongside the min-of-N headline (round-3 verdict
+    # item 8: min-of-N rejects co-tenant outliers but conflates code wins
+    # with methodology round-over-round; the walls vectors let future
+    # rounds compare like-for-like without prose)
+    q_walls: dict[str, list[float]] = {}
     if not skip_queries:
         import __spark_entry__ as E
         qs = E.queries()
@@ -109,6 +114,7 @@ def main():
                     .mode("overwrite").save()
                 walls.append(time.time() - t0)
             q_times[name] = round(min(walls), 3)
+            q_walls[name] = [round(w, 3) for w in walls]
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     print(json.dumps({
@@ -116,6 +122,7 @@ def main():
         "value": round(best, 3),
         "unit": "sec",
         "queries": q_times,
+        "walls": q_walls,
         "sf": sf,
         "pages_rows": n_rows,
         "docs_per_sec": round(n_rows / best, 1),

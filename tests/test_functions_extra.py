@@ -150,6 +150,53 @@ def test_srp_lsh_topk_recall_floor(spark):
     assert len(lsh & bf) / len(bf) >= 0.9
 
 
+def _clustered_corpus(spark, n_clusters=4, per_cluster=50, dim=16):
+    """Deterministic clustered embeddings: cluster c's center has 1.0 in
+    dims {2c, 2c+1}; members add a small per-id jitter.  The first
+    n_cells vec_ids all land in cluster 0 (ids are cluster-major), so
+    FIRST-N centroids degenerate to one cluster — the shape where a real
+    quantizer matters."""
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            vid = c * per_cluster + j
+            v = [0.0] * dim
+            v[2 * c] = 1.0
+            v[2 * c + 1] = 1.0
+            # jitter 0.05: big enough that clusters SPLIT across the
+            # near-parallel first-n centroids (first-n recall 0.70,
+            # simulated), small enough that true cluster structure
+            # dominates and Lloyd's recovers it
+            for d in range(dim):
+                v[d] += 0.05 * (((vid * 7 + d * 3) % 11) - 5)
+            rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_centroids_beat_first_n_for_ivf(spark):
+    """r3 verdict item 6: the offline Lloyd's job must produce a
+    coarse quantizer with strictly better IVF recall than first-n
+    'centroids' on clustered data (where first-n collapses into one
+    cluster), and must be deterministic run-to-run."""
+    emb = _clustered_corpus(spark)
+    qids = [10, 60, 110, 160]          # one query per cluster
+    bf = {(r.query_id, r.vec_id)
+          for r in S.cosine_topk(emb, qids, k=5).collect()}
+
+    def recall(cents):
+        got = {(r.query_id, r.vec_id)
+               for r in S.ivf_topk(emb, qids, k=5, n_cells=4, nprobe=1,
+                                   centroids=cents).collect()}
+        return len(got & bf) / len(bf)
+
+    km = S.kmeans_centroids(emb, n_cells=4, iters=5, sample_n=200)
+    assert km == S.kmeans_centroids(emb, n_cells=4, iters=5, sample_n=200)
+    r_first = recall(None)
+    r_kmeans = recall(km)
+    assert r_kmeans >= 0.9, r_kmeans
+    assert r_kmeans > r_first, (r_kmeans, r_first)
+
+
 def test_srp_neardup_recall_vs_bruteforce(spark):
     """The LSH-banded near-dup is the scale path; brute force over the
     same planted-union input is the recall oracle (r1 verdict item 3).

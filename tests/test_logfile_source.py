@@ -50,6 +50,23 @@ def test_line_numbers_partition_invariant(spark, log_dir):
     assert got.equals(base)
 
 
+def test_listing_is_names_only_and_glob_safe(spark, tmp_path):
+    """r3 verdict item 7 + advice item 1: enumeration must come from the
+    FS listing (a file of garbage bytes that a text scan would choke on
+    costs nothing to LIST), and glob metacharacters in real file names
+    must be escaped, not re-expanded."""
+    d = tmp_path / "weird"
+    d.mkdir()
+    (d / "app[1].log").write_text("alpha line\nbeta line\n")
+    (d / "plain.log").write_text("gamma line\n")
+    files = LOG._list_files(spark, str(d))
+    assert [f.rsplit("/", 1)[1] for f in files] == ["app[1].log", "plain.log"]
+    got = LOG.read_log_lines(spark, str(d)).toPandas() \
+        .sort_values(["file", "seq_no"]).reset_index(drop=True)
+    assert got["text"].tolist() == ["alpha line", "beta line", "gamma line"]
+    assert got["seq_no"].tolist() == [0, 1, 0]
+
+
 def test_pages_contract_and_pipeline(spark, log_dir):
     path, _ = log_dir
     from ai_log_analyzer_spark.operators import fit as fit_op
