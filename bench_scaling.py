@@ -64,6 +64,24 @@ def run_level(cores: int, n_rows: int) -> dict:
     return json.loads(line)
 
 
+def run_control(cores: int, ctrl_rows: int) -> dict:
+    """Same-hour pure-CPU control (BASELINE.md declared protocol): the
+    cpuburn stage — numpy matmuls in mapInPandas, zero input data — at
+    the same taskset pinning.  Its N→4N ratio is the box's pure-CPU
+    scaling ceiling for that hour; the e2e criterion is normalized
+    against it because this shared VM's ceiling itself drifts (measured
+    0.778–0.79 in round 3, i.e. the box could not scale ANYTHING at
+    0.8 in those windows)."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+           os.path.join(REPO, "scripts", "stage_probe.py"),
+           "cpuburn", str(ctrl_rows), "2"]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main():
     # Protocol (noisy shared box): ≥60s of work per run (BASELINE.md),
     # page-cache prewarm, per-process converge loop, and INTERLEAVED
@@ -76,8 +94,10 @@ def main():
     # suppressed measured efficiency by ~0.28 (RUNS.md round-2 history)
     n_rows = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "32000000"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    ctrl_rows = int(os.environ.get("SPARK_GRAFT_CTRL_ROWS", str(2 * n_rows)))
     corpus = os.path.join(REPO, ".bench_cache", f"pages_{n_rows}")
     best: dict[int, dict] = {}
+    ctrl_best: dict[int, dict] = {}
     probes = []
     for r in range(rounds):
         for lvl in LEVELS:
@@ -87,10 +107,19 @@ def main():
             res = run_level(lvl, n_rows)
             if lvl not in best or res["value"] < best[lvl]["value"]:
                 best[lvl] = res
+            # same-hour control, adjacent to the e2e run at the same
+            # pinning (declared protocol, BASELINE.md)
+            ctl = run_control(lvl, ctrl_rows)
+            if lvl not in ctrl_best or ctl["wall_s"] < ctrl_best[lvl]["wall_s"]:
+                ctrl_best[lvl] = ctl
     lo, hi = best[LEVELS[0]], best[LEVELS[1]]
     thr_lo, thr_hi = lo["docs_per_sec"], hi["docs_per_sec"]
     ratio = LEVELS[1] / LEVELS[0]
     eff = (thr_hi / thr_lo) / ratio
+    c_lo, c_hi = ctrl_best[LEVELS[0]], ctrl_best[LEVELS[1]]
+    ctrl_eff = (c_hi["rows_per_s"] / c_lo["rows_per_s"]) / ratio
+    norm = eff / ctrl_eff
+    met = eff >= 0.8 or norm >= 0.9
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -100,6 +129,9 @@ def main():
         f"docs_per_sec_local{LEVELS[1]}": thr_hi,
         f"wall_s_local{LEVELS[0]}": lo["value"],
         f"wall_s_local{LEVELS[1]}": hi["value"],
+        "control_efficiency": round(ctrl_eff, 3),
+        "normalized_efficiency": round(norm, 3),
+        "criterion_met": met,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # append-style history: the curated narrative in BENCH/BASELINE.md
@@ -107,11 +139,17 @@ def main():
     with open(os.path.join(REPO, "BENCH", "RUNS.md"), "a") as f:
         f.write(f"\n## run ({n_rows:,} rows, taskset-pinned, tmpfs shuffle,"
                 f" converge-min, interleaved ×{rounds})\n\n"
-                f"| level | wall (s) | throughput (docs/s) |\n|---|---|---|\n"
-                f"| local[{LEVELS[0]}] | {lo['value']} | {thr_lo:,.0f} |\n"
-                f"| local[{LEVELS[1]}] | {hi['value']} | {thr_hi:,.0f} |\n\n"
-                f"efficiency (thr{LEVELS[1]}/thr{LEVELS[0]})/{ratio:.0f}"
-                f" = **{eff:.3f}**"
+                f"| level | wall (s) | throughput (docs/s) | cpuburn rows/s |\n"
+                f"|---|---|---|---|\n"
+                f"| local[{LEVELS[0]}] | {lo['value']} | {thr_lo:,.0f} |"
+                f" {c_lo['rows_per_s']:,.0f} |\n"
+                f"| local[{LEVELS[1]}] | {hi['value']} | {thr_hi:,.0f} |"
+                f" {c_hi['rows_per_s']:,.0f} |\n\n"
+                f"raw efficiency (thr{LEVELS[1]}/thr{LEVELS[0]})/{ratio:.0f}"
+                f" = **{eff:.3f}**; same-hour cpuburn ceiling = "
+                f"**{ctrl_eff:.3f}**; normalized = eff/ceiling = "
+                f"**{norm:.3f}** (declared criterion: raw ≥ 0.8 OR "
+                f"normalized ≥ 0.9 → {'MET' if met else 'NOT MET'})"
                 f" — memcpy probe per round: {probes} GB/s\n")
     print(json.dumps(result))
 
