@@ -228,7 +228,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
               .withColumn("label", F.col("node")))
     labels = labels.localCheckpoint(eager=True)
     changed = -1
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # convergence check FOLDED into the propagation round (r2 verdict
         # item 3 — was 3 jobs/round): each node's old label rides along as
         # max(old) (non-null only on the self row), so "did anything
@@ -244,7 +244,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                       .groupBy("node").agg(F.min("label").alias("label"),
                                            F.max("old").alias("old")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        # probe the changed count only every 2nd round (r3 hygiene: the
+        # scan is cheap but still one driver job/round; near-dup graphs
+        # converge in 3-5 rounds, so alternate-round probing halves the
+        # scans at the cost of at most one extra propagation round —
+        # the fixpoint is unique, so the result is identical)
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = new_labels.filter(F.col("label") != F.col("old")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
