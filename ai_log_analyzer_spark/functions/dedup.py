@@ -304,3 +304,28 @@ def simhash(df: DataFrame, text_col: str = "text",
         term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         sig = term if sig is None else (sig + term)
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def contamination_overlap(train: DataFrame, eval_df: DataFrame,
+                          n: int = 3) -> DataFrame:
+    """Benchmark-contamination check: for every train document, how many
+    of its distinct word n-grams also occur anywhere in the eval corpus.
+
+    (doc_id, n_shingles, n_contaminated, contamination_ratio) per train
+    doc with ≥1 shingle.  Scale shape: the eval side is a benchmark —
+    thousands of docs, ~10⁵-10⁶ distinct shingle hashes (fixed-width
+    longs) — so it broadcasts; the train side streams through one
+    map-side semi-join plus a doc_id-keyed groupBy (uniform key, no
+    skew).  At a pathological eval size, drop the broadcast hint and let
+    AQE pick the join."""
+    t_sh = shingles(train, n=n)
+    e_sh = shingles(eval_df, n=n).select("shingle_hash").distinct()
+    sizes = t_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (t_sh.join(F.broadcast(e_sh), "shingle_hash")
+            .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                     .alias("n_contaminated"))
+            .withColumn("contamination_ratio", F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 6)))

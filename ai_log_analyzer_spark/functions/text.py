@@ -162,3 +162,120 @@ def lang_id_sql(text_expr: str) -> tuple[list[str], str]:
         guess = (f"CASE WHEN score_{lang} = {best} AND {best} > 0 "
                  f"THEN '{lang}' ELSE {guess} END")
     return scores, guess
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction (north star: "parse over the html/text byte
+# columns" of Common-Crawl-style pages).  Script/style blocks go first
+# (their content is not text), then tags, then whitespace collapse.
+# Patterns avoid backreferences so they sit in the Java-regex ∩ RE2
+# subset and the DuckDB oracle is exact; (?s) makes `.` cross newlines
+# in multi-line documents.
+# ---------------------------------------------------------------------------
+
+SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+TAG_RE = r"<[^>]+>"
+
+
+def html_text(html: Column) -> Column:
+    """Visible text of an html string: drop script/style blocks, strip
+    tags, collapse whitespace.  Pure Catalyst — at 100 TB this is a
+    codegen'd projection over the scan, no shuffle, no Python."""
+    s = F.regexp_replace(html, SCRIPT_RE, " ")
+    s = F.regexp_replace(s, STYLE_RE, " ")
+    s = F.regexp_replace(s, TAG_RE, " ")
+    return F.trim(F.regexp_replace(s, WS, " "))
+
+
+def html_text_sql(expr: str) -> str:
+    s = f"regexp_replace({expr}, '{SCRIPT_RE}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{STYLE_RE}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{TAG_RE}', ' ', 'g')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
+def html_tag_count(html: Column) -> Column:
+    """Markup-density signal: number of tags in the raw html (cheap
+    boilerplate-detection feature)."""
+    return F.size(F.regexp_extract_all(html, F.lit(TAG_RE), 0)).cast("long")
+
+
+def html_tag_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TAG_RE}'))"
+
+
+def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """``html: binary`` → extracted text + tag count (the input-contract
+    page shape carries html as bytes; decode happens JVM-side)."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    return (df
+            .withColumn("extracted", html_text(s))
+            .withColumn("n_tags", html_tag_count(s)))
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition ratio — the standard "spammy page" quality
+# signal for pre-training corpora: share of word n-grams that are
+# repeats of an earlier n-gram in the same document.  Per-row projection
+# over token arrays (sequence/transform/array_distinct) — zero shuffle,
+# zero Python; survives any scale trivially.
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ngrams, n_distinct, rep_ratio) per document with at
+    least one n-gram (shorter docs carry no signal and are dropped,
+    matching the oracle's UNNEST semantics)."""
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df
+            .select(F.col(id_col).alias("doc_id"),
+                    F.size(grams).cast("long").alias("n_ngrams"),
+                    F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"))
+            .filter(F.col("n_ngrams") > 0)
+            .withColumn("rep_ratio", F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_ngrams"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency scoring — a self-supervised quality signal: documents
+# made of corpus-common tokens score high mean term frequency, documents
+# of rare/garbage tokens score low.  All aggregates are exact integers
+# until one final division, so the DuckDB oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def corpus_tf_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_toks, sum_tf, mean_tf): per-doc sum/mean of corpus-wide
+    token frequencies.
+
+    Scale shape: one explode + one groupBy(word) for the frequency
+    table, then a broadcast join back onto the token stream (the
+    frequency side is vocabulary-sized — ~10⁶ rows even at web scale
+    after any sane token-length cap, far under the broadcast limit; if a
+    pipeline genuinely exceeds it, swap the hint for a shuffle join and
+    let AQE's skew-join split the stop-word keys), then one
+    groupBy(doc_id) whose key is uniform — no skew."""
+    toks = (df
+            .filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.trim(F.col(text_col)), WS)).alias("word")))
+    freq = toks.groupBy("word").agg(F.count("*").alias("c"))
+    return (toks.join(F.broadcast(freq), "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_toks"),
+                 F.sum("c").cast("long").alias("sum_tf"))
+            .withColumn("mean_tf", F.round(F.col("sum_tf") / F.col("n_toks"), 6)))
+
+
+CORPUS_TF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+             FROM documents WHERE trim(text) <> ''),
+freq AS (SELECT word, count(*) AS c FROM tok GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_toks, sum(c)::BIGINT AS sum_tf,
+       round(sum(c)::BIGINT / count(*), 6) AS mean_tf
+FROM tok JOIN freq USING (word) GROUP BY doc_id
+"""

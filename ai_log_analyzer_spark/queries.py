@@ -932,6 +932,95 @@ def pii_scrub_stats(spark, sf_dir):
                       "scrub_fingerprint")
 
 
+_HTML_WRAP_SQL = (
+    "'<html><head><title>d' || doc_id || '</title>"
+    "<script>var x=1;</script><style>p .red</style></head>"
+    "<body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p></body></html>'")
+
+
+@q("html_text_extract", f"""
+WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents)
+SELECT doc_id, {TX.html_text_sql('html')} AS extracted,
+       {TX.html_tag_count_sql('html')}::BIGINT AS n_tags
+FROM h
+""")
+def html_text_extract(spark, sf_dir):
+    """HTML → text extraction over the input contract's ``html: binary``
+    column (north star: "vectorized grok/regex parse over the html/text
+    byte columns").  Documents are wrapped into synthetic html BYTES,
+    then the operator decodes and strips script/style/tags/whitespace —
+    all JVM-side Catalyst regexp chains, no Python, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>d"), did,
+        F.lit("</title><script>var x=1;</script><style>p .red</style>"
+              "</head><body><h1>Doc "), did,
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"))
+    hdf = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return TX.html_extract(hdf).select("doc_id", "extracted", "n_tags")
+
+
+@q("repetition_ratio", """
+WITH sh AS (
+  SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+       UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+)
+SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+       count(DISTINCT shingle)::BIGINT AS n_distinct,
+       round(1 - count(DISTINCT shingle) / count(*), 6) AS rep_ratio
+FROM sh GROUP BY doc_id
+""")
+def repetition_ratio(spark, sf_dir):
+    """Within-doc 3-gram repetition ratio (spammy-page quality signal):
+    per-row array projection, zero shuffle (functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs, n=3)
+
+
+@q("corpus_tf_score", TX.CORPUS_TF_SQL)
+def corpus_tf_score(spark, sf_dir):
+    """Corpus-frequency quality score: per-doc sum/mean of corpus-wide
+    token frequencies (broadcast join of the vocabulary-sized frequency
+    table back onto the token stream; exact-integer aggregates)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.corpus_tf_score(docs)
+
+
+@q("contamination_ngrams", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {hash32_sql("shingle")} AS shingle_hash
+  FROM (
+    SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+  )
+),
+ev AS (SELECT DISTINCT shingle_hash FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM tr GROUP BY 1),
+hits AS (SELECT doc_id, count(*)::BIGINT AS n_contaminated
+         FROM tr JOIN ev USING (shingle_hash) GROUP BY 1)
+SELECT doc_id, n_shingles,
+       coalesce(n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(coalesce(n_contaminated, 0) / n_shingles, 6)
+         AS contamination_ratio
+FROM sizes LEFT JOIN hits USING (doc_id)
+""")
+def contamination_ngrams(spark, sf_dir):
+    """Benchmark-contamination check: docs with doc_id % 97 = 0 stand in
+    for the eval set; every other doc reports how many of its distinct
+    word 3-grams leak into it (functions/dedup.contamination_overlap —
+    broadcast semi-join on fixed-width shingle hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination_overlap(tr, ev, n=3)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: multimodal columns (driver-checkable — the fake
 # decoder is a pure byte function, so DuckDB mirrors it bit-exactly)

@@ -363,3 +363,53 @@ def test_streaming_parse_available_now(spark, pages_df, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == len(pages_df)
     assert out.filter("severity = 'dead'").count() == 0
+
+
+def test_html_extract_known_answer(spark):
+    html = ("<html><head><script type='x'>var a = '<p>';\nmore</script>"
+            "<style>h1 .big</style></head>"
+            "<body><h1>Title</h1><p>hello   world</p></body></html>")
+    df = spark.createDataFrame([(0, html.encode())], ["doc_id", "html"])
+    row = TX.html_extract(df).collect()[0]
+    assert row.extracted == "Title hello world"
+    # raw tag count over the full html, including the '<p>' inside the
+    # script body: html head script p /script style /style /head body
+    # h1 /h1 p /p /body /html = 15
+    assert row.n_tags == 15
+
+
+def test_repetition_stats_known_answer(spark):
+    rows = [(0, "a b c a b c a b c"),       # 7 trigrams, 3 distinct
+            (1, "all words here differ totally"),
+            (2, "one two")]                 # too short -> dropped
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.repetition_stats(df, n=3).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_ngrams == 7 and out[0].n_distinct == 3
+    assert out[0].rep_ratio == round(1 - 3 / 7, 6)
+    assert out[1].rep_ratio == 0.0
+
+
+def test_corpus_tf_score_known_answer(spark):
+    rows = [(0, "the the cat"), (1, "the dog"), (2, "  ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.corpus_tf_score(df).collect()}
+    # freq: the=3, cat=1, dog=1
+    assert set(out) == {0, 1}
+    assert out[0].n_toks == 3 and out[0].sum_tf == 3 + 3 + 1
+    assert out[1].n_toks == 2 and out[1].sum_tf == 3 + 1
+    assert out[1].mean_tf == 2.0
+
+
+def test_contamination_overlap(spark):
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    tr = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),       # fully contaminated
+         (1, "zeta eta theta iota kappa lambda"),     # clean
+         (2, "noise alpha beta gamma noise2 qq")],    # 1 of 4 shingles hits
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.contamination_overlap(tr, ev, n=3).collect()}
+    assert out[0].contamination_ratio == 1.0
+    assert out[1].n_contaminated == 0 and out[1].contamination_ratio == 0.0
+    assert out[2].n_shingles == 4 and out[2].n_contaminated == 1
