@@ -22,7 +22,8 @@ def build_session(app: str = "ai-log-analyzer-spark",
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        shuffle_partitions = int(os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS") or max(cores, 8))
     b = (
         SparkSession.builder
         .master(f"local[{cores}]")
@@ -37,6 +38,13 @@ def build_session(app: str = "ai-log-analyzer-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # scan-split granularity knob (default = Spark's 128m): smaller
+        # splits → more scan tasks → the scheduler can route around a
+        # straggling core; on a multi-tenant box (and any real cluster
+        # with uneven executors) coarse 1-task-per-core scans make the
+        # whole stage wait on the slowest core
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
