@@ -266,7 +266,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 def dedup_cluster_table(pairs: DataFrame,
                         docs: DataFrame | None = None,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        algorithm: str = "label") -> DataFrame:
     """(doc_id, cluster_id, n_members, keep): per-doc cluster assignment
     with the survivor flag (keep = doc is the cluster min).
 
@@ -276,8 +277,18 @@ def dedup_cluster_table(pairs: DataFrame,
     must cover EVERY doc (r2 verdict item 3; edges-only output forced
     callers to left-anti join the corpus themselves).  The singleton
     union is a broadcast-able left-anti join on the (small) component
-    table — no extra shuffle of the corpus."""
-    comp = connected_components(pairs)
+    table — no extra shuffle of the corpus.
+
+    ``algorithm``: "label" (min-label propagation, O(diameter) rounds —
+    right for shallow near-dup clusters) or "star" (large-star/small-
+    star, O(log n) rounds — the deep-graph escape hatch); both
+    fixpoints are the component minima, so the output is identical."""
+    if algorithm == "star":
+        comp = connected_components_star(pairs)
+    elif algorithm == "label":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     if docs is not None:
         singles = (docs.select(F.col(id_col).alias("doc_id")).distinct()
                    .join(comp, "doc_id", "left_anti")
@@ -329,3 +340,92 @@ def contamination_overlap(train: DataFrame, eval_df: DataFrame,
                      .alias("n_contaminated"))
             .withColumn("contamination_ratio", F.round(
                 F.col("n_contaminated") / F.col("n_shingles"), 6)))
+
+
+def connected_components_star(pairs: DataFrame,
+                              max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id): connected components via alternating
+    large-star / small-star rounds — the deep-graph escape hatch for
+    ``connected_components`` (min-label propagation is O(component
+    diameter) rounds; this is O(log n) rounds regardless of diameter,
+    after Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014 — public algorithm, reimplemented on the
+    DataFrame API).
+
+    Each round is two phases over the canonical (u < v) edge table:
+
+    - large-star: per node u over the symmetric adjacency, m =
+      min(Γ(u) ∪ {u}); every LARGER neighbor v > u re-attaches to m.
+    - small-star: per larger-endpoint v, m = min(smaller nbrs ∪ {v});
+      every smaller neighbor and v itself attach to m.
+
+    Both phases are a groupBy-min plus an equi-join — fixed-width int
+    shuffle keys, no text.  Edges are ``localCheckpoint``-ed per round
+    (plan-growth guard) and convergence is an edge-set signature
+    (count + sum/min/max of xxhash64(u,v)): equal signatures in
+    consecutive rounds ⇒ fixpoint (probabilistic only against 64-bit
+    sum collisions).  At the fixpoint the graph is a star forest rooted
+    at each component's min id, so labels = min(Γ(u) ∪ {u}).
+
+    Same output contract as ``connected_components`` (every node
+    appearing in ``pairs`` is labeled; fixpoint labels are the unique
+    component minima, so the two algorithms agree row-for-row).  Use
+    this when the pair graph is chain-shaped (transitive near-dup
+    chains, link graphs); keep min-label for shallow near-dup clusters
+    where 3-5 cheap rounds beat the extra per-round distinct."""
+    base = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            .where(F.col("u") != F.col("v")))
+    edges = (base.select(F.least("u", "v").alias("u"),
+                         F.greatest("u", "v").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+
+    def _sig(e: DataFrame):
+        h = F.xxhash64("u", "v")
+        r = e.agg(F.count("*").alias("n"), F.sum(h).alias("s"),
+                  F.min(h).alias("lo"), F.max(h).alias("hi")).collect()[0]
+        return (r.n, r.s, r.lo, r.hi)
+
+    sig = _sig(edges)
+    converged = False
+    for _ in range(max_iter):
+        sym = edges.unionAll(edges.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        large = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .where(F.col("m") != F.col("v"))
+                 .select(F.col("m").alias("u"), "v")     # m <= u < v
+                 .distinct())
+        mins2 = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = (large.join(mins2, "v")
+                 .where(F.col("u") != F.col("m"))
+                 .select(F.col("m").alias("u"), F.col("u").alias("v"))
+                 .unionAll(mins2.select(F.col("m").alias("u"), "v"))
+                 .distinct())
+        edges = small.localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"connected_components_star exhausted max_iter={max_iter} "
+            f"without an edge-set fixpoint; labels may not be component "
+            f"minima", RuntimeWarning)
+
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+    labels = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+              .select(F.col("u").alias("doc_id"),
+                      F.least("u", "mn").alias("cluster_id")))
+    # nodes whose only pairs were self-pairs (or that became isolated)
+    # still need a label — same every-node contract as min-label CC
+    nodes = (pairs.select(F.col("doc_a").alias("doc_id"))
+             .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+             .distinct())
+    singles = (nodes.join(labels, "doc_id", "left_anti")
+               .select("doc_id", F.col("doc_id").alias("cluster_id")))
+    return labels.unionAll(singles)

@@ -58,3 +58,70 @@ def split_assign_sql(id_expr: str, salt: str = "split-v1") -> str:
 
 def in_sample_sql(id_expr: str, pct: int, salt: str = "sample-v1") -> str:
     return f"{_bucket_sql(id_expr, salt)} < {pct}"
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling (α = 0.5) across a group key (source/domain/lang)
+# ---------------------------------------------------------------------------
+# Multilingual/multi-domain pretraining mixes groups with weight ∝ c^α
+# (α < 1 up-weights the tail).  Everything stays in EXACT integer
+# arithmetic so the DuckDB oracle matches bit-for-bit with no float-
+# boundary flips: weight w_g = floor(sqrt(c_g)) (isqrt via the
+# correctly-rounded IEEE sqrt — exact for integer-valued doubles
+# < 2^52), acceptance rate in ppm = (10^6 · N · w_g) div (Σw · c_g),
+# membership = hash32(id | salt) % 10^6 < rate.  Per-row cost is a
+# hash + compare; the per-group rate table is one groupBy (tiny) and a
+# broadcast join — scales to any corpus.  Overflow bound: 10^6·N·w
+# must stay under 2^63 → fine below ~10^9 target docs; past that,
+# compute the rate in DECIMAL(38) or per-group on the driver.
+TEMP_PPM = 1_000_000
+
+
+def temperature_rates(docs, group_col: str, target_n: int):
+    """Per-group acceptance rates: (group, n_docs, rate_ppm)."""
+    from pyspark.sql import functions as F
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    counts = counts.withColumn("_w", w)
+    tot_w = counts.select(F.sum("_w").alias("tw"))
+    return (counts.crossJoin(F.broadcast(tot_w))
+            .select(group_col, "n_docs",
+                    F.least(F.lit(TEMP_PPM), F.expr(
+                        f"({TEMP_PPM}L * {target_n} * _w) div (tw * n_docs)"
+                    )).alias("rate_ppm")))
+
+
+def temperature_select(docs, group_col: str, id_col: str, target_n: int,
+                       salt: str = "temp-v1"):
+    """Docs joined with their group's rate + deterministic membership
+    flag ``selected``."""
+    from pyspark.sql import functions as F
+    rates = temperature_rates(docs, group_col, target_n)
+    h = F.pmod(hash32(F.concat(F.col(id_col).cast("string"),
+                               F.lit(f"|{salt}"))), F.lit(TEMP_PPM))
+    return (docs.join(F.broadcast(rates), group_col)
+            .withColumn("selected", h < F.col("rate_ppm")))
+
+
+def temperature_select_sql(table: str, group_expr: str, id_expr: str,
+                           target_n: int, salt: str = "temp-v1") -> str:
+    """Oracle: per-group (n_docs, rate_ppm, n_selected) — exact."""
+    h = hash32_sql(f"{id_expr}::VARCHAR || '|{salt}'")
+    return f"""
+WITH counts AS (
+  SELECT {group_expr} AS grp, count(*)::BIGINT AS n_docs FROM {table} GROUP BY 1
+), weighted AS (
+  SELECT grp, n_docs, floor(sqrt(n_docs::DOUBLE))::BIGINT AS w FROM counts
+), rates AS (
+  SELECT grp, n_docs,
+         least({TEMP_PPM}, ({TEMP_PPM}::BIGINT * {target_n} * w)
+               // ((SELECT sum(w)::BIGINT FROM weighted) * n_docs)
+              )::BIGINT AS rate_ppm
+  FROM weighted
+)
+SELECT r.grp AS grp, r.n_docs AS n_docs, r.rate_ppm AS rate_ppm,
+       sum(CASE WHEN ({h} % {TEMP_PPM}) < r.rate_ppm THEN 1 ELSE 0 END)::BIGINT
+         AS n_selected
+FROM {table} t JOIN rates r ON {group_expr} = r.grp
+GROUP BY 1, 2, 3
+"""

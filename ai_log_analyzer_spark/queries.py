@@ -1162,3 +1162,136 @@ def stream_stateful_counts(spark, sf_dir):
     from .streaming import stream_pipeline as SP
     return SP.stateful_running_counts_available_now(
         spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: chunking / packing / resampling / URL curation
+# ---------------------------------------------------------------------------
+
+def _chunks_oracle() -> str:
+    from .functions import packing as PK
+    return PK.chunk_spans_sql("documents")
+
+
+@q("doc_chunks", _chunks_oracle())
+def doc_chunks(spark, sf_dir):
+    """Fixed-size token-window chunking (64 tokens, 16 overlap) — the
+    per-document split used for context-bounded training/embedding jobs.
+    Stateless sequence+explode projection, zero shuffle at any scale
+    (functions/packing.py)."""
+    from .functions import packing as PK
+    return PK.chunk_spans(_t(spark, sf_dir, "documents"))
+
+
+def _pack_oracle() -> str:
+    from .functions import packing as PK
+    return PK.pack_manifest_sql("documents")
+
+
+@q("pack_manifest", _pack_oracle())
+def pack_manifest(spark, sf_dir):
+    """Concatenation-packing manifest: global token offsets in doc_id
+    order + the training-sequence indices (256 tokens/seq) each doc
+    spans.  The global running offset is a DISTRIBUTED prefix sum
+    (bucketed partial sums + tiny driver cumulation + per-bucket window)
+    — never a single-partition global window; the oracle is DuckDB's
+    plain global window (functions/packing.py)."""
+    from .functions import packing as PK
+    return PK.pack_manifest(_t(spark, sf_dir, "documents"))
+
+
+def _temp_oracle() -> str:
+    from .functions import sampling as SA
+    return SA.temperature_select_sql(
+        "documents", "source", "doc_id",
+        "(SELECT count(*) // 2 FROM documents)")
+
+
+@q("temperature_sample", _temp_oracle())
+def temperature_sample(spark, sf_dir):
+    """Temperature resampling (α = 0.5) across sources: per-source
+    acceptance rates ∝ sqrt(count)/count toward a target of half the
+    corpus, membership decided by a deterministic id-hash — the
+    multilingual/multi-domain mixing stage, in exact integer arithmetic
+    so the oracle matches bit-for-bit (functions/sampling.py)."""
+    from .functions import sampling as SA
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.count() // 2
+    sel = SA.temperature_select(docs, "source", "doc_id", target)
+    return (sel.groupBy(F.col("source").alias("grp"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.first("rate_ppm").alias("rate_ppm"),
+                 F.sum(F.col("selected").cast("long")).alias("n_selected")))
+
+
+_URL_SYNTH_SQL = """
+  'https://' || source
+    || (CASE WHEN doc_id % 5 = 0 THEN '.EXAMPLE.com' ELSE '.example.com' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || (doc_id // 40)
+    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=rss&id=' || ((doc_id // 40) % 7)
+             WHEN doc_id % 4 = 1 THEN '?id=' || ((doc_id // 40) % 7) || '&utm_campaign=x'
+             ELSE '' END)
+"""
+
+
+def _url_oracle() -> str:
+    from .functions import urls as U
+    return f"""
+WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+c AS (SELECT doc_id, url, {U.canonical_url_sql('url')} AS canon,
+             {U.registered_domain_sql('url')} AS domain
+      FROM u)
+SELECT domain, count(*)::BIGINT AS n_urls,
+       count(DISTINCT canon)::BIGINT AS n_canonical,
+       sum(CASE WHEN canon <> url THEN 1 ELSE 0 END)::BIGINT AS n_changed
+FROM c GROUP BY 1
+"""
+
+
+@q("url_canonical_stats", _url_oracle())
+def url_canonical_stats(spark, sf_dir):
+    """Crawl URL curation: canonicalize synthetic per-doc URLs (case-
+    folded scheme/host, default-port drop, utm_* strip, trailing-slash
+    fold) and report per-registered-domain url/canonical/changed counts.
+    The canonicalization kernel is a shared Java-regex ∩ RE2 recipe —
+    pure Catalyst projection + one groupBy (functions/urls.py)."""
+    from .functions import urls as U
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.when(d % 5 == 0, F.lit(".EXAMPLE.com")).otherwise(F.lit(".example.com")),
+        F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), F.expr("doc_id div 40").cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("?utm_source=rss&id="),
+                        F.expr("(doc_id div 40) % 7").cast("string")))
+         .when(d % 4 == 1,
+               F.concat(F.lit("?id="), F.expr("(doc_id div 40) % 7").cast("string"),
+                        F.lit("&utm_campaign=x")))
+         .otherwise(F.lit("")))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    c = docs.select(
+        "url",
+        U.canonical_url(F.col("url")).alias("canon"),
+        U.registered_domain(F.col("url")).alias("domain"))
+    return (c.groupBy("domain")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct("canon").alias("n_canonical"),
+                 F.sum((F.col("canon") != F.col("url")).cast("long"))
+                  .alias("n_changed")))
+
+
+@q("dedup_clusters_star", _ORACLES["dedup_clusters"])
+def dedup_clusters_star(spark, sf_dir):
+    """Same keep/drop cluster table as ``dedup_clusters`` but computed
+    by alternating large-star/small-star rounds (O(log n) rounds
+    regardless of component diameter — the deep-graph escape hatch for
+    chain-shaped pair graphs).  Both algorithms' fixpoints are the
+    component minima, so the DuckDB recursive-CTE oracle is shared
+    verbatim (functions/dedup.connected_components_star)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
+    return D.dedup_cluster_table(pairs, docs=docs, algorithm="star")

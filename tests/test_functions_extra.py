@@ -413,3 +413,41 @@ def test_contamination_overlap(spark):
     assert out[0].contamination_ratio == 1.0
     assert out[1].n_contaminated == 0 and out[1].contamination_ratio == 0.0
     assert out[2].n_shingles == 4 and out[2].n_contaminated == 1
+
+
+def test_star_cc_matches_min_label_on_random_graph(spark):
+    """Large-star/small-star must agree row-for-row with min-label
+    propagation (both fixpoints are the component minima)."""
+    import random
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    a = sorted(map(tuple, D.connected_components(df).collect()))
+    b = sorted(map(tuple, D.connected_components_star(df).collect()))
+    assert a == b
+
+
+def test_star_cc_deep_chain_beats_min_label_rounds(spark):
+    """The escape hatch it exists for: a 60-node chain (diameter 59)
+    exhausts min-label at max_iter=10 (warns, unconverged) while the
+    star rounds land the exact component minimum well inside 10
+    rounds (O(log n))."""
+    import warnings
+    chain = [(i, i + 1) for i in range(59)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        D.connected_components(df, max_iter=10).collect()
+    assert any("NOT converged" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = D.connected_components_star(df, max_iter=10).collect()
+    assert not w
+    assert sorted((r.doc_id, r.cluster_id) for r in out) == \
+        [(i, 0) for i in range(60)]
+
+
+def test_star_cc_self_pairs_and_isolates(spark):
+    df = spark.createDataFrame([(5, 5), (1, 2)], ["doc_a", "doc_b"])
+    out = sorted(map(tuple, D.connected_components_star(df).collect()))
+    assert out == [(1, 1), (2, 1), (5, 5)]

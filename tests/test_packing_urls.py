@@ -1,0 +1,142 @@
+"""Unit tests for the chunking/packing manifests, URL canonicalization,
+and temperature resampling (functions/packing.py, urls.py, sampling.py).
+Cross-engine oracle parity for the driver queries is covered by
+tests/test_driver_contract.py; these pin the kernels' semantics on
+handcrafted cases."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ai_log_analyzer_spark.functions import packing as PK
+from ai_log_analyzer_spark.functions import sampling as SA
+from ai_log_analyzer_spark.functions import urls as U
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunk_spans_overlap_math(spark):
+    ten = " ".join(f"t{i}" for i in range(10))
+    df = _docs(spark, [(1, ten), (2, "a b"), (3, ""), (4, "   ")])
+    out = (PK.chunk_spans(df, chunk=4, overlap=1)
+           .orderBy("doc_id", "chunk_idx").collect())
+    got = [(r.doc_id, r.chunk_idx, r.tok_start, r.tok_end) for r in out]
+    # stride 3: 10 tokens -> [0,4) [3,7) [6,10); 2 tokens -> one short
+    # chunk; empty/blank docs emit nothing
+    assert got == [(1, 0, 0, 4), (1, 1, 3, 7), (1, 2, 6, 10),
+                   (2, 0, 0, 2)]
+
+
+def test_chunk_spans_boundary_exact_fit(spark):
+    # n == chunk -> exactly one chunk, no empty tail window
+    df = _docs(spark, [(1, "a b c d")])
+    out = PK.chunk_spans(df, chunk=4, overlap=2).collect()
+    assert [(r.chunk_idx, r.tok_start, r.tok_end) for r in out] == [(0, 0, 4)]
+
+
+def test_pack_manifest_is_global_cumsum(spark):
+    # adversarial doc_id order + gaps; compare to a pandas prefix sum
+    rows = [(i * 7 % 101, " ".join(["w"] * (1 + i % 9))) for i in range(60)]
+    df = _docs(spark, rows).repartition(7)
+    out = (PK.pack_manifest(df, capacity=10, n_buckets=5)
+           .orderBy("doc_id").toPandas())
+    ref = (pd.DataFrame(rows, columns=["doc_id", "text"])
+           .assign(n=lambda d: d.text.str.split().str.len())
+           .sort_values("doc_id").reset_index(drop=True))
+    ref["start"] = ref.n.cumsum().shift(fill_value=0)
+    assert list(out.doc_id) == list(ref.doc_id)
+    assert list(out.start_off) == list(ref.start)
+    assert list(out.end_off) == list(ref.start + ref.n)
+    assert list(out.first_seq) == list(ref.start // 10)
+    assert list(out.last_seq) == list((ref.start + ref.n - 1) // 10)
+
+
+def test_pack_manifest_partitioning_invariant(spark):
+    rows = [(i, " ".join(["w"] * (1 + i % 5))) for i in range(40)]
+    a = (PK.pack_manifest(_docs(spark, rows).repartition(1), n_buckets=3)
+         .orderBy("doc_id").collect())
+    b = (PK.pack_manifest(_docs(spark, rows).repartition(13), n_buckets=11)
+         .orderBy("doc_id").collect())
+    assert a == b
+
+
+def test_pack_manifest_drops_empty_docs(spark):
+    df = _docs(spark, [(1, "a b"), (2, ""), (3, "c")])
+    out = PK.pack_manifest(df, capacity=2).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.start_off, r.end_off) for r in out] == \
+        [(1, 0, 2), (3, 2, 3)]
+
+
+CANON_CASES = [
+    # (raw, canonical)
+    ("https://A.Example.COM:443/p/1/?utm_source=x&id=3",
+     "https://a.example.com/p/1?id=3"),
+    ("http://h.example.com:80/x", "http://h.example.com/x"),
+    ("http://h.example.com:8080/x", "http://h.example.com:8080/x"),
+    ("https://h.example.com", "https://h.example.com/"),
+    ("https://h.example.com/a/b/#frag", "https://h.example.com/a/b"),
+    ("https://h.example.com/?utm_a=1", "https://h.example.com/"),
+    ("https://h.example.com/?utm_a=1&utm_b=2&q=z",
+     "https://h.example.com/?q=z"),
+    ("HTTPS://h.example.com/KeepCase", "https://h.example.com/KeepCase"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _c in CANON_CASES], ["url"])
+    got = [r.c for r in
+           df.select(U.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _r, c in CANON_CASES]
+
+
+def test_canonical_url_sql_mirror_matches(spark):
+    import duckdb
+    con = duckdb.connect()
+    con.execute("SET threads TO 1")
+    for raw, want in CANON_CASES:
+        got = con.execute(
+            f"SELECT {U.canonical_url_sql('u')} FROM (SELECT ? AS u)",
+            [raw]).fetchone()[0]
+        assert got == want, raw
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [("https://a.b.news.example.com/x",)], ["url"])
+    assert df.select(U.registered_domain(F.col("url")).alias("d")) \
+        .collect()[0].d == "example.com"
+
+
+def test_temperature_rates_upweight_tail(spark):
+    # head source 300 docs, tail 3 docs: alpha=0.5 must give the tail a
+    # strictly higher acceptance rate, never above 100%
+    rows = [(i, "head") for i in range(300)] + \
+        [(1000 + i, "tail") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {r.source: r.rate_ppm for r in
+             SA.temperature_rates(df, "source", target_n=150).collect()}
+    assert rates["tail"] > rates["head"]
+    assert rates["tail"] <= SA.TEMP_PPM
+
+
+def test_temperature_select_deterministic(spark):
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted((r.doc_id, r.selected) for r in
+               SA.temperature_select(df, "source", "doc_id", 100).collect())
+    b = sorted((r.doc_id, r.selected) for r in
+               SA.temperature_select(df.repartition(9), "source", "doc_id",
+                                     100).collect())
+    assert a == b
+    n_sel = sum(1 for _i, s in a if s)
+    assert 60 <= n_sel <= 140     # rate targets ~100 of 200
+
+
+def test_new_ops_have_no_python_eval(spark):
+    """chunking / url canonicalization are pure Catalyst — no UDFs."""
+    df = _docs(spark, [(1, "a b c")])
+    for plan_df in (PK.chunk_spans(df),
+                    df.select(U.canonical_url(F.lit("https://x.example.com/")))):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
