@@ -361,10 +361,13 @@ def connected_components_star(pairs: DataFrame,
 
     Both phases are a groupBy-min plus an equi-join — fixed-width int
     shuffle keys, no text.  Edges are ``localCheckpoint``-ed per round
-    (plan-growth guard) and convergence is an edge-set signature
-    (count + sum/min/max of xxhash64(u,v)): equal signatures in
-    consecutive rounds ⇒ fixpoint (probabilistic only against 64-bit
-    sum collisions).  At the fixpoint the graph is a star forest rooted
+    (plan-growth guard) and convergence is EXACT set equality between
+    consecutive rounds: both edge tables are distinct, so equal counts
+    plus an empty one-direction ``left_anti`` ⇒ identical sets — two
+    cheap jobs per round over checkpointed inputs, no hash-collision
+    false positive (round-4 verdict: the previous count+sum/min/max
+    xxhash64 signature both overflowed int64 under ANSI mode and was
+    probabilistic).  At the fixpoint the graph is a star forest rooted
     at each component's min id, so labels = min(Γ(u) ∪ {u}).
 
     Same output contract as ``connected_components`` (every node
@@ -379,13 +382,7 @@ def connected_components_star(pairs: DataFrame,
                          F.greatest("u", "v").alias("v"))
              .distinct().localCheckpoint(eager=True))
 
-    def _sig(e: DataFrame):
-        h = F.xxhash64("u", "v")
-        r = e.agg(F.count("*").alias("n"), F.sum(h).alias("s"),
-                  F.min(h).alias("lo"), F.max(h).alias("hi")).collect()[0]
-        return (r.n, r.s, r.lo, r.hi)
-
-    sig = _sig(edges)
+    n_edges = edges.count()
     converged = False
     for _ in range(max_iter):
         sym = edges.unionAll(edges.select(F.col("v").alias("u"),
@@ -403,12 +400,15 @@ def connected_components_star(pairs: DataFrame,
                  .select(F.col("m").alias("u"), F.col("u").alias("v"))
                  .unionAll(mins2.select(F.col("m").alias("u"), "v"))
                  .distinct())
-        edges = small.localCheckpoint(eager=True)
-        new_sig = _sig(edges)
-        if new_sig == sig:
+        prev, edges = edges, small.localCheckpoint(eager=True)
+        n_new = edges.count()
+        # exact fixpoint test: both sets are distinct, so |new| == |prev|
+        # and new ⊆ prev ⟺ new == prev (one anti-join, not two)
+        if (n_new == n_edges and
+                edges.join(prev, ["u", "v"], "left_anti").count() == 0):
             converged = True
             break
-        sig = new_sig
+        n_edges = n_new
     if not converged:
         import warnings
         warnings.warn(

@@ -442,7 +442,9 @@ def test_star_cc_deep_chain_beats_min_label_rounds(spark):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         out = D.connected_components_star(df, max_iter=10).collect()
-    assert not w
+    # only the function's own non-convergence RuntimeWarning counts —
+    # py4j GC can emit unrelated ResourceWarnings mid-block
+    assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
     assert sorted((r.doc_id, r.cluster_id) for r in out) == \
         [(i, 0) for i in range(60)]
 
