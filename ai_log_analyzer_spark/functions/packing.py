@@ -116,6 +116,15 @@ def pack_manifest(docs: DataFrame, text_col: str = "text",
     spark = docs.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism * 4
+    # fail fast on non-integral ids (round-4 advice): a silent cast to
+    # long turns string ids into NULLs that survive the n_tokens filter,
+    # land in a None bucket key, and crash sorted(totals) obscurely
+    id_type = dict(docs.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"pack_manifest requires an integral {id_col!r} column for "
+            f"its range-bucketed prefix sum; got {id_type!r} — map ids "
+            f"to integers first (e.g. xxhash64 or a dictionary join)")
     toks = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
                         token_count(F.col(text_col)).alias("n_tokens"))
             .where(F.col("n_tokens") > 0))

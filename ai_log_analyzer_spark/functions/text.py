@@ -166,32 +166,57 @@ def lang_id_sql(text_expr: str) -> tuple[list[str], str]:
 
 # ---------------------------------------------------------------------------
 # HTML text extraction (north star: "parse over the html/text byte
-# columns" of Common-Crawl-style pages).  Script/style blocks go first
-# (their content is not text), then tags, then whitespace collapse.
-# Patterns avoid backreferences so they sit in the Java-regex ∩ RE2
-# subset and the DuckDB oracle is exact; (?s) makes `.` cross newlines
-# in multi-line documents.
+# columns" of Common-Crawl-style pages).  Comments go first (they may
+# contain anything), then script/style blocks (their content is not
+# text, case-insensitive — real crawls carry <SCRIPT>), then tags, then
+# entity decoding (AFTER tag strip so a decoded &lt;b&gt; never reads
+# as markup; &amp; LAST so double-escaped text decodes exactly one
+# level), then whitespace collapse.  Patterns avoid backreferences so
+# they sit in the Java-regex ∩ RE2 subset and the DuckDB oracle is
+# exact; (?s) makes `.` cross newlines in multi-line documents.
 # ---------------------------------------------------------------------------
 
-SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
-STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
 TAG_RE = r"<[^>]+>"
+
+# the standard named entities + their decimal numeric twins; a full
+# numeric decoder (&#NNNN; → any codepoint) needs computed replacement
+# text, which neither regexp_replace dialect can express — the bounded
+# chain covers the forms that dominate real markup
+HTML_ENTITIES = (
+    (r"&lt;|&#60;", "<"),
+    (r"&gt;|&#62;", ">"),
+    (r"&quot;|&#34;", '"'),
+    (r"&apos;|&#39;", "'"),
+    (r"&nbsp;|&#160;", " "),
+    (r"&amp;|&#38;", "&"),
+)
 
 
 def html_text(html: Column) -> Column:
-    """Visible text of an html string: drop script/style blocks, strip
-    tags, collapse whitespace.  Pure Catalyst — at 100 TB this is a
+    """Visible text of an html string: drop comments and script/style
+    blocks (case-insensitive), strip tags, decode the standard
+    entities, collapse whitespace.  Pure Catalyst — at 100 TB this is a
     codegen'd projection over the scan, no shuffle, no Python."""
-    s = F.regexp_replace(html, SCRIPT_RE, " ")
+    s = F.regexp_replace(html, COMMENT_RE, " ")
+    s = F.regexp_replace(s, SCRIPT_RE, " ")
     s = F.regexp_replace(s, STYLE_RE, " ")
     s = F.regexp_replace(s, TAG_RE, " ")
+    for pat, repl in HTML_ENTITIES:
+        s = F.regexp_replace(s, pat, repl)
     return F.trim(F.regexp_replace(s, WS, " "))
 
 
 def html_text_sql(expr: str) -> str:
-    s = f"regexp_replace({expr}, '{SCRIPT_RE}', ' ', 'g')"
+    s = f"regexp_replace({expr}, '{COMMENT_RE}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{SCRIPT_RE}', ' ', 'g')"
     s = f"regexp_replace({s}, '{STYLE_RE}', ' ', 'g')"
     s = f"regexp_replace({s}, '{TAG_RE}', ' ', 'g')"
+    for pat, repl in HTML_ENTITIES:
+        lit = repl.replace("'", "''")
+        s = f"regexp_replace({s}, '{pat}', '{lit}', 'g')"
     return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
 
 

@@ -2,12 +2,20 @@
 
 Crawl dedup and domain-level curation both start from a canonical URL:
 case-normalized scheme+host, default ports dropped, tracking params
-(``utm_*``) stripped, trailing-slash-insensitive path, fragment
-dropped.  The kernel is a shared recipe of regexp_extract/replace steps
+(``utm_*``) stripped, remaining query params SORTED (``?b=2&a=1`` and
+``?a=1&b=2`` are the same resource), trailing-slash-insensitive path,
+fragment dropped.  The kernel is a shared recipe of regexp/array steps
 written in the Java-regex ∩ RE2 subset (no lookaround, no replacement
 backrefs), so the Spark form and the DuckDB oracle are the same
 computation — pure Catalyst, stateless projection, no shuffle at any
 scale.
+
+``registered_domain`` uses a FROZEN two-level public-suffix table (the
+public-suffix-list entries a crawl actually hits: ``co.uk``-style
+ccTLD second levels).  The table is ~50 literals, so it compiles to a
+codegen'd IN list — strictly cheaper than the broadcast join a full
+PSL (~9k rules, wildcards/exceptions) would need; the docstring names
+that as the upgrade path if full PSL fidelity is ever required.
 
 No counterpart in the reference (log pipeline); task-spec extra for
 the training-data path.
@@ -22,13 +30,41 @@ _SCHEME = r"^([A-Za-z]+)://"
 _HOST = r"^[A-Za-z]+://([^/?#:]+)"
 _PATH = r"^[A-Za-z]+://[^/?#]+([^?#]*)"
 _QUERY = r"[?]([^#]*)"
-# utm_* killers, applied in order (mid-string, leading, lone)
-_UTM_STEPS = (
-    (r"&utm_[a-z]+=[^&#]*", ""),
-    (r"^utm_[a-z]+=[^&#]*&", ""),
-    (r"^utm_[a-z]+=[^&#]*$", ""),
-)
+_UTM_PARAM = r"^utm_[a-z]+="
 _REG_DOMAIN = r"([^.]+[.][^.]+)$"
+_REG_DOMAIN3 = r"([^.]+[.][^.]+[.][^.]+)$"
+
+# Frozen two-level public suffixes (ccTLD second-level registries).  A
+# host ending in one of these registers at the THIRD label from the
+# right: bbc.co.uk, not co.uk.  Full-PSL fidelity (wildcard `*.ck`,
+# exception rules, private suffixes) would need the ~9k-rule list as a
+# broadcast table; this frozen subset covers the dominant crawl mass.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "co.za", "org.za", "net.za", "web.za", "gov.za",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.sg", "edu.sg", "gov.sg",
+    "com.hk", "edu.hk", "gov.hk",
+    "com.tw", "edu.tw", "gov.tw",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr",
+    "co.th", "or.th", "ac.th", "go.th",
+    "co.id", "or.id", "ac.id", "go.id", "web.id",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "com.ph", "net.ph", "org.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "com.eg", "com.sa", "com.ua", "com.pl", "com.pk", "com.ng",
+    "co.il", "org.il", "ac.il", "gov.il",
+    "co.ke", "or.ke", "ac.ke", "go.ke",
+)
 
 
 def host_of(url: Column) -> Column:
@@ -36,9 +72,24 @@ def host_of(url: Column) -> Column:
 
 
 def registered_domain(url: Column) -> Column:
-    """Last two host labels (public-suffix-lite: good for generic
-    TLDs; a frozen two-level-suffix table is the at-scale upgrade)."""
-    return F.regexp_extract(host_of(url), _REG_DOMAIN, 1)
+    """Registrable domain: last two host labels, or last THREE when the
+    last two are a frozen two-level public suffix (``bbc.co.uk`` groups
+    as ``bbc.co.uk``, never as ``co.uk``)."""
+    host = host_of(url)
+    last2 = F.regexp_extract(host, _REG_DOMAIN, 1)
+    last3 = F.regexp_extract(host, _REG_DOMAIN3, 1)
+    return F.when(last2.isin(list(TWO_LEVEL_SUFFIXES)) & (last3 != ""),
+                  last3).otherwise(last2)
+
+
+def _canon_query(q: Column) -> Column:
+    """Drop utm_* params and empty fragments, then SORT what remains —
+    param order is presentation, not identity.  Array ops are Catalyst
+    higher-order functions (filter/array_sort/array_join): codegen'd,
+    no Python."""
+    params = F.filter(F.split(q, "&"),
+                      lambda x: (x != "") & ~x.rlike(_UTM_PARAM))
+    return F.array_join(F.array_sort(params), "&")
 
 
 def canonical_url(url: Column) -> Column:
@@ -54,9 +105,7 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_extract(url, _PATH, 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    q = F.regexp_extract(url, _QUERY, 1)
-    for pat, rep in _UTM_STEPS:
-        q = F.regexp_replace(q, pat, rep)
+    q = _canon_query(F.regexp_extract(url, _QUERY, 1))
     return F.concat(
         scheme, F.lit("://"), host,
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
@@ -69,7 +118,20 @@ def host_of_sql(expr: str) -> str:
 
 
 def registered_domain_sql(expr: str) -> str:
-    return f"regexp_extract({host_of_sql(expr)}, '{_REG_DOMAIN}', 1)"
+    host = host_of_sql(expr)
+    last2 = f"regexp_extract({host}, '{_REG_DOMAIN}', 1)"
+    last3 = f"regexp_extract({host}, '{_REG_DOMAIN3}', 1)"
+    inlist = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return (f"(CASE WHEN {last2} IN ({inlist}) AND {last3} <> '' "
+            f"THEN {last3} ELSE {last2} END)")
+
+
+def _canon_query_sql(q: str) -> str:
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
+    return ("coalesce(array_to_string(list_sort(list_filter("
+            f"string_split({q}, '&'), "
+            f"x -> x <> '' AND NOT regexp_matches(x, '{_UTM_PARAM}'))), "
+            "'&'), '')")
 
 
 def canonical_url_sql(expr: str) -> str:
@@ -80,9 +142,7 @@ def canonical_url_sql(expr: str) -> str:
             f" AND NOT ({scheme} = 'http' AND {port} = '80'))")
     path = f"regexp_replace(regexp_extract({expr}, '{_PATH}', 1), '/+$', '')"
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
-    q = f"regexp_extract({expr}, '{_QUERY}', 1)"
-    for pat, rep in _UTM_STEPS:
-        q = f"regexp_replace({q}, '{pat}', '{rep}')"
+    q = _canon_query_sql(f"regexp_extract({expr}, '{_QUERY}', 1)")
     return (f"{scheme} || '://' || {host}"
             f" || (CASE WHEN {keep} THEN ':' || {port} ELSE '' END)"
             f" || {path}"

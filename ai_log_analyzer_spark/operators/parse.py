@@ -156,9 +156,13 @@ def parse_template_ids_jvm(pages: DataFrame,
     entries = from_rows(catalog_rows)
     df = pages.select("url", "warc_ts", "lang", "host", "seq_no",
                       _jvm_masked(F.col("text")).alias("_form"))
-    toks = F.split(F.trim(F.col("_form")), r"\s+")
+    # full-whitespace trim (not F.trim, which strips only spaces): the
+    # Python Matcher counts via str.split(), so a trailing \n or \t must
+    # not inflate _cnt and dead-letter a row the Arrow path parses
+    form_trim = F.regexp_replace(F.col("_form"), r"^\s+|\s+$", "")
+    toks = F.split(form_trim, r"\s+")
     df = (df
-          .withColumn("_cnt", F.when(F.trim(F.col("_form")) == "", F.lit(0))
+          .withColumn("_cnt", F.when(form_trim == "", F.lit(0))
                                .otherwise(F.size(toks)))
           .withColumn("_tok0", F.element_at(toks, 1)))
 

@@ -934,8 +934,10 @@ def pii_scrub_stats(spark, sf_dir):
 
 _HTML_WRAP_SQL = (
     "'<html><head><title>d' || doc_id || '</title>"
-    "<script>var x=1;</script><style>p .red</style></head>"
-    "<body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p></body></html>'")
+    "<SCRIPT>var x=1;</SCRIPT><style>p .red</style>"
+    "<!-- nav ' || doc_id || ' --></head>"
+    "<body><h1>Doc ' || doc_id || '</h1><p>' || text || "
+    "' &amp;amp; A&nbsp;B &lt;i&gt;q&#39;s&lt;/i&gt;</p></body></html>'")
 
 
 @q("html_text_extract", f"""
@@ -947,16 +949,22 @@ FROM h
 def html_text_extract(spark, sf_dir):
     """HTML → text extraction over the input contract's ``html: binary``
     column (north star: "vectorized grok/regex parse over the html/text
-    byte columns").  Documents are wrapped into synthetic html BYTES,
-    then the operator decodes and strips script/style/tags/whitespace —
-    all JVM-side Catalyst regexp chains, no Python, no shuffle."""
+    byte columns").  Documents are wrapped into synthetic html BYTES —
+    with an UPPERCASE script block, an html comment, and entity-escaped
+    text (&amp;amp; decodes one level to a literal '&amp;') — then the
+    operator decodes bytes and strips comments/script/style/tags,
+    decodes entities, collapses whitespace: all JVM-side Catalyst
+    regexp chains, no Python, no shuffle."""
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>d"), did,
-        F.lit("</title><script>var x=1;</script><style>p .red</style>"
-              "</head><body><h1>Doc "), did,
-        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"))
+        F.lit("</title><SCRIPT>var x=1;</SCRIPT><style>p .red</style>"
+              "<!-- nav "), did,
+        F.lit(" --></head><body><h1>Doc "), did,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(" &amp;amp; A&nbsp;B &lt;i&gt;q&#39;s&lt;/i&gt;"
+              "</p></body></html>"))
     hdf = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
     return TX.html_extract(hdf).select("doc_id", "extracted", "n_tags")
 
@@ -1226,13 +1234,16 @@ def temperature_sample(spark, sf_dir):
 
 _URL_SYNTH_SQL = """
   'https://' || source
-    || (CASE WHEN doc_id % 5 = 0 THEN '.EXAMPLE.com' ELSE '.example.com' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '.EXAMPLE.com'
+             WHEN doc_id % 5 = 1 THEN '.Example.co.uk'
+             ELSE '.example.com' END)
     || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
     || '/p/' || (doc_id // 40)
     || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
     || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=rss&id=' || ((doc_id // 40) % 7)
              WHEN doc_id % 4 = 1 THEN '?id=' || ((doc_id // 40) % 7) || '&utm_campaign=x'
-             ELSE '' END)
+             WHEN doc_id % 4 = 2 THEN '?b=2&a=' || ((doc_id // 40) % 7)
+             ELSE '?a=' || ((doc_id // 40) % 7) || '&b=2' END)
 """
 
 
@@ -1253,25 +1264,27 @@ FROM c GROUP BY 1
 @q("url_canonical_stats", _url_oracle())
 def url_canonical_stats(spark, sf_dir):
     """Crawl URL curation: canonicalize synthetic per-doc URLs (case-
-    folded scheme/host, default-port drop, utm_* strip, trailing-slash
-    fold) and report per-registered-domain url/canonical/changed counts.
-    The canonicalization kernel is a shared Java-regex ∩ RE2 recipe —
-    pure Catalyst projection + one groupBy (functions/urls.py)."""
+    folded scheme/host, default-port drop, utm_* strip, query-param
+    SORT, trailing-slash fold) and report per-registered-domain
+    url/canonical/changed counts — the .co.uk hosts pin the two-level
+    public-suffix table, the ?b=&a= / ?a=&b= variants pin the param
+    sort.  The canonicalization kernel is a shared Java-regex ∩ RE2
+    recipe — pure Catalyst projection + one groupBy (functions/urls.py)."""
     from .functions import urls as U
     d = F.col("doc_id")
+    m7 = F.expr("(doc_id div 40) % 7").cast("string")
     url = F.concat(
         F.lit("https://"), F.col("source"),
-        F.when(d % 5 == 0, F.lit(".EXAMPLE.com")).otherwise(F.lit(".example.com")),
+        F.when(d % 5 == 0, F.lit(".EXAMPLE.com"))
+         .when(d % 5 == 1, F.lit(".Example.co.uk"))
+         .otherwise(F.lit(".example.com")),
         F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
         F.lit("/p/"), F.expr("doc_id div 40").cast("string"),
         F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(d % 4 == 0,
-               F.concat(F.lit("?utm_source=rss&id="),
-                        F.expr("(doc_id div 40) % 7").cast("string")))
-         .when(d % 4 == 1,
-               F.concat(F.lit("?id="), F.expr("(doc_id div 40) % 7").cast("string"),
-                        F.lit("&utm_campaign=x")))
-         .otherwise(F.lit("")))
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=rss&id="), m7))
+         .when(d % 4 == 1, F.concat(F.lit("?id="), m7, F.lit("&utm_campaign=x")))
+         .when(d % 4 == 2, F.concat(F.lit("?b=2&a="), m7))
+         .otherwise(F.concat(F.lit("?a="), m7, F.lit("&b=2"))))
     docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
     c = docs.select(
         "url",

@@ -68,6 +68,17 @@ def test_pack_manifest_drops_empty_docs(spark):
         [(1, 0, 2), (3, 2, 3)]
 
 
+def test_pack_manifest_rejects_non_integral_ids(spark):
+    """Round-4 advice: a string id silently cast to long becomes NULL,
+    survives the n_tokens filter and crashes the bucket math obscurely —
+    must fail fast with a clear TypeError instead."""
+    import pytest
+    df = spark.createDataFrame([("doc-1", "a b"), ("doc-2", "c")],
+                               ["doc_id", "text"])
+    with pytest.raises(TypeError, match="integral"):
+        PK.pack_manifest(df)
+
+
 CANON_CASES = [
     # (raw, canonical)
     ("https://A.Example.COM:443/p/1/?utm_source=x&id=3",
@@ -80,6 +91,12 @@ CANON_CASES = [
     ("https://h.example.com/?utm_a=1&utm_b=2&q=z",
      "https://h.example.com/?q=z"),
     ("HTTPS://h.example.com/KeepCase", "https://h.example.com/KeepCase"),
+    # param order is presentation, not identity: both sort to a=1&b=2
+    ("https://h.example.com/x?b=2&a=1", "https://h.example.com/x?a=1&b=2"),
+    ("https://h.example.com/x?a=1&b=2", "https://h.example.com/x?a=1&b=2"),
+    ("https://h.example.com/x?b=2&utm_source=rss&a=1",
+     "https://h.example.com/x?a=1&b=2"),
+    ("https://h.example.com/x?&a=1&", "https://h.example.com/x?a=1"),
 ]
 
 
@@ -101,11 +118,34 @@ def test_canonical_url_sql_mirror_matches(spark):
         assert got == want, raw
 
 
+DOMAIN_CASES = [
+    ("https://a.b.news.example.com/x", "example.com"),
+    # two-level public suffixes register at the third label
+    ("https://www.bbc.co.uk/news", "bbc.co.uk"),
+    ("https://shop.example.com.au/", "example.com.au"),
+    ("https://EXAMPLE.Co.Uk/x", "example.co.uk"),
+    # the bare suffix itself falls back to two labels (no third exists)
+    ("https://co.uk/", "co.uk"),
+    ("https://example.org/", "example.org"),
+]
+
+
 def test_registered_domain(spark):
-    df = spark.createDataFrame(
-        [("https://a.b.news.example.com/x",)], ["url"])
-    assert df.select(U.registered_domain(F.col("url")).alias("d")) \
-        .collect()[0].d == "example.com"
+    df = spark.createDataFrame([(r,) for r, _d in DOMAIN_CASES], ["url"])
+    got = [r.d for r in
+           df.select(U.registered_domain(F.col("url")).alias("d")).collect()]
+    assert got == [d for _r, d in DOMAIN_CASES]
+
+
+def test_registered_domain_sql_mirror_matches(spark):
+    import duckdb
+    con = duckdb.connect()
+    con.execute("SET threads TO 1")
+    for raw, want in DOMAIN_CASES:
+        got = con.execute(
+            f"SELECT {U.registered_domain_sql('u')} FROM (SELECT ? AS u)",
+            [raw]).fetchone()[0]
+        assert got == want, raw
 
 
 def test_temperature_rates_upweight_tail(spark):

@@ -70,6 +70,14 @@ def test_jvm_dead_letter_and_whitespace_quirks(spark, grammar_catalog):
         ("h", 4, "Interface eth0  link   down"),      # inner runs
         ("h", 5, "Interface eth0 link down "),        # trailing space
         ("h", 6, "Connection from 10.0.0.1 port 80 closed"),
+        # trailing NON-space whitespace: F.trim strips only spaces, so a
+        # naive token count inflates by one and the JVM path dead-letters
+        # a row the Python Matcher parses (round-4 advice)
+        ("h", 7, "Interface eth0 link down\n"),
+        ("h", 8, "Interface eth0 link down\t"),
+        ("h", 9, "Interface eth0 link down \n "),
+        ("h", 10, "\nInterface eth0 link down"),      # leading newline
+        ("h", 11, "\t\n "),                           # all-whitespace
     ]
     df = (spark.createDataFrame(rows, ["host", "seq_no", "text"])
           .withColumn("url", F.lit("u")).withColumn("lang", F.lit("en"))
