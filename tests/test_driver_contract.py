@@ -13,6 +13,8 @@ import pytest
 import __spark_entry__ as E
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+# data-bound oracles (kmeans-IVF) must embed literals from THIS corpus
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
