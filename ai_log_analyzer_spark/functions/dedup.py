@@ -300,6 +300,98 @@ def dedup_cluster_table(pairs: DataFrame,
                     (F.col("doc_id") == F.col("cluster_id")).alias("keep")))
 
 
+def cluster_canonical(clusters: DataFrame, docs: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(cluster_id, keep_id, n_members, keep_tokens) — quality-aware
+    survivor selection per near-dup cluster: keep the LONGEST member
+    (whitespace token count; ties → min doc_id) instead of the min-id
+    default baked into ``dedup_cluster_table``.  This is the standard
+    canonical-selection step of production dedup pipelines (e.g. keep
+    the longest capture of a page across crawls).
+
+    ``clusters`` is a ``dedup_cluster_table`` output (doc_id,
+    cluster_id, n_members, ...); ``docs`` supplies the text.
+
+    Scale: one equi-join on doc_id (both sides hash-partitioned on a
+    uniform key) then a single groupBy(cluster_id) with map-side
+    partial ``max_by`` — no window sort, no skew risk beyond cluster
+    size itself (near-dup clusters are small by construction; a
+    pathological mega-cluster degrades to one big partial-agg group,
+    still O(n))."""
+    from .text import token_count
+    scored = docs.select(F.col(id_col).alias("doc_id"),
+                         token_count(F.col(text_col)).cast("long")
+                         .alias("n_tokens"))
+    j = clusters.select("doc_id", "cluster_id", "n_members") \
+        .join(scored, "doc_id")
+    # max_by over (n_tokens, -doc_id): struct ordering gives longest-
+    # then-lowest-id in ONE partial-aggregable pass (vs a row_number
+    # window, which would full-sort every cluster partition)
+    ordkey = F.struct(F.col("n_tokens").alias("t"),
+                      (-F.col("doc_id")).alias("ni"))
+    return (j.groupBy("cluster_id")
+            .agg(F.max("n_members").alias("n_members"),
+                 F.max_by("doc_id", ordkey).alias("keep_id"),
+                 F.max("n_tokens").alias("keep_tokens")))
+
+
+def boilerplate_shingle_stats(df: DataFrame, n: int = 3,
+                              frac_num: int = 1, frac_den: int = 10,
+                              min_docs: int = 2,
+                              group_col: str = "source",
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_shingles, n_boiler, boiler_ratio) — per-document
+    boilerplate contamination via group-keyed n-gram document frequency
+    (the RefinedWeb / CCNet line-dedup idea, with word n-grams as the
+    unit because the corpus is line-free): a shingle that occurs in
+    ≥ max(min_docs, frac_num/frac_den of the group's docs) is
+    boilerplate for that group (nav bars, footers, cookie banners
+    repeat across one host's pages but not across hosts).
+
+    The threshold is evaluated in EXACT integer arithmetic
+    (df * frac_den >= frac_num * n_docs) — no float frac knob, so the
+    DuckDB oracle can never diverge on decimal-vs-double rounding.
+
+    Scale: the same inverted-index shape as ``ngram_jaccard_pairs`` —
+    explode+hash+distinct (fixed-width shuffle keys), a (group,
+    shingle) doc-frequency agg with map-side partials, a broadcast of
+    the tiny per-group doc-count table, and a final uniform
+    groupBy(doc_id).  Nothing is O(n²) and no driver state grows with
+    the corpus; the boilerplate set itself is bounded by the number of
+    shingles crossing the frequency bar (joined shuffle-side, not
+    collected)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    sh = (df.select(F.col(id_col).alias("doc_id"),
+                    F.col(group_col).alias("grp"),
+                    F.explode(grams).alias("shingle"))
+          .select("doc_id", "grp", hash32(F.col("shingle")).alias("shingle_hash"))
+          .distinct())
+    grp_docs = df.groupBy(F.col(group_col).alias("grp")) \
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+    # sh is distinct per (doc, grp, shingle) → count(*) IS the doc freq
+    dfreq = sh.groupBy("grp", "shingle_hash").agg(F.count("*").alias("dfq"))
+    boiler = (dfreq.join(F.broadcast(grp_docs), "grp")
+              .filter((F.col("dfq") >= min_docs) &
+                      (F.col("dfq") * frac_den >= F.lit(frac_num) * F.col("n_docs")))
+              .select("grp", "shingle_hash", F.lit(1).alias("is_boiler")))
+    per_doc = (sh.join(boiler, ["grp", "shingle_hash"], "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_shingles"),
+                    F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler")))
+    return (df.select(F.col(id_col).alias("doc_id")).distinct()
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+                    F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"))
+            .withColumn("boiler_ratio", F.round(
+                F.col("n_boiler") / F.greatest(F.col("n_shingles"), F.lit(1)), 6)))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(doc_id, simhash) — sign-sum of per-token 32-bit hash bits over

@@ -1381,3 +1381,72 @@ def dedup_clusters_star(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
     return D.dedup_cluster_table(pairs, docs=docs, algorithm="star")
+
+
+@q("cluster_canonical", f"""
+WITH RECURSIVE {_LSH_CTES},
+pairs AS ({_LSH_SELECT}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+comp(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.node
+),
+labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY 1),
+singles AS (SELECT doc_id, doc_id AS cluster_id
+            FROM documents ANTI JOIN labels USING (doc_id)),
+lab2 AS (SELECT * FROM labels UNION ALL SELECT * FROM singles),
+csizes AS (SELECT cluster_id, count(*) AS n_members FROM lab2 GROUP BY 1),
+toks AS (SELECT doc_id, ({TX.token_count_sql('text')})::BIGINT AS n_tokens
+         FROM documents)
+SELECT cluster_id, keep_id, n_members, keep_tokens FROM (
+  SELECT l.cluster_id, l.doc_id AS keep_id, n_members,
+         n_tokens AS keep_tokens,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY n_tokens DESC, l.doc_id) AS rn
+  FROM lab2 l JOIN csizes USING (cluster_id) JOIN toks USING (doc_id)
+) WHERE rn = 1
+""")
+def cluster_canonical(spark, sf_dir):
+    """Quality-aware survivor per LSH near-dup cluster: keep the
+    longest member (token count; ties → min doc_id) — single
+    partial-aggregable max_by, no window sort
+    (functions/dedup.cluster_canonical)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
+    clusters = D.dedup_cluster_table(pairs, docs=docs)
+    return D.cluster_canonical(clusters, docs)
+
+
+@q("boilerplate_ngrams", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, {hash32_sql("shingle")} AS shingle_hash
+  FROM (
+    SELECT doc_id, source, array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+  )
+),
+gd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1),
+dfreq AS (SELECT source, shingle_hash, count(*) AS dfq FROM sh GROUP BY 1, 2),
+boiler AS (SELECT source, shingle_hash FROM dfreq JOIN gd USING (source)
+           WHERE dfq >= 2 AND dfq * 10 >= 1 * n_docs),
+pd AS (SELECT sh.doc_id, count(*) AS n_shingles,
+              count(b.shingle_hash) AS n_boiler
+       FROM sh LEFT JOIN boiler b USING (source, shingle_hash)
+       GROUP BY 1)
+SELECT d.doc_id, coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(n_boiler, 0)::BIGINT AS n_boiler,
+       round(coalesce(n_boiler, 0) / greatest(coalesce(n_shingles, 0), 1), 6)
+         AS boiler_ratio
+FROM documents d LEFT JOIN pd USING (doc_id)
+""")
+def boilerplate_ngrams(spark, sf_dir):
+    """Per-doc boilerplate contamination via source-keyed 3-gram doc
+    frequency (RefinedWeb line-dedup semantics, n-grams as the unit;
+    threshold df ≥ max(2, 10% of the source's docs) in exact integer
+    arithmetic — functions/dedup.boilerplate_shingle_stats)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return D.boilerplate_shingle_stats(docs)

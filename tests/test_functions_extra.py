@@ -485,3 +485,53 @@ def test_star_cc_self_pairs_and_isolates(spark):
     df = spark.createDataFrame([(5, 5), (1, 2)], ["doc_a", "doc_b"])
     out = sorted(map(tuple, D.connected_components_star(df).collect()))
     assert out == [(1, 1), (2, 1), (5, 5)]
+
+
+def test_cluster_canonical_longest_wins(spark):
+    """Survivor = longest member; ties break to the LOWER doc_id; the
+    n_members/cluster ids come straight from dedup_cluster_table."""
+    docs = spark.createDataFrame([
+        (0, "a b"),                 # cluster {0,1,2}: 1 is longest
+        (1, "a b c d e"),
+        (2, "a b c d e"),           # ties 1 on 5 tokens → keep 1 (min id)
+        (3, "lone doc"),            # singleton
+    ], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["doc_a", "doc_b"])
+    clusters = D.dedup_cluster_table(pairs, docs=docs)
+    out = {r.cluster_id: r for r in
+           D.cluster_canonical(clusters, docs).collect()}
+    assert out[0].keep_id == 1 and out[0].keep_tokens == 5
+    assert out[0].n_members == 3
+    assert out[3].keep_id == 3 and out[3].n_members == 1
+
+
+def test_boilerplate_integer_threshold(spark):
+    """Shingle 'nav home login' occurs in 2/4 docs of src_a (50% ≥ 10%,
+    ≥2 docs → boilerplate there) and in 1 doc of src_b (fails the
+    min_docs=2 floor even though 1/1 = 100%)."""
+    docs = spark.createDataFrame([
+        (0, "src_a", "nav home login alpha beta gamma"),
+        (1, "src_a", "nav home login delta epsilon zeta"),
+        (2, "src_a", "totally original body text one"),
+        (3, "src_a", "another unique page body here"),
+        (4, "src_b", "nav home login solo page"),
+    ], ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in
+           D.boilerplate_shingle_stats(docs, n=3).collect()}
+    # docs 0/1: 4 shingles each, exactly one ('nav home login') shared
+    assert out[0].n_boiler == 1 and out[1].n_boiler == 1
+    assert out[0].n_shingles == 4
+    assert out[0].boiler_ratio == 0.25
+    # src_b's copy of the same shingle is NOT boilerplate (df=1 < 2)
+    assert out[4].n_boiler == 0
+    assert out[2].n_boiler == 0 and out[3].n_boiler == 0
+
+
+def test_boilerplate_short_docs_zero_rows(spark):
+    """Docs shorter than n tokens yield 0 shingles but still appear."""
+    docs = spark.createDataFrame(
+        [(0, "s", "one two"), (1, "s", "")], ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in
+           D.boilerplate_shingle_stats(docs, n=3).collect()}
+    assert out[0].n_shingles == 0 and out[0].boiler_ratio == 0.0
+    assert out[1].n_shingles == 0
