@@ -125,3 +125,58 @@ SELECT r.grp AS grp, r.n_docs AS n_docs, r.rate_ppm AS rate_ppm,
 FROM {table} t JOIN rates r ON {group_expr} = r.grp
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group quota sampling (domain caps)
+# ---------------------------------------------------------------------------
+
+def quota_sample(df, group_col: str, id_col: str = "doc_id",
+                 cap: int = 10, salt: str = "quota-v1"):
+    """Keep at most ``cap`` docs per group (domain/source caps — the
+    standard crawl-curation guard against a single domain dominating
+    the mix).  Selection = the ``cap`` smallest ``hash32(id|salt)``
+    values per group (ties → min id): a pure function of (id, salt),
+    so the kept set is stable across runs, partitionings and cluster
+    sizes, and the DuckDB oracle is one window.
+
+    Output: every input row + boolean ``keep``.
+
+    Scale: the naive plan — ``row_number() OVER (PARTITION BY group)``
+    over the full corpus — single-sorts every group, and a mega-domain
+    (10⁹ pages of one host at 100 TB) lands in ONE task.  Instead a
+    two-phase top-K: phase 1 ranks within (group, input-partition) —
+    the partition id salt bounds any group's phase-2 candidate set to
+    cap × n_partitions — and phase 2 ranks the candidates only.  Any
+    per-partition top-``cap`` is a superset of the group's global
+    top-``cap``, so the result is EXACTLY the naive window's."""
+    from pyspark.sql import Window
+    h = hash32(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+    ranked = df.withColumn("_h", h).withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(group_col, "_pid").orderBy("_h", id_col)
+    cand = (ranked.withColumn("_rn1", F.row_number().over(w1))
+            .where(F.col("_rn1") <= cap))
+    w2 = Window.partitionBy(group_col).orderBy("_h", id_col)
+    kept = (cand.withColumn("_rn2", F.row_number().over(w2))
+            .where(F.col("_rn2") <= cap)
+            .select(F.col(id_col).alias("_keep_id")))
+    # no broadcast hint: kept is cap × n_groups rows — tiny for bounded
+    # domain sets (AQE broadcasts it at runtime) but at 10⁸ domains it
+    # must stay a shuffle join on the uniform id key
+    return (df.join(kept, F.col(id_col) == F.col("_keep_id"), "left")
+            .withColumn("keep", F.col("_keep_id").isNotNull())
+            .drop("_keep_id"))
+
+
+def quota_sample_sql(table: str, group_expr: str, id_expr: str,
+                     cap: int = 10, salt: str = "quota-v1") -> str:
+    """Oracle: the naive global window (exact same kept set)."""
+    h = hash32_sql(f"{id_expr}::VARCHAR || '|{salt}'")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_expr}
+                               ORDER BY {h}, {id_expr}) AS _rn
+  FROM {table})
+SELECT {id_expr} AS doc_id, {group_expr} AS source, _rn <= {cap} AS keep
+FROM ranked
+"""

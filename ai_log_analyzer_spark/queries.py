@@ -994,6 +994,24 @@ def train_split_assign(spark, sf_dir):
         SA.in_sample(F.col("doc_id"), 10).alias("in_sample10"))
 
 
+def _quota_oracle() -> str:
+    from .functions import sampling as SA
+    return SA.quota_sample_sql("documents", "source", "doc_id", cap=10)
+
+
+@q("quota_sample", _quota_oracle())
+def quota_sample(spark, sf_dir):
+    """Per-source quota cap (≤10 docs/source, deterministic hash-rank
+    selection): two-phase skew-safe top-K — per-(group, partition)
+    pre-rank bounds any mega-domain's final window to cap × partitions
+    (functions/sampling.quota_sample); oracle = the naive global
+    window, provably the same kept set."""
+    from .functions import sampling as SA
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (SA.quota_sample(docs, "source", cap=10)
+            .select("doc_id", "source", "keep"))
+
+
 @q("pii_scrub_stats", _pii_oracle())
 def pii_scrub_stats(spark, sf_dir):
     """PII scrubbing pass (emails/IPs/phones/SSN-likes → placeholders):

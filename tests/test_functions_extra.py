@@ -535,3 +535,28 @@ def test_boilerplate_short_docs_zero_rows(spark):
            D.boilerplate_shingle_stats(docs, n=3).collect()}
     assert out[0].n_shingles == 0 and out[0].boiler_ratio == 0.0
     assert out[1].n_shingles == 0
+
+
+def test_quota_sample_partition_invariant(spark):
+    """The two-phase top-K must equal the naive global window, and the
+    kept set must not change with the input partitioning."""
+    from pyspark.sql import Window
+    from ai_log_analyzer_spark.functions import sampling as SA
+    from ai_log_analyzer_spark.functions.hashing import hash32
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    h = hash32(F.concat(F.col("doc_id").cast("string"), F.lit("|quota-v1")))
+    naive = (docs.withColumn("_h", h)
+             .withColumn("_rn", F.row_number().over(
+                 Window.partitionBy("source").orderBy("_h", "doc_id")))
+             .where("_rn <= 5").select("doc_id"))
+    want = {r.doc_id for r in naive.collect()}
+    for parts in (1, 7):
+        got = {r.doc_id for r in
+               SA.quota_sample(docs.repartition(parts), "source", cap=5)
+               .where("keep").collect()}
+        assert got == want
+    # every source capped at exactly 5 (all sources have >5 docs)
+    out = SA.quota_sample(docs, "source", cap=5).where("keep") \
+        .groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in out) and len(out) == 3
