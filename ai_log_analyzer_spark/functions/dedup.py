@@ -521,3 +521,100 @@ def connected_components_star(pairs: DataFrame,
     singles = (nodes.join(labels, "doc_id", "left_anti")
                .select("doc_id", F.col("doc_id").alias("cluster_id")))
     return labels.unionAll(singles)
+
+
+def segment_dedup_stats(df: DataFrame, seg_tokens: int = 10,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_segs, n_dup_segs, dup_ratio) — corpus-wide EXACT
+    segment dedup, the fixed-window relational form of exact substring
+    deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — there via suffix arrays; here
+    each document is cut into consecutive ``seg_tokens``-token segments
+    and a segment occurrence is a duplicate iff an identical segment
+    occurs earlier in the corpus order (doc_id, seg_idx)).  The
+    canonical (first) occurrence is never counted as a duplicate, so
+    "drop all dup segments" provably retains one copy of every distinct
+    segment — same retention contract as ``exact_dups``, one level
+    below the document.
+
+    Scale: explode is linear in token count; duplicate detection is ONE
+    groupBy(segment_hash) computing min over a PACKED scalar key
+    (doc_id·10¹⁰ + seg_idx as DECIMAL(38,0) — exact for 10¹² docs ×
+    10¹⁰ segments; a min over struct(doc_id, seg_idx) would be
+    semantically identical but forces a SortAggregate, i.e. a full
+    per-partition sort of the segment stream, where the scalar min is a
+    hash-agg with map-side partials — verified in the physical plan) —
+    and ONE equi-join back on the uniform 32-bit hash key (the firsts
+    table is ~distinct-segment sized, far too big to broadcast at web
+    scale, so it stays a shuffle join; both sides hash-partition on the
+    same key).  Final groupBy(doc_id) is uniform.  No driver state, no
+    skew beyond genuinely mega-duplicated segments, which AQE's skew
+    join splits."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # exact ceil-div on ints (floor((n + s - 1) / s)); sizes are far
+    # below 2^31 so the double division is exact
+    nsegs = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
+        .otherwise(F.floor((F.size(toks) + F.lit(seg_tokens - 1)) /
+                           F.lit(seg_tokens)).cast("int"))
+    idxs = F.when(nsegs > 0, F.sequence(F.lit(0), nsegs - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idxs, lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1,
+                                                 seg_tokens)))
+    key = (F.col("doc_id").cast("decimal(38,0)") * F.lit(10_000_000_000) +
+           F.col("seg_idx"))
+    segs = (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(grams).alias("seg_idx", "seg"))
+            .select("doc_id", hash32(F.col("seg")).alias("h"),
+                    key.alias("k")))
+    firsts = segs.groupBy("h").agg(F.min("k").alias("first_k"))
+    flagged = (segs.join(firsts, "h")
+               .select("doc_id", (F.col("k") != F.col("first_k"))
+                       .cast("int").alias("is_dup")))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum("is_dup").cast("long").alias("n_dup_segs"))
+    return (df.select(F.col(id_col).alias("doc_id")).distinct()
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+                    F.coalesce("n_dup_segs", F.lit(0)).cast("long")
+                    .alias("n_dup_segs"))
+            .withColumn("dup_ratio", F.round(
+                F.col("n_dup_segs") / F.greatest(F.col("n_segs"), F.lit(1)), 6)))
+
+
+def segment_dedup_sql(table: str = "documents", text_expr: str = "text",
+                      id_expr: str = "doc_id", seg_tokens: int = 10) -> str:
+    """Oracle: same segmentation via list_slice + a global first-
+    occurrence window (fine at oracle scale; the Spark side uses the
+    partial-aggregable min instead of the window sort)."""
+    from .hashing import hash32_sql
+    s = seg_tokens
+    h = hash32_sql("array_to_string(list_slice(a, i * %d + 1, i * %d + %d), ' ')"
+                   % (s, s, s))
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS doc_id, regexp_split_to_array(trim({text_expr}), '\\s+') AS a
+  FROM {table} WHERE trim({text_expr}) <> ''
+), segs AS (
+  SELECT doc_id, i AS seg_idx, {h} AS h
+  FROM toks, unnest(generate_series(0, (len(a) + {s - 1}) // {s} - 1)) AS u(i)
+), flagged AS (
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) > 1)::INT
+           AS is_dup
+  FROM segs
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_segs, sum(is_dup)::BIGINT AS n_dup_segs
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.{id_expr} AS doc_id,
+       COALESCE(p.n_segs, 0)::BIGINT AS n_segs,
+       COALESCE(p.n_dup_segs, 0)::BIGINT AS n_dup_segs,
+       round(COALESCE(p.n_dup_segs, 0) / greatest(COALESCE(p.n_segs, 0), 1), 6)
+         AS dup_ratio
+FROM (SELECT DISTINCT {id_expr} FROM {table}) d
+LEFT JOIN per_doc p ON d.{id_expr} = p.doc_id
+"""

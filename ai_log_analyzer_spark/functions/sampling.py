@@ -180,3 +180,62 @@ WITH ranked AS (
 SELECT {id_expr} AS doc_id, {group_expr} AS source, _rn <= {cap} AS keep
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training shuffle → shard manifest
+# ---------------------------------------------------------------------------
+
+def shard_assign(df, id_col: str = "doc_id", n_shards: int = 8,
+                 salt: str = "shuffle-v1", n_buckets: int | None = None):
+    """(doc_id, shard, pos) — the "global shuffle" step of a training
+    pipeline: every doc gets a shard (hash-bucketed, so shard sizes are
+    balanced) and a dense 0-based position within its shard in
+    hash order — i.e. a reproducible random permutation materialized as
+    a shard manifest, a pure function of (id, salt).
+
+    Scale: the naive plan — ``row_number() OVER (PARTITION BY shard)``
+    — sorts corpus/n_shards rows in ONE task per shard (10⁹ rows/task
+    at 10¹² docs × 1024 shards): a scale-killer.  Instead the same
+    distributed prefix-sum shape as ``packing.pack_manifest``: the
+    uniform 32-bit hash is range-bucketed (``_b = h div width``, so
+    bucket order IS hash order), per-(shard, bucket) counts — a tiny
+    n_shards × n_buckets aggregate — turn into cumulative bases via a
+    window over that tiny table only, and each (shard, bucket) cell
+    ranks its own rows in parallel.  pos = base + local_rank: exactly
+    the naive window's answer, never a corpus-scale sort in one task."""
+    from pyspark.sql import Window
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism * 4
+    width = max(-(-(1 << 32) // n_buckets), 1)      # ceil(2^32 / n_buckets)
+    h = hash32(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+    rows = df.select(F.col(id_col).alias("doc_id"), h.alias("_h")) \
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")) \
+        .withColumn("_b", F.expr(f"_h div {width}"))
+    counts = rows.groupBy("shard", "_b").agg(F.count("*").alias("c"))
+    wb = (Window.partitionBy("shard").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bases = counts.select(
+        "shard", "_b",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("long").alias("_base"))
+    wr = Window.partitionBy("shard", "_b").orderBy("_h", "doc_id")
+    return (rows.join(F.broadcast(bases), ["shard", "_b"])
+            .withColumn("pos", (F.col("_base") +
+                                F.row_number().over(wr) - 1).cast("long"))
+            .select("doc_id", "shard", "pos"))
+
+
+def shard_assign_sql(table: str, id_expr: str, n_shards: int = 8,
+                     salt: str = "shuffle-v1") -> str:
+    """Oracle: the naive global per-shard window (same permutation)."""
+    h = hash32_sql(f"{id_expr}::VARCHAR || '|{salt}'")
+    return f"""
+WITH hashed AS (
+  SELECT {id_expr} AS doc_id, {h} AS h, ({h} % {n_shards})::INT AS shard
+  FROM {table})
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT
+         AS pos
+FROM hashed
+"""

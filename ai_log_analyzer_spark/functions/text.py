@@ -304,3 +304,96 @@ SELECT doc_id, count(*)::BIGINT AS n_toks, sum(c)::BIGINT AS sum_tf,
        round(sum(c)::BIGINT / count(*), 6) AS mean_tf
 FROM tok JOIN freq USING (word) GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring — the CCNet-style perplexity-proxy
+# quality filter (Wenzek et al., "CCNet: Extracting High Quality
+# Monolingual Datasets from Web Crawl Data", LREC 2020 — there a KenLM
+# 5-gram; here a corpus-self-trained bigram model with add-one
+# smoothing, which keeps every count an exact integer and the score
+# SQL-expressible).  Fluent text built from corpus-common transitions
+# scores high (avg log-prob near 0); token salad scores low.
+# ---------------------------------------------------------------------------
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, lm_score) for every doc with ≥2 tokens.
+
+    Model (all counts corpus-wide, from the same bigram stream):
+    P(w2|w1) = (C(w1 w2) + 1) / (C(w1·) + V) with C(w1·) the count of
+    w1 as a bigram context and V the corpus vocabulary size;
+    lm_score = mean over the doc's bigrams of ln P.
+
+    Determinism contract: each per-bigram ln is rounded to integer
+    MICRO-nats (round(ln·10⁶) → long) before the per-doc sum, so the
+    aggregate is an order-independent exact integer sum — float
+    summation order can never flip the 6-dp rounding of the final mean
+    (the flagship-fixture lesson).  The ln argument itself is a ratio
+    of exact integers, identical IEEE division in Spark and DuckDB.
+
+    Scale: one explode (linear), bigram counts = one groupBy with
+    map-side partials; the count table joins back on the bigram string
+    itself — too large to broadcast at web scale, so a shuffle join on
+    a near-uniform key (stop-bigrams like "of the" are the skew tail;
+    AQE's skew join splits them).  Context counts and V are
+    vocabulary-sized / scalar → broadcast.  Final groupBy(doc_id) is
+    uniform."""
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    idxs = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+    bgs = F.transform(idxs, lambda i: F.struct(
+        F.element_at(toks, i + 1).alias("w1"),
+        F.concat_ws(" ", F.slice(toks, i + 1, 2)).alias("bg")))
+    stream = (df.filter(F.trim(F.col(text_col)) != "")
+              .select(F.col(id_col).alias("doc_id"),
+                      F.explode(bgs).alias("b"))
+              .select("doc_id", F.col("b.w1").alias("w1"),
+                      F.col("b.bg").alias("bg")))
+    c2 = stream.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = stream.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (df.filter(F.trim(F.col(text_col)) != "")
+             .select(F.explode(F.split(F.trim(F.col(text_col)), WS))
+                     .alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+    micro = F.round(F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))) *
+                    1e6, 0).cast("long")
+    return (stream.join(c2, "bg")
+            .join(F.broadcast(c1), "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select("doc_id", micro.alias("m"))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum("m").alias("_sm"))
+            .select("doc_id", "n_bigrams",
+                    F.round(F.col("_sm") / (F.col("n_bigrams") * F.lit(1e6)),
+                            6).alias("lm_score")))
+
+
+def bigram_lm_sql(table: str = "documents", text_expr: str = "text",
+                  id_expr: str = "doc_id") -> str:
+    """Oracle: identical counts + micro-nat rounding in DuckDB."""
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS doc_id,
+         regexp_split_to_array(trim({text_expr}), '\\s+') AS a
+  FROM {table} WHERE trim({text_expr}) <> ''
+), stream AS (
+  SELECT doc_id, a[i + 1] AS w1, a[i + 1] || ' ' || a[i + 2] AS bg
+  FROM toks, unnest(generate_series(0, len(a) - 2)) AS u(i)
+  WHERE len(a) >= 2
+), c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM stream GROUP BY bg),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM stream GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT w)::BIGINT AS v
+  FROM (SELECT unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS w
+        FROM {table} WHERE trim({text_expr}) <> '')
+), terms AS (
+  SELECT s.doc_id,
+         round(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + vocab.v)) * 1e6)::BIGINT AS m
+  FROM stream s JOIN c2 USING (bg) JOIN c1 USING (w1), vocab
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(sum(m) / (count(*) * 1e6), 6) AS lm_score
+FROM terms GROUP BY doc_id
+"""

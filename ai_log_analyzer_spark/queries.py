@@ -1012,6 +1012,50 @@ def quota_sample(spark, sf_dir):
             .select("doc_id", "source", "keep"))
 
 
+def _shard_oracle() -> str:
+    from .functions import sampling as SA
+    return SA.shard_assign_sql("documents", "doc_id", n_shards=8)
+
+
+@q("shard_manifest", _shard_oracle())
+def shard_manifest(spark, sf_dir):
+    """Deterministic global training shuffle → (doc_id, shard, pos):
+    hash-bucketed shard + dense in-shard position via the distributed
+    range-bucketed prefix sum (functions/sampling.shard_assign) — the
+    naive per-shard row_number window would sort 10⁹ rows in one task
+    at 10¹² docs; oracle = that naive window, provably the same
+    permutation."""
+    from .functions import sampling as SA
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return SA.shard_assign(docs, "doc_id", n_shards=8)
+
+
+def _segdedup_oracle() -> str:
+    from .functions import dedup as D_
+    return D_.segment_dedup_sql("documents", "text", "doc_id", seg_tokens=10)
+
+
+@q("segment_dedup", _segdedup_oracle())
+def segment_dedup(spark, sf_dir):
+    """Corpus-wide exact segment dedup (fixed 10-token windows — the
+    relational form of Lee et al. 2022 substring dedup): per-doc
+    duplicated-segment counts where the canonical first occurrence in
+    (doc_id, seg_idx) order is retained.  Spark side uses a partial-
+    aggregable min(struct) instead of the oracle's global window."""
+    from .functions import dedup as D_
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D_.segment_dedup_stats(docs, seg_tokens=10)
+
+
+@q("bigram_lm_score", TX.bigram_lm_sql("documents", "text", "doc_id"))
+def bigram_lm_score_q(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality filter: corpus-self-trained
+    add-one bigram LM, per-doc mean log-prob in exact integer micro-
+    nats (order-independent sum — no float-summation flips)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.bigram_lm_score(docs)
+
+
 @q("pii_scrub_stats", _pii_oracle())
 def pii_scrub_stats(spark, sf_dir):
     """PII scrubbing pass (emails/IPs/phones/SSN-likes → placeholders):

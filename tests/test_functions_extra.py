@@ -560,3 +560,104 @@ def test_quota_sample_partition_invariant(spark):
     out = SA.quota_sample(docs, "source", cap=5).where("keep") \
         .groupBy("source").count().collect()
     assert all(r["count"] == 5 for r in out) and len(out) == 3
+
+
+def test_segment_dedup_known_corpus(spark):
+    """Hand-checkable 4-token segments: doc 1 repeats doc 0's first
+    segment, doc 2 is all-fresh, doc 3 repeats its own first segment."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    rows = [
+        (0, "a b c d e f g h"),          # segs: [a b c d], [e f g h]
+        (1, "a b c d x y z w"),          # [a b c d] dup of doc0, fresh tail
+        (2, "p q r s"),                  # fresh
+        (3, "m n o p m n o p"),          # 2nd seg dups its own 1st
+        (4, ""),                         # empty -> 0 segs
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           D.segment_dedup_stats(docs, seg_tokens=4).collect()}
+    assert (out[0].n_segs, out[0].n_dup_segs) == (2, 0)
+    assert (out[1].n_segs, out[1].n_dup_segs) == (2, 1)
+    assert (out[2].n_segs, out[2].n_dup_segs) == (1, 0)
+    assert (out[3].n_segs, out[3].n_dup_segs) == (2, 1)
+    assert (out[4].n_segs, out[4].n_dup_segs) == (0, 0)
+    assert out[1].dup_ratio == 0.5
+    # retention contract: dropping dup segments keeps one copy of each
+    # distinct segment -> total - dups == 5 distinct segments:
+    # [a b c d], [e f g h], [x y z w], [p q r s], [m n o p]
+    total = sum(r.n_segs for r in out.values())
+    dups = sum(r.n_dup_segs for r in out.values())
+    assert total - dups == 5
+
+
+def test_segment_dedup_partition_invariant(spark):
+    from ai_log_analyzer_spark.functions import dedup as D
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(17)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = sorted(map(tuple, D.segment_dedup_stats(
+        docs.coalesce(1), seg_tokens=5).collect()))
+    got = sorted(map(tuple, D.segment_dedup_stats(
+        docs.repartition(13), seg_tokens=5).collect()))
+    assert got == want
+
+
+def test_bigram_lm_score_matches_hand_model(spark):
+    """Exact parity with a pure-Python add-one bigram model."""
+    import math
+    from collections import Counter
+    from ai_log_analyzer_spark.functions import text as TX
+    rows = [(0, "the cat sat"), (1, "the cat ran"), (2, "cat the cat"),
+            (3, "solo"), (4, ""), (5, "zz yy")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # hand model over the same bigram stream
+    streams = {i: t.split() for i, t in rows if t.strip()}
+    bgs, c1, c2 = {}, Counter(), Counter()
+    vocab = set()
+    for i, toks in streams.items():
+        vocab |= set(toks)
+        bgs[i] = [(toks[j], f"{toks[j]} {toks[j+1]}")
+                  for j in range(len(toks) - 1)]
+        for w1, bg in bgs[i]:
+            c1[w1] += 1
+            c2[bg] += 1
+    v = len(vocab)
+    want = {}
+    for i, doc_bgs in bgs.items():
+        if not doc_bgs:
+            continue
+        micros = [round(math.log((c2[bg] + 1) / (c1[w1] + v)) * 1e6)
+                  for w1, bg in doc_bgs]
+        want[i] = (len(doc_bgs), round(sum(micros) / (len(doc_bgs) * 1e6), 6))
+    got = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in TX.bigram_lm_score(docs).collect()}
+    assert got == want
+    assert 3 not in got and 4 not in got     # <2 tokens -> no row
+    # a doc of corpus-common transitions outscores one whose only
+    # bigram is unique in the corpus
+    assert got[0][1] > got[5][1] and got[1][1] > got[5][1]
+
+
+def test_shard_assign_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from ai_log_analyzer_spark.functions import sampling as SA
+    from ai_log_analyzer_spark.functions.hashing import hash32
+    docs = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    h = hash32(F.concat(F.col("doc_id").cast("string"), F.lit("|shuffle-v1")))
+    naive = (docs.withColumn("_h", h)
+             .withColumn("shard", F.pmod(F.col("_h"), F.lit(8)).cast("int"))
+             .withColumn("pos", (F.row_number().over(
+                 Window.partitionBy("shard").orderBy("_h", "doc_id")) - 1)
+                 .cast("long"))
+             .select("doc_id", "shard", "pos"))
+    want = sorted(map(tuple, naive.collect()))
+    for parts in (1, 11):
+        got = sorted(map(tuple, SA.shard_assign(
+            docs.repartition(parts), "doc_id", n_shards=8).collect()))
+        assert got == want
+    # positions are a dense 0..k-1 permutation within every shard
+    per = {}
+    for _id, sh, pos in want:
+        per.setdefault(sh, []).append(pos)
+    for sh, ps in per.items():
+        assert sorted(ps) == list(range(len(ps)))
