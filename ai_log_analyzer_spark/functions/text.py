@@ -397,3 +397,174 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        round(sum(m) / (count(*) * 1e6), 6) AS lm_score
 FROM terms GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Frozen linear text classifier — the fastText-style quality-filter
+# plumbing (hash tokens → bucket weights → mean → threshold) used by
+# production pretraining curations (DCLM / FineWeb-Edu style model
+# filters).  No training libraries exist in this environment, so the
+# weight table is a FROZEN deterministic pseudo-random function of the
+# bucket id — the Spark-side plumbing (hashing-trick bucketing, exact
+# integer aggregation, zero joins) is the real, tested artifact; swap
+# `_bucket_weight_milli` for a broadcast of real learned weights to
+# deploy a trained model unchanged.
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 1024
+
+
+def _bucket_weight_milli(bucket: Column) -> Column:
+    """Frozen weight in integer MILLI-units ∈ [-1000, 1000]: a pure
+    md5-derived function of the bucket id (portable to the oracle)."""
+    return F.pmod(hash32(F.concat(F.lit("clfw|"), bucket.cast("string"))),
+                  F.lit(2001)) - 1000
+
+
+def classifier_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     n_buckets: int = CLF_BUCKETS) -> DataFrame:
+    """(doc_id, n_toks, clf_score, clf_label) per non-empty doc.
+
+    score = mean over tokens of weight(bucket(token)); label = score>0.
+    The weight is a pure expression of the token (hash → bucket →
+    milli-weight), so the WHOLE op is: explode → per-row integer
+    projection → one uniform groupBy(doc_id) — no weight-table join at
+    all, and the sum aggregates exact integers (order-independent; the
+    one division happens after aggregation).  At 100 TB this is the
+    cheapest possible shape: one shuffle, fixed-width rows."""
+    toks = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.trim(F.col(text_col)), WS))
+                    .alias("w")))
+    bucket = F.pmod(hash32(F.col("w")), F.lit(n_buckets))
+    milli = _bucket_weight_milli(bucket)
+    return (toks.select("doc_id", milli.alias("m"))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_toks"),
+                 F.sum("m").alias("_sm"))
+            .select("doc_id", "n_toks",
+                    F.round(F.col("_sm") / (F.col("n_toks") * F.lit(1000.0)),
+                            6).alias("clf_score"),
+                    (F.col("_sm") > 0).alias("clf_label")))
+
+
+def classifier_score_sql(table: str = "documents", text_expr: str = "text",
+                         id_expr: str = "doc_id",
+                         n_buckets: int = CLF_BUCKETS) -> str:
+    from .hashing import hash32_sql
+    bucket = f"({hash32_sql('w')} % {n_buckets})"
+    salted = f"'clfw|' || {bucket}::VARCHAR"
+    milli = f"(({hash32_sql(salted)} % 2001) - 1000)"
+    return f"""
+WITH tok AS (
+  SELECT {id_expr} AS doc_id,
+         unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS w
+  FROM {table} WHERE trim({text_expr}) <> ''
+)
+SELECT doc_id, count(*)::BIGINT AS n_toks,
+       round(sum({milli}) / (count(*) * 1000.0), 6) AS clf_score,
+       (sum({milli}) > 0) AS clf_label
+FROM tok GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword ranking — the exact-match complement to the ANN
+# similarity-search family (Robertson/Spärck Jones; the standard
+# Okapi BM25 with k1 = 1.2, b = 0.75 kept as exact rationals 6/5, 3/4).
+# ---------------------------------------------------------------------------
+
+def bm25_rank(df: DataFrame, query_terms: list[str], top_k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, score, rank): top-k docs for a bag-of-words query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene form of the
+    Okapi idf, non-negative even for terms in over half the corpus
+    (the classic Robertson idf goes negative there).  Every input to the float
+    formula is an exact integer (tf, df, dl, N) or an exact rational
+    (avgdl = Σdl/N evaluated in double — identical IEEE in both
+    engines); each per-term contribution is rounded to integer
+    micro-units before the per-doc sum, so aggregation order can never
+    flip the final 6-dp score, and ranking ties break on doc_id.
+
+    Scale: the token stream is filtered to the query terms BEFORE any
+    shuffle (a literal isin — Catalyst pushes it into the scan
+    projection), so the heavy corpus reduces to |terms|·avg-tf rows;
+    df/N/avgdl are a handful of broadcast scalars; the final top-k is a
+    TakeOrdered over per-doc scores, never a global sort."""
+    k1_num, k1_den = 6, 5            # k1 = 1.2
+    b_num, b_den = 3, 4              # b = 0.75
+    terms = [str(t) for t in query_terms]
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    dl = base.select(F.col(id_col).alias("doc_id"),
+                     token_count(F.col(text_col)).cast("long").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").alias("tot_dl"))
+    tok = (base.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.trim(F.col(text_col)), WS))
+                       .alias("w"))
+           .filter(F.col("w").isin(terms)))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    avgdl = F.col("tot_dl") / F.col("n_docs")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) /
+                (F.col("df") + 0.5))
+    denom = (F.col("tf") +
+             F.lit(k1_num) / F.lit(k1_den) *
+             (1 - F.lit(b_num) / F.lit(b_den) +
+              F.lit(b_num) / F.lit(b_den) * F.col("dl") / avgdl))
+    contrib = idf * F.col("tf") * (1 + F.lit(k1_num) / F.lit(k1_den)) / denom
+    micro = F.round(contrib * 1e6, 0).cast("long")
+    scored = (tf.join(dl, "doc_id")
+              .join(F.broadcast(dfreq), "w")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", micro.alias("m"))
+              .groupBy("doc_id")
+              .agg(F.sum("m").alias("_sm"))
+              .select("doc_id",
+                      F.round(F.col("_sm") / F.lit(1e6), 6).alias("score")))
+    from pyspark.sql import Window
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= top_k))
+
+
+def bm25_rank_sql(query_terms: list[str], top_k: int = 20,
+                  table: str = "documents", text_expr: str = "text",
+                  id_expr: str = "doc_id") -> str:
+    nt = token_count_sql(text_expr)
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'"
+                          for t in query_terms)
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id, {text_expr} AS txt FROM {table}
+  WHERE trim({text_expr}) <> ''
+), dl AS (
+  SELECT doc_id, {nt.replace(text_expr, 'txt')}::BIGINT AS dl FROM base
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_dl FROM dl
+), tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(txt), '\\s+')) AS w
+  FROM base
+), tf AS (
+  SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok
+  WHERE w IN ({terms_sql}) GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w
+), terms AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1 + 6.0/5.0)
+               / (tf.tf + 6.0/5.0 * (1 - 3.0/4.0
+                  + 3.0/4.0 * dl.dl / (stats.tot_dl::DOUBLE / stats.n_docs)))
+               * 1e6)::BIGINT AS m
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w), stats
+), scored AS (
+  SELECT doc_id, round(sum(m) / 1e6, 6) AS score FROM terms GROUP BY doc_id
+)
+SELECT doc_id, score,
+       (row_number() OVER (ORDER BY score DESC, doc_id))::INT AS rank
+FROM scored QUALIFY rank <= {top_k}
+"""

@@ -1512,3 +1512,42 @@ def boilerplate_ngrams(spark, sf_dir):
     arithmetic — functions/dedup.boilerplate_shingle_stats)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return D.boilerplate_shingle_stats(docs)
+
+
+@q("stream_dedup_counts", """
+SELECT source, count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))::BIGINT
+         AS n_unique
+FROM documents GROUP BY source
+""")
+def stream_dedup_counts(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates state over (source,
+    content-fingerprint) on a file-source stream, Trigger.AvailableNow
+    (streaming/stream_pipeline.stream_dedup_counts_available_now).
+    Deterministic because the dedup key contains the group key; oracle
+    = batch count(DISTINCT fingerprint) per source."""
+    from .streaming import stream_pipeline as SP
+    return SP.stream_dedup_counts_available_now(
+        spark, f"{sf_dir}/documents.parquet")
+
+
+@q("classifier_score", TX.classifier_score_sql("documents", "text", "doc_id"))
+def classifier_score_q(spark, sf_dir):
+    """Frozen hashing-trick linear text classifier (fastText-style
+    quality-filter plumbing: token → bucket → milli-weight → exact
+    integer mean): zero joins, one uniform groupBy(doc_id) — the
+    cheapest model-scoring shape at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.classifier_score(docs)
+
+
+BM25_TERMS = ["window", "stream", "anomaly"]
+
+
+@q("bm25_topk", TX.bm25_rank_sql(BM25_TERMS, top_k=20))
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 keyword ranking (Lucene idf form, k1=1.2 b=0.75 as
+    exact rationals, per-term micro-nat rounding before the per-doc
+    sum): the exact-match complement to the ANN similarity family.
+    The corpus reduces to |terms|·tf rows before any shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.bm25_rank(docs, BM25_TERMS, top_k=20)

@@ -313,3 +313,39 @@ def run_available_now(pages_path: str, catalog_rows: pd.DataFrame,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_dedup_counts_available_now(spark: SparkSession,
+                                      docs_path: str) -> DataFrame:
+    """(source, n_unique) — streaming EXACT dedup: a file-source stream
+    of documents is deduplicated on (source, content-fingerprint) with
+    ``dropDuplicates`` state, kept rows land in an append-mode sink, and
+    the drained result is counted per source.  Because the dedup key
+    includes the group key, the KEPT SET is arrival-order independent
+    (only which-duplicate-wins varies, never how many survive), so the
+    query is deterministic and batch-equivalent: the DuckDB oracle is
+    ``count(DISTINCT fingerprint)`` per source.
+
+    Scale notes: ``dropDuplicates`` state is unbounded (one entry per
+    distinct key — exactly the semantics corpus-wide exact dedup needs);
+    for time-bounded streams swap in ``dropDuplicatesWithinWatermark``
+    so state expires with the watermark.  State lives in the embedded
+    RocksDB/HDFS state store, sharded by key hash — the same uniform
+    md5-hash sharding as the batch ``exact_dups`` groupBy."""
+    import uuid
+
+    from ..functions.text import fingerprint
+
+    schema = spark.read.parquet(docs_path).schema
+    src, staged = _stage_dir_for(docs_path)
+    stream = spark.readStream.schema(schema).parquet(src)
+    kept = (stream
+            .select("doc_id", "source",
+                    fingerprint(F.col("text")).alias("fp"))
+            .dropDuplicates(["source", "fp"]))
+    name = f"sdd_{uuid.uuid4().hex[:12]}"
+    q = (kept.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    rows = _drain_memory_sink(spark, q, name, staged)
+    return (rows.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_unique")))

@@ -661,3 +661,71 @@ def test_shard_assign_matches_naive_window(spark):
         per.setdefault(sh, []).append(pos)
     for sh, ps in per.items():
         assert sorted(ps) == list(range(len(ps)))
+
+
+def _h32(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_classifier_score_matches_hand_model(spark):
+    from ai_log_analyzer_spark.functions import text as TX
+    rows = [(0, "alpha beta gamma"), (1, "alpha alpha"), (2, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_toks, r.clf_score, r.clf_label)
+           for r in TX.classifier_score(docs).collect()}
+    for i, txt in rows[:2]:
+        toks = txt.split()
+        millis = [(_h32(f"clfw|{_h32(w) % 1024}") % 2001) - 1000
+                  for w in toks]
+        want = (len(toks), round(sum(millis) / (len(toks) * 1000.0), 6),
+                sum(millis) > 0)
+        assert got[i] == want, (i, got[i], want)
+    assert 2 not in got      # empty doc dropped
+
+
+def test_bm25_matches_hand_formula(spark):
+    import math
+    from ai_log_analyzer_spark.functions import text as TX
+    rows = [(0, "spark spark rules"), (1, "spark is neat"),
+            (2, "nothing relevant here at all"), (3, "rules rules rules")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.score, r.rank)
+           for r in TX.bm25_rank(docs, ["spark", "rules"], top_k=10).collect()}
+    N, dls = 4, {0: 3, 1: 3, 2: 5, 3: 3}
+    avgdl = sum(dls.values()) / N
+    tfs = {("spark", 0): 2, ("spark", 1): 1, ("rules", 0): 1, ("rules", 3): 3}
+    dfs = {"spark": 2, "rules": 2}
+    k1, b = 1.2, 0.75
+    want_scores = {}
+    for (t, d), tf in tfs.items():
+        idf = math.log(1 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        c = idf * tf * (1 + k1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+        want_scores[d] = want_scores.get(d, 0) + round(c * 1e6)
+    want = {d: round(m / 1e6, 6) for d, m in want_scores.items()}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d][0] - want[d]) < 1e-9, (d, got[d], want[d])
+    # doc 2 has no query terms -> absent; ranking is by score desc
+    ranks = sorted(got.values(), key=lambda sr: sr[1])
+    assert all(ranks[i][0] >= ranks[i+1][0] for i in range(len(ranks)-1))
+
+
+def test_stream_dedup_counts_matches_batch(spark, tmp_path):
+    from ai_log_analyzer_spark.streaming import stream_pipeline as SP
+    rows = [(i, f"src{i % 2}", ["dup text", "unique %d" % i][i % 3 != 0])
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    p = str(tmp_path / "docs.parquet")
+    docs.repartition(5).write.parquet(p)
+    got = {r.source: r.n_unique
+           for r in SP.stream_dedup_counts_available_now(spark, p).collect()}
+    from pyspark.sql import functions as F
+    from ai_log_analyzer_spark.functions.text import fingerprint
+    want = {r.source: r.n for r in
+            docs.select("source", fingerprint(F.col("text")).alias("fp"))
+            .distinct().groupBy("source").agg(F.count("*").alias("n"))
+            .collect()}
+    assert got == want
+    # "dup text" appears in both sources -> each source retains its copy
+    assert sum(want.values()) > len({t for _i, _s, t in rows})
