@@ -1551,3 +1551,85 @@ def bm25_topk(spark, sf_dir):
     The corpus reduces to |terms|·tf rows before any shuffle."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return TX.bm25_rank(docs, BM25_TERMS, top_k=20)
+
+
+@q("curation_funnel", """
+WITH quality AS (
+  SELECT doc_id, source, lang, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_toks
+  FROM documents
+), filtered AS (
+  SELECT *, (n_toks BETWEEN 5 AND 1000 AND lang = 'en') AS keep_q
+  FROM quality
+), uniq AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) = 1 AS keep_u
+  FROM filtered WHERE keep_q
+), split AS (
+  SELECT *, ((('0x' || substr(md5(doc_id::VARCHAR || '|split-v1'), 1, 8))::BIGINT
+              % 100) < 80) AS is_train
+  FROM uniq WHERE keep_u
+)
+SELECT f.source AS source,
+       count(*)::BIGINT AS n_raw,
+       sum(CASE WHEN f.keep_q THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       coalesce(u.n_unique, 0)::BIGINT AS n_unique,
+       coalesce(s.n_train, 0)::BIGINT AS n_train,
+       coalesce(s.train_tokens, 0)::BIGINT AS train_tokens
+FROM filtered f
+LEFT JOIN (SELECT source, count(*)::BIGINT AS n_unique FROM uniq
+           WHERE keep_u GROUP BY source) u USING (source)
+LEFT JOIN (SELECT source, sum(CASE WHEN is_train THEN 1 ELSE 0 END)::BIGINT
+                    AS n_train,
+                  sum(CASE WHEN is_train THEN n_toks ELSE 0 END)::BIGINT
+                    AS train_tokens
+           FROM split GROUP BY source) s USING (source)
+GROUP BY f.source, u.n_unique, s.n_train, s.train_tokens
+""")
+def curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel — the composite DAG a real pipeline
+    runs, as ONE Catalyst plan: cheap quality gate (token count 5-1000)
+    → language filter (en) → corpus-wide exact dedup (min-doc_id
+    survivor per content fingerprint) → deterministic train split →
+    per-source funnel counts (raw → quality → unique → train +
+    train-token budget).
+
+    Scale shape: the gates are stateless projections fused into the
+    scan; dedup is the one shuffle (uniform md5 key, min-aggregable
+    survivor — expressed as groupBy-min, not the oracle's window);
+    split adds no shuffle; the final per-source agg is tiny.  Each
+    stage's count is the standard curation-report output (what FineWeb/
+    RefinedWeb publish as their funnel tables)."""
+    from .functions import sampling as SA
+    from .functions.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text")
+    base = docs.withColumn("n_toks", token_count(F.col("text")).cast("long")) \
+        .withColumn("keep_q", F.col("n_toks").between(5, 1000) &
+                              (F.col("lang") == "en"))
+    q_docs = base.filter("keep_q") \
+        .withColumn("fp", fingerprint(F.col("text")))
+    firsts = q_docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    uniq = (q_docs.join(firsts, "fp")
+            .filter(F.col("doc_id") == F.col("keep_id"))
+            .withColumn("is_train",
+                        SA.split_assign(F.col("doc_id")) == "train"))
+    per_raw = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(F.col("keep_q").cast("long")).cast("long").alias("n_quality"))
+    per_uniq = uniq.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.col("is_train").cast("long")).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("is_train"), F.col("n_toks")).otherwise(0))
+        .cast("long").alias("train_tokens"))
+    return (per_raw.join(per_uniq, "source", "left")
+            .select("source", "n_raw", "n_quality",
+                    F.coalesce("n_unique", F.lit(0)).cast("long")
+                    .alias("n_unique"),
+                    F.coalesce("n_train", F.lit(0)).cast("long")
+                    .alias("n_train"),
+                    F.coalesce("train_tokens", F.lit(0)).cast("long")
+                    .alias("train_tokens")))
