@@ -618,3 +618,104 @@ SELECT d.{id_expr} AS doc_id,
 FROM (SELECT DISTINCT {id_expr} FROM {table}) d
 LEFT JOIN per_doc p ON d.{id_expr} = p.doc_id
 """
+
+def segment_dedup_rewrite(df: DataFrame, seg_tokens: int = 10,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_segs, n_kept, clean_text) — the TRANSFORM counterpart
+    of ``segment_dedup_stats``: actually rewrite each document with its
+    corpus-wide duplicate segments removed, retaining exactly the
+    canonical first occurrence of every distinct segment (Lee et al.,
+    ACL 2022 — the "drop duplicated substrings" step itself, not just
+    its per-doc statistics).  ``clean_text`` is the space-joined
+    concatenation of the kept fixed-window segments in original order.
+
+    Scale: the duplicate decision reuses the stats plan (ONE hash-agg
+    min over a packed scalar key + ONE equi-join on the uniform 32-bit
+    segment hash) but the REBUILD ships only integer segment indices
+    through those exchanges — the document text crosses exactly one
+    shuffle, the final uniform doc_id equi-join that zips (text,
+    kept_idxs), and the cleaned string is re-sliced from the original
+    tokens JVM-side (``transform`` + ``slice``), so payload bytes are
+    never duplicated per segment.  ``sort_array(collect_list)`` makes
+    the kept-index array order-deterministic under any shuffle order;
+    per-doc arrays are bounded by doc length, so no skew beyond the
+    mega-duplicated-segment h-join AQE already splits."""
+    s = seg_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nsegs = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
+        .otherwise(F.floor((F.size(toks) + F.lit(s - 1)) / F.lit(s))
+                   .cast("int"))
+    idxs = F.when(nsegs > 0, F.sequence(F.lit(0), nsegs - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idxs, lambda i: F.concat_ws(" ", F.slice(toks, i * s + 1, s)))
+    key = (F.col("doc_id").cast("decimal(38,0)") * F.lit(10_000_000_000) +
+           F.col("seg_idx"))
+    segs = (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(grams).alias("seg_idx", "seg"))
+            .select("doc_id", "seg_idx", hash32(F.col("seg")).alias("h"),
+                    key.alias("k")))
+    firsts = segs.groupBy("h").agg(F.min("k").alias("first_k"))
+    kept = (segs.join(firsts, "h")
+            .where(F.col("k") == F.col("first_k"))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("seg_idx")).alias("kept_idxs")))
+    empty_int = F.array().cast("array<int>")
+    toks2 = F.split(F.trim(F.col("_text")), r"\s+")
+    nsegs2 = F.when(F.trim(F.col("_text")) == "", F.lit(0)) \
+        .otherwise(F.floor((F.size(toks2) + F.lit(s - 1)) / F.lit(s))
+                   .cast("int"))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("_text"))
+            .join(kept, "doc_id", "left")
+            .select(
+                "doc_id",
+                nsegs2.cast("long").alias("n_segs"),
+                F.size(F.coalesce("kept_idxs", empty_int)).cast("long")
+                .alias("n_kept"),
+                F.concat_ws(" ", F.transform(
+                    F.coalesce("kept_idxs", empty_int),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.trim(F.col("_text")), r"\s+"),
+                                     i * s + 1, s)))).alias("clean_text")))
+
+
+def segment_dedup_rewrite_sql(table: str = "documents",
+                              text_expr: str = "text",
+                              id_expr: str = "doc_id",
+                              seg_tokens: int = 10) -> str:
+    """Oracle: identical segmentation; first-occurrence via a global
+    (doc_id, seg_idx)-ordered window; rebuild via list_transform over
+    the kept indices — provably the same kept set as the Spark side's
+    packed-key min."""
+    from .hashing import hash32_sql
+    s = seg_tokens
+    h = hash32_sql("array_to_string(list_slice(a, i * %d + 1, i * %d + %d), ' ')"
+                   % (s, s, s))
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS doc_id, regexp_split_to_array(trim({text_expr}), '\\s+') AS a
+  FROM {table} WHERE trim({text_expr}) <> ''
+), segs AS (
+  SELECT doc_id, i AS seg_idx, {h} AS h
+  FROM toks, unnest(generate_series(0, (len(a) + {s - 1}) // {s} - 1)) AS u(i)
+), kept AS (
+  SELECT doc_id, list(seg_idx ORDER BY seg_idx) AS kept_idxs
+  FROM (SELECT doc_id, seg_idx,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+        FROM segs)
+  WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       ((len(t.a) + {s - 1}) // {s})::BIGINT AS n_segs,
+       COALESCE(len(k.kept_idxs), 0)::BIGINT AS n_kept,
+       COALESCE(array_to_string(list_transform(k.kept_idxs,
+         i -> array_to_string(list_slice(t.a, i * {s} + 1, i * {s} + {s}), ' ')),
+         ' '), '') AS clean_text
+FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+UNION ALL
+SELECT {id_expr} AS doc_id, 0::BIGINT AS n_segs, 0::BIGINT AS n_kept,
+       '' AS clean_text
+FROM {table} WHERE trim({text_expr}) = ''
+"""

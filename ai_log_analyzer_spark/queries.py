@@ -1047,6 +1047,25 @@ def segment_dedup(spark, sf_dir):
     return D_.segment_dedup_stats(docs, seg_tokens=10)
 
 
+def _segrewrite_oracle() -> str:
+    from .functions import dedup as D_
+    return D_.segment_dedup_rewrite_sql("documents", "text", "doc_id",
+                                        seg_tokens=10)
+
+
+@q("segment_dedup_rewrite", _segrewrite_oracle())
+def segment_dedup_rewrite(spark, sf_dir):
+    """The substring-dedup TRANSFORM (Lee et al. 2022): rewrite every
+    document with corpus-wide duplicate 10-token segments removed,
+    keeping the canonical first occurrence — returns the cleaned text
+    itself, rebuilt JVM-side by re-slicing the original tokens so only
+    integer indices cross the dedup shuffles
+    (functions/dedup.segment_dedup_rewrite)."""
+    from .functions import dedup as D_
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D_.segment_dedup_rewrite(docs, seg_tokens=10)
+
+
 @q("bigram_lm_score", TX.bigram_lm_sql("documents", "text", "doc_id"))
 def bigram_lm_score_q(spark, sf_dir):
     """CCNet-style perplexity-proxy quality filter: corpus-self-trained

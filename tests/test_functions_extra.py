@@ -729,3 +729,31 @@ def test_stream_dedup_counts_matches_batch(spark, tmp_path):
     assert got == want
     # "dup text" appears in both sources -> each source retains its copy
     assert sum(want.values()) > len({t for _i, _s, t in rows})
+
+
+def test_segment_dedup_rewrite_known_corpus(spark):
+    """Rewrite counterpart of the stats test: the cleaned texts drop
+    exactly the duplicate segments and every distinct segment survives
+    exactly once across the whole corpus."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    rows = [
+        (0, "a b c d e f g h"),          # segs: [a b c d], [e f g h]
+        (1, "a b c d x y z w"),          # [a b c d] dup of doc0, fresh tail
+        (2, "p q r s"),                  # fresh
+        (3, "m n o p m n o p"),          # 2nd seg dups its own 1st
+        (4, ""),                         # empty -> 0 segs
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           D.segment_dedup_rewrite(docs, seg_tokens=4).collect()}
+    assert out[0].clean_text == "a b c d e f g h"
+    assert out[1].clean_text == "x y z w"          # first seg removed
+    assert out[2].clean_text == "p q r s"
+    assert out[3].clean_text == "m n o p"          # self-dup removed
+    assert out[4].clean_text == ""
+    assert (out[1].n_segs, out[1].n_kept) == (2, 1)
+    assert (out[4].n_segs, out[4].n_kept) == (0, 0)
+    # retention: concatenation of all cleaned texts holds each distinct
+    # segment exactly once (5 distinct segments of 4 tokens each)
+    all_kept = sum(r.n_kept for r in out.values())
+    assert all_kept == 5
