@@ -349,3 +349,49 @@ def srp_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", "vec_id", "cos", "rnk"))
+
+def semdedup(emb: DataFrame, centroids: list[list[float]],
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, keep) — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse k-means
+    quantizer, then within each cluster drop every document that has a
+    cosine-``threshold`` near-duplicate with a SMALLER id (min-id keep
+    rule — deterministic, order-free), so each semantic duplicate group
+    retains exactly its lowest-id member per cell.
+
+    Scale: the cell assignment is a ZERO-SHUFFLE projection — argmax
+    over centroid-literal structs via ``array_max`` (no explode + window
+    like ivf_topk's rank path, which shuffles per vec_id; pinned by a
+    plan test).  The pairwise check is a cell equi-join with itself —
+    quadratic in CELL size only, which is exactly SemDeDup's operating
+    regime (n_cells grows with the corpus so cells stay bounded; the
+    paper uses ~100k clusters at web scale); skewed cells split under
+    AQE.  Nothing else shuffles beyond the final uniform vec_id
+    left-anti-style join."""
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.transform(vec_col, lambda x: x.cast("double"))
+                      .alias("emb"))
+    structs = []
+    for c, cent in enumerate(centroids):
+        norm = sum(x * x for x in cent) ** 0.5
+        cs = F.round(_dot_lit(F.col("emb"), cent) /
+                     (_norm(F.col("emb")) * F.lit(norm)), 9)
+        # max(struct) compares cs first, then nc; larger nc == smaller
+        # cell id, so ties break to the LOWEST cell (matches ivf_topk)
+        structs.append(F.struct(cs.alias("cs"), F.lit(-c).alias("nc")))
+    assign = base.withColumn(
+        "cell", (-F.array_max(F.array(*structs)).getField("nc"))
+        .cast("int")).select("vec_id", "emb", "cell")
+    lower = assign.select("cell", F.col("vec_id").alias("ka"),
+                          F.col("emb").alias("ea"))
+    dropped = (assign.join(lower, "cell")
+               .where(F.col("ka") < F.col("vec_id"))
+               .where(F.round(cosine(F.col("ea"), F.col("emb")), 6)
+                      >= F.lit(threshold))
+               .select("vec_id").distinct())
+    return (assign.select("vec_id", "cell")
+            .join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.when(F.col("_d").isNull(), 1).otherwise(0)
+                    .cast("int").alias("keep")))

@@ -87,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
     # centroids fit on the corpus being compared (the driver's sf0.01 by
     # default; SPARK_GRAFT_ORACLE_SF_DIR overrides for other SFs)
     out["ann_ivf_kmeans_topk"] = _kmeans_ivf_oracle()
+    out["semdedup_keep"] = _semdedup_oracle()
     return out
 
 
@@ -786,15 +787,14 @@ def ann_ivf_topk(spark, sf_dir):
 _KMEANS_ORACLE_CACHE: dict[str, str] = {}
 
 
-def _kmeans_ivf_oracle() -> str:
-    """Round-4 verdict item 5: iterative Lloyd's isn't SQL-expressible,
-    but its OUTPUT is deterministic and tiny — so recompute the
-    centroids outside Spark (pyarrow read + the same numpy fit the
-    Spark path uses, selection shared via kmeans_sample_ids) and embed
-    them as VALUES literals; assignment + nprobe + rank is then the
-    plain ann_ivf_topk SQL and the row becomes hash-checkable.
-    Centroid norms are embedded too, mirroring ivf_topk's Python-
-    computed ``F.lit(norm)`` rather than re-deriving sqrt in SQL."""
+def _centroid_values() -> str:
+    """Shared data-bound centroid builder for the kmeans-IVF and
+    SemDeDup oracles: recompute the deterministic Lloyd's centroids
+    outside Spark (pyarrow read + the same numpy fit the Spark path
+    uses, selection shared via kmeans_sample_ids) and render them as a
+    DuckDB ``VALUES`` rows string ``(cell, c, cnorm)``.  Cached per
+    sf_dir — the fit is O(sample) but the parquet read is worth
+    skipping across the ~2 oracle builds per driver run."""
     import pyarrow.parquet as pq
 
     # the driver compares Spark vs DuckDB at sf0.01; the env override
@@ -815,7 +815,19 @@ def _kmeans_ivf_oracle() -> str:
         lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
         norm = sum(x * x for x in cent) ** 0.5
         rows.append(f"({c}, {lit}, {norm!r})")
-    values = ",\n    ".join(rows)
+    _KMEANS_ORACLE_CACHE[sf_dir] = ",\n    ".join(rows)
+    return _KMEANS_ORACLE_CACHE[sf_dir]
+
+
+def _kmeans_ivf_oracle() -> str:
+    """Round-4 verdict item 5: iterative Lloyd's isn't SQL-expressible,
+    but its OUTPUT is deterministic and tiny — so embed the recomputed
+    centroids as VALUES literals (_centroid_values); assignment +
+    nprobe + rank is then the plain ann_ivf_topk SQL and the row
+    becomes hash-checkable.  Centroid norms are embedded too, mirroring
+    ivf_topk's Python-computed ``F.lit(norm)`` rather than re-deriving
+    sqrt in SQL."""
+    values = _centroid_values()
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 cents AS (SELECT * FROM (VALUES
@@ -847,6 +859,68 @@ SELECT query_id, vec_id, cos, rnk FROM (
   FROM scored)
 WHERE rnk <= 5
 """
+
+
+def _semdedup_oracle() -> str:
+    """Data-bound SemDeDup oracle: same centroid literals as the
+    kmeans-IVF oracle (_centroid_values); assignment via the ranked
+    window, min-id drop rule as a plain EXISTS-style self-join."""
+    values = _centroid_values()
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e AS (
+  SELECT vec_id, emb FROM e0
+  UNION ALL
+  SELECT vec_id + {S.NEARDUP_OFFSET} AS vec_id,
+         list_transform(range(1, len(emb) + 1),
+                        j -> emb[j] * (1 + 0.001 * ((j % 7) - 3))) AS emb
+  FROM e0
+),
+cents AS (SELECT * FROM (VALUES
+    {values}) AS t(cell, c, cnorm)),
+cosmat AS (
+  SELECT e.vec_id, cents.cell,
+         round(list_dot_product(e.emb, cents.c) /
+               (sqrt(list_dot_product(e.emb, e.emb)) * cents.cnorm),
+               9) AS cs
+  FROM e CROSS JOIN cents),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell) AS rn
+    FROM cosmat) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM assign hi JOIN assign lo USING (cell)
+       JOIN e a ON a.vec_id = lo.vec_id
+       JOIN e b ON b.vec_id = hi.vec_id
+  WHERE lo.vec_id < hi.vec_id
+    AND round({_COS_SQL}, 6) >= 0.95)
+SELECT s.vec_id, s.cell,
+       (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS keep
+FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
+@q("semdedup_keep")         # oracle injected at oracle_sql() call time
+                            # (_semdedup_oracle -- data-bound centroid
+                            # literals, needs a parquet read that must
+                            # not run at import)
+def semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse k-means clusters over the
+    embedding corpus, then drop every doc with a >=0.95-cosine
+    neighbor of smaller id in its cluster (min-id keep rule) — run
+    over the planted-twin union (perturbed_union: the corpus has no
+    natural near-dups, max pairwise cos ~0.51), so every planted copy
+    drops and every base doc survives.  Cell
+    assignment is a zero-shuffle argmax projection over centroid
+    literals; the pairwise check is quadratic in CELL size only
+    (functions/similarity.semdedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, n_cells=8, iters=5, sample_n=256)
+    planted = S.perturbed_union(emb)
+    return S.semdedup(planted, cents, threshold=0.95, vec_col="emb")
 
 
 @q("ann_ivf_kmeans_topk")   # oracle injected at oracle_sql() call time

