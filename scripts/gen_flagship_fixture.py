@@ -68,7 +68,12 @@ def one_sf(sf_dir: str) -> pd.DataFrame:
         "seq_no": scored["seq_no"].astype("int64"),
         "template_id": scored["template_id"].astype("int64"),
         "label_id": scored["label_id"].astype("int64"),
-        "anomaly_score": np.round(scored["anomaly_score"].to_numpy(), 6),
+        # UNROUNDED f64: the consuming oracle SQL applies the hash grid
+        # (round 4 dp) itself, so Spark and DuckDB each round exactly
+        # once with the same half-up rule — storing a pre-rounded value
+        # would double-round (1.26234999→6dp 1.262350→4dp 1.2624 vs
+        # direct 1.2623)
+        "anomaly_score": scored["anomaly_score"].to_numpy(),
         "severity": sev.astype(str),
         "n_docs": np.int64(len(pages)),
         "text_len_sum": np.int64(pages["text"].str.len().sum()),
