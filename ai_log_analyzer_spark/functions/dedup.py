@@ -21,7 +21,7 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import hash32
@@ -718,4 +718,58 @@ UNION ALL
 SELECT {id_expr} AS doc_id, 0::BIGINT AS n_segs, 0::BIGINT AS n_kept,
        '' AS clean_text
 FROM {table} WHERE trim({text_expr}) = ''
+"""
+
+
+def cross_dedup_priority(df: DataFrame, priority: Column,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         group_col: str = "source") -> DataFrame:
+    """(doc_id, source, keep_id, is_kept): exact content dedup where the
+    survivor of each duplicate set is chosen by SOURCE PRIORITY, not by
+    min id — the CCNet/RefinedWeb "dedup new dumps against older dumps"
+    rule generalized to an explicit precedence (lower ``priority``
+    value wins; ties break to min doc_id).
+
+    Scale shape: identical to exact dedup — one fingerprint-keyed
+    groupBy whose survivor is a PARTIAL-AGGREGABLE min(struct(priority,
+    doc_id)) (map-side combine does most of the work; no window sort,
+    no per-fingerprint row list), then one join back on the uniform
+    md5 fingerprint key."""
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                r"\s+", " "))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(group_col).alias("source"),
+                     priority.cast("long").alias("prio"),
+                     fp.alias("fp"))
+    keep = (base.groupBy("fp")
+            .agg(F.min(F.struct("prio", "doc_id")).alias("k"))
+            .select("fp", F.col("k.doc_id").alias("keep_id")))
+    return (base.join(keep, "fp")
+            .select("doc_id", "source", "keep_id",
+                    (F.col("doc_id") == F.col("keep_id")).cast("long")
+                    .alias("is_kept")))
+
+
+def cross_dedup_priority_sql(table: str = "documents",
+                             priority_expr: str = "0",
+                             text_expr: str = "text",
+                             id_expr: str = "doc_id",
+                             group_expr: str = "source") -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id, {group_expr} AS source,
+         ({priority_expr})::BIGINT AS prio,
+         md5(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g'))
+           AS fp
+  FROM {table}
+), best AS (
+  SELECT fp, min(prio) AS mp FROM base GROUP BY fp
+), keep AS (
+  SELECT b.fp, min(b.doc_id) AS keep_id
+  FROM base b JOIN best USING (fp)
+  WHERE b.prio = best.mp GROUP BY b.fp
+)
+SELECT doc_id, source, keep_id,
+       (doc_id = keep_id)::BIGINT AS is_kept
+FROM base JOIN keep USING (fp)
 """

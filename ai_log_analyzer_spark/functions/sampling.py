@@ -239,3 +239,176 @@ SELECT doc_id, shard,
          AS pos
 FROM hashed
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# public NeurIPS paper): score every raw document by how much more
+# likely its hashed n-gram features are under a TARGET distribution
+# than under the RAW corpus distribution; resampling by these weights
+# shifts the corpus toward the target domain without a trained model.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(df, target, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 n_buckets: int = DSIR_BUCKETS):
+    """(doc_id, n_tokens, dsir_weight) for docs with ≥1 token.
+
+    Features are hashed UNIGRAM buckets (hash32(token) % n_buckets —
+    the hashing-trick bag-of-ngrams of the paper, unigrams as the
+    deterministic baseline).  Bucket probabilities use add-one
+    smoothing: p[b] = (c[b]+1)/(total+n_buckets).  Per-token term
+    ln(p_target[b]/p_raw[b]) is rounded to integer MICRO-nats before
+    the per-doc sum (order-independent exact aggregation — the same
+    determinism contract as bigram_lm_score); dsir_weight is the
+    per-doc MEAN log-ratio, rounded 6 dp.
+
+    ``target`` is a boolean Column over ``df``'s rows selecting the
+    target-domain slice (e.g. lang == 'en').
+
+    Scale shape: two bucket histograms (n_buckets rows each — tiny,
+    map-side partial aggs), broadcast-joined back onto the token
+    stream, one uniform groupBy(doc_id).  No corpus-scale state, no
+    skew key (buckets are md5-uniform), one linear explode."""
+    toks = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("doc_id"),
+                    target.alias("_is_t"),
+                    F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    .alias("tok"))
+            .withColumn("b", F.pmod(hash32(F.col("tok")), F.lit(n_buckets))))
+    raw_h = toks.groupBy("b").agg(F.count("*").alias("c_raw"))
+    tgt_h = (toks.filter("_is_t")
+             .groupBy("b").agg(F.count("*").alias("c_tgt")))
+    totals = toks.agg(
+        F.count("*").alias("t_raw"),
+        F.sum(F.col("_is_t").cast("long")).alias("t_tgt"))
+    rates = (raw_h.join(tgt_h, "b", "left")
+             .crossJoin(F.broadcast(totals))
+             .select("b", F.round(F.log(
+                 ((F.coalesce("c_tgt", F.lit(0)) + 1) /
+                  (F.col("t_tgt") + n_buckets)) /
+                 ((F.col("c_raw") + 1) / (F.col("t_raw") + n_buckets))
+             ) * 1e6, 0).cast("long").alias("m")))
+    return (toks.join(F.broadcast(rates), "b")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("m").alias("_sm"))
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("_sm") / (F.col("n_tokens") * F.lit(1e6)),
+                            6).alias("dsir_weight")))
+
+
+def dsir_weights_sql(table: str = "documents", text_expr: str = "text",
+                     id_expr: str = "doc_id",
+                     target_expr: str = "lang = 'en'",
+                     n_buckets: int = DSIR_BUCKETS) -> str:
+    """Oracle: identical hashing, smoothing and micro-nat rounding."""
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS doc_id, ({target_expr}) AS is_t,
+         {hash32_sql('w')} % {n_buckets} AS b
+  FROM (SELECT *, unnest(regexp_split_to_array(trim({text_expr}), '\\s+'))
+               AS w
+        FROM {table} WHERE trim({text_expr}) <> '')
+), raw_h AS (SELECT b, count(*)::BIGINT AS c_raw FROM toks GROUP BY b),
+tgt_h AS (SELECT b, count(*)::BIGINT AS c_tgt FROM toks
+          WHERE is_t GROUP BY b),
+totals AS (
+  SELECT count(*)::BIGINT AS t_raw,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS t_tgt
+  FROM toks
+), rates AS (
+  SELECT b, round(ln(
+      ((coalesce(c_tgt, 0) + 1)::DOUBLE / (t_tgt + {n_buckets})) /
+      ((c_raw + 1)::DOUBLE / (t_raw + {n_buckets}))) * 1e6)::BIGINT AS m
+  FROM raw_h LEFT JOIN tgt_h USING (b), totals
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(m) / (count(*) * 1e6), 6) AS dsir_weight
+FROM toks JOIN rates USING (b)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture manifest: per-source repeat factors (epochs) for a token
+# budget — the table a pretraining run consumes to decide how often
+# each source is traversed (weights ∝ sqrt(source tokens), the α=0.5
+# temperature mixture, in EXACT integer arithmetic end to end).
+# ---------------------------------------------------------------------------
+
+def mixture_epochs(df, budget_tokens: int, group_col: str = "source",
+                   text_col: str = "text"):
+    """(source, n_tokens, weight_ppm, target_tokens, epochs_ppm): how
+    the ``budget_tokens`` training budget distributes over sources with
+    weight ∝ isqrt(n_tokens) (α=0.5), and the per-source repeat factor
+    epochs = target/available (ppm; >1e6 ⇒ the source is up-sampled /
+    multi-epoch).
+
+    Everything is exact integers: isqrt via DOUBLE sqrt + one-step
+    integer correction (exact for n < 2^52), ppm shares by integer
+    div, target tokens = budget*weight_ppm/1e6.  The per-source token
+    table is one groupBy (|sources| rows); the arithmetic is a tiny
+    broadcast-side projection — at 100 TB this manifest is a driver-
+    sized artifact derived from one scan."""
+    t = F.trim(F.col(text_col))
+    n_toks = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+    per = df.select(F.col(group_col).alias("source"), n_toks.alias("v")) \
+        .groupBy("source").agg(F.sum("v").alias("n_tokens"))
+    # exact isqrt: s = floor(sqrt(n)) computed in double, then corrected
+    s0 = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    s = F.when((s0 + 1) * (s0 + 1) <= F.col("n_tokens"), s0 + 1) \
+        .when(s0 * s0 > F.col("n_tokens"), s0 - 1).otherwise(s0)
+    w = per.withColumn("rt", s)
+    tot = w.agg(F.sum("rt").alias("rt_tot"))
+    # integer `div` (not double /): exact at any token scale, and the
+    # same floor semantics as the oracle's BIGINT // operator
+    return (w.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens",
+                    F.expr("rt * 1000000 div rt_tot").cast("long")
+                    .alias("weight_ppm"))
+            .withColumn("target_tokens",
+                        F.expr(f"{int(budget_tokens)} * weight_ppm "
+                               f"div 1000000").cast("long"))
+            .withColumn("epochs_ppm",
+                        F.when(F.col("n_tokens") > 0,
+                               F.expr("target_tokens * 1000000 "
+                                      "div n_tokens").cast("long"))
+                        .otherwise(F.lit(0))))
+
+
+def mixture_epochs_sql(budget_tokens: int, table: str = "documents",
+                       group_expr: str = "source",
+                       text_expr: str = "text") -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_expr} AS source,
+         sum(CASE WHEN trim({text_expr}) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim({text_expr}), '\\s+'))
+             END)::BIGINT AS n_tokens
+  FROM {table} GROUP BY 1
+), rooted AS (
+  SELECT source, n_tokens,
+         CASE WHEN (floor(sqrt(n_tokens::DOUBLE))::BIGINT + 1)
+                   * (floor(sqrt(n_tokens::DOUBLE))::BIGINT + 1) <= n_tokens
+              THEN floor(sqrt(n_tokens::DOUBLE))::BIGINT + 1
+              WHEN floor(sqrt(n_tokens::DOUBLE))::BIGINT
+                   * floor(sqrt(n_tokens::DOUBLE))::BIGINT > n_tokens
+              THEN floor(sqrt(n_tokens::DOUBLE))::BIGINT - 1
+              ELSE floor(sqrt(n_tokens::DOUBLE))::BIGINT END AS rt
+  FROM per
+), tot AS (SELECT sum(rt)::BIGINT AS rt_tot FROM rooted)
+SELECT source, n_tokens,
+       (rt * 1000000 // rt_tot)::BIGINT AS weight_ppm,
+       ({int(budget_tokens)} * (rt * 1000000 // rt_tot) // 1000000)::BIGINT
+         AS target_tokens,
+       CASE WHEN n_tokens > 0
+            THEN (({int(budget_tokens)} * (rt * 1000000 // rt_tot)
+                   // 1000000) * 1000000 // n_tokens)::BIGINT
+            ELSE 0 END AS epochs_ppm
+FROM rooted, tot
+"""

@@ -9,7 +9,7 @@ oracle.  No Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import hash32
@@ -567,4 +567,428 @@ WITH base AS (
 SELECT doc_id, score,
        (row_number() OVER (ORDER BY score DESC, doc_id))::INT AS rank
 FROM scored QUALIFY rank <= {top_k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 — the
+# standard rule-based pre-filter every web curation runs before model
+# filters).  Every ratio test is evaluated in EXACT INTEGER arithmetic
+# (a/b >= t  ⇔  a*den >= t_num*b) so the DuckDB oracle can never
+# diverge on float rounding, and every rule is a pure codegen'd
+# projection — zero shuffles, zero UDFs, scan-fused at any scale.
+# ---------------------------------------------------------------------------
+
+# frozen thresholds: (min_words, max_words) adapted to the synthetic
+# corpus scale (the published 50..100k is a knob, not a semantic);
+# mean word length in [3, 10]; symbol-to-word <= 1/10; words with an
+# alphabetic character >= 8/10; >= 2 stop words present.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3, 10
+GOPHER_SYM_NUM, GOPHER_SYM_DEN = 1, 10
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 8, 10
+GOPHER_MIN_STOP = 2
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, f_word_count, f_mean_word_len, f_symbol_ratio,
+    f_alpha_words, f_stop_words, keep) — one 0/1 flag per Gopher rule
+    plus the conjunction.  Flags are LONG 0/1 (not boolean) so the
+    value-hash canonicalization is engine-independent."""
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, WS)
+    n_words = F.when(t == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+    # total word chars (whitespace removed) for the mean-word-length test
+    word_chars = F.length(F.regexp_replace(t, WS, "")).cast("long")
+    # symbols: '#' occurrences + '...' runs (each run counts once)
+    n_sym = (F.size(F.regexp_extract_all(t, F.lit(r"#|\.{3}"), 0))
+             .cast("long"))
+    alpha_rx = r"(^|\s)\S*[A-Za-z]\S*"   # words containing >=1 alpha char
+    n_alpha = F.size(F.regexp_extract_all(t, F.lit(alpha_rx), 0)).cast("long")
+    stop_rx = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_rx), 0)) \
+        .cast("long")
+
+    f_wc = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_mwl = ((word_chars >= GOPHER_MWL_LO * n_words) &
+             (word_chars <= GOPHER_MWL_HI * n_words) & (n_words > 0))
+    f_sym = (n_sym * GOPHER_SYM_DEN) <= (GOPHER_SYM_NUM * n_words)
+    f_alpha = (n_alpha * GOPHER_ALPHA_DEN) >= (GOPHER_ALPHA_NUM * n_words)
+    f_stop = n_stop >= GOPHER_MIN_STOP
+    keep = f_wc & f_mwl & f_sym & f_alpha & f_stop
+    return df.select(
+        F.col(id_col).alias("doc_id"), n_words.alias("n_words"),
+        f_wc.cast("long").alias("f_word_count"),
+        f_mwl.cast("long").alias("f_mean_word_len"),
+        f_sym.cast("long").alias("f_symbol_ratio"),
+        f_alpha.cast("long").alias("f_alpha_words"),
+        f_stop.cast("long").alias("f_stop_words"),
+        keep.cast("long").alias("keep"))
+
+
+def gopher_flags_sql(table: str = "documents", text_expr: str = "text",
+                     id_expr: str = "doc_id") -> str:
+    """Oracle: same integer-arithmetic rules in DuckDB."""
+    stop_rx = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id,
+         CASE WHEN trim({text_expr}) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim({text_expr}), '\\s+')) END
+           ::BIGINT AS n_words,
+         length(regexp_replace(trim({text_expr}), '\\s+', '', 'g'))::BIGINT
+           AS word_chars,
+         len(regexp_extract_all(trim({text_expr}), '#|\\.{{3}}'))::BIGINT
+           AS n_sym,
+         len(regexp_extract_all(trim({text_expr}),
+             '(^|\\s)[^ \\t\\n]*[A-Za-z][^ \\t\\n]*'))::BIGINT AS n_alpha,
+         len(regexp_extract_all(lower(trim({text_expr})), '{stop_rx}'))
+           ::BIGINT AS n_stop
+  FROM {table}
+), flags AS (
+  SELECT doc_id, n_words,
+         (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AS f_word_count,
+         (word_chars >= {GOPHER_MWL_LO} * n_words AND
+          word_chars <= {GOPHER_MWL_HI} * n_words AND n_words > 0)
+           AS f_mean_word_len,
+         (n_sym * {GOPHER_SYM_DEN} <= {GOPHER_SYM_NUM} * n_words)
+           AS f_symbol_ratio,
+         (n_alpha * {GOPHER_ALPHA_DEN} >= {GOPHER_ALPHA_NUM} * n_words)
+           AS f_alpha_words,
+         (n_stop >= {GOPHER_MIN_STOP}) AS f_stop_words
+  FROM base
+)
+SELECT doc_id, n_words,
+       f_word_count::BIGINT AS f_word_count,
+       f_mean_word_len::BIGINT AS f_mean_word_len,
+       f_symbol_ratio::BIGINT AS f_symbol_ratio,
+       f_alpha_words::BIGINT AS f_alpha_words,
+       f_stop_words::BIGINT AS f_stop_words,
+       (f_word_count AND f_mean_word_len AND f_symbol_ratio AND
+        f_alpha_words AND f_stop_words)::BIGINT AS keep
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-prep: the first BPE merge iteration as a relational plan.
+# A real BPE train loop re-runs this count over evolving symbol
+# sequences; each iteration is exactly this shape (word-freq table ×
+# adjacent-pair explode × global count), so the one-iteration operator
+# is the distributed building block (Sennrich et al. 2016).
+# ---------------------------------------------------------------------------
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    top_k: int = 20) -> DataFrame:
+    """(pair, pair_count, rank): the top-k most frequent adjacent
+    CHARACTER pairs over the corpus, each word weighted by its corpus
+    frequency — the statistic BPE's first merge maximizes.
+
+    Scale shape: the corpus collapses to its word-frequency table
+    first (one groupBy, vocabulary-sized — Heaps' law sublinear), so
+    the pair explode runs over |vocab| rows, not |corpus| rows; the
+    pair count reduces over a pair-keyed groupBy with map-side
+    partials, and only top-k survive a tiny global sort."""
+    words = (df.filter(F.trim(F.col(text_col)) != "")
+             .select(F.explode(F.split(F.trim(F.col(text_col)), WS))
+                     .alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("wc")))
+    idxs = F.when(F.length("w") >= 2,
+                  F.sequence(F.lit(1), F.length("w") - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    pairs = (words
+             .select("wc", F.explode(
+                 F.transform(idxs,
+                             lambda i: F.col("w").substr(i, F.lit(2))))
+                 .alias("pair"))
+             .groupBy("pair").agg(F.sum("wc").cast("long")
+                                  .alias("pair_count")))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top_k)
+            .select("pair", "pair_count", "rank"))
+
+
+def bpe_pair_counts_sql(table: str = "documents", text_expr: str = "text",
+                        top_k: int = 20) -> str:
+    return f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS w
+        FROM {table} WHERE trim({text_expr}) <> '')
+  WHERE w <> '' GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair, sum(wc)::BIGINT AS pair_count
+  FROM words, unnest(generate_series(1, length(w) - 1)) AS u(i)
+  WHERE length(w) >= 2 GROUP BY 1
+)
+SELECT pair, pair_count,
+       (row_number() OVER (ORDER BY pair_count DESC, pair))::INT AS rank
+FROM pairs QUALIFY rank <= {top_k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: exact per-group token-count percentiles via the
+# VALUE-HISTOGRAM cumulative trick — never a per-group row sort.
+# ---------------------------------------------------------------------------
+
+def token_percentiles(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """(group, n_docs, sum_tokens, p50_tokens, p90_tokens, max_tokens)
+    with DISCRETE percentiles: p_q = min{v : cum_count(v) >= ceil(q*n)}.
+
+    Scale: percentile-by-sort is the classic skew trap (one mega-group
+    = one mega-sort-partition).  Token counts are small integers, so
+    the histogram groupBy(group, n_toks) first collapses the corpus to
+    |groups| x |distinct counts| rows; the cumulative window then runs
+    over those TINY histogram rows (bounded by the token-count range,
+    not the corpus), making the per-group window O(distinct values) —
+    the exact-percentile analogue of a fixed-width histogram sketch."""
+    t = F.trim(F.col(text_col))
+    n_toks = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, WS))).cast("long")
+    hist = (df.select(F.col(group_col).alias("grp"), n_toks.alias("v"))
+            .groupBy("grp", "v").agg(F.count("*").alias("c")))
+    wcum = Window.partitionBy("grp").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("grp")
+    h = (hist.withColumn("cum", F.sum("c").over(wcum))
+         .withColumn("n", F.sum("c").over(wtot))
+         .withColumn("tot", F.sum(F.col("v") * F.col("c")).over(wtot)))
+    # ceil(q*n) in exact integers: ceil(a/b) = -floordiv(-a, b)
+    need50 = -F.floor(F.lit(-1) * F.col("n") / 2)
+    need90 = -F.floor(F.lit(-9) * F.col("n") / 10)
+    return (h.groupBy("grp")
+            .agg(F.max("n").cast("long").alias("n_docs"),
+                 F.max("tot").cast("long").alias("sum_tokens"),
+                 F.min(F.when(F.col("cum") >= need50, F.col("v")))
+                 .cast("long").alias("p50_tokens"),
+                 F.min(F.when(F.col("cum") >= need90, F.col("v")))
+                 .cast("long").alias("p90_tokens"),
+                 F.max("v").cast("long").alias("max_tokens"))
+            .withColumnRenamed("grp", "source"))
+
+
+def token_percentiles_sql(table: str = "documents",
+                          group_expr: str = "source",
+                          text_expr: str = "text") -> str:
+    return f"""
+WITH hist AS (
+  SELECT {group_expr} AS grp,
+         CASE WHEN trim({text_expr}) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim({text_expr}), '\\s+')) END
+           ::BIGINT AS v,
+         count(*)::BIGINT AS c
+  FROM {table} GROUP BY 1, 2
+), cum AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS n,
+         sum(v * c) OVER (PARTITION BY grp) AS tot
+  FROM hist
+)
+SELECT grp AS source, max(n)::BIGINT AS n_docs,
+       max(tot)::BIGINT AS sum_tokens,
+       min(CASE WHEN cum >= -floor(-n / 2.0) THEN v END)::BIGINT
+         AS p50_tokens,
+       min(CASE WHEN cum >= -floor(-9.0 * n / 10.0) THEN v END)::BIGINT
+         AS p90_tokens,
+       max(v)::BIGINT AS max_tokens
+FROM cum GROUP BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets (Wenzek et al., LREC 2020):
+# after LM-scoring every document, CCNet splits each language's corpus
+# into thirds by perplexity and most pipelines keep only head+middle.
+# The LM here is the corpus-self-trained bigram model of
+# bigram_lm_score (same exact-integer determinism contract); terciles
+# are computed on the score quantized to MILLI-nats so the per-lang
+# cutoff computation runs over a BOUNDED histogram (score range is a
+# few tens of nats -> tens of thousands of distinct milli values), not
+# a per-language row sort — the skew-proof exact-percentile shape of
+# token_percentiles.
+# ---------------------------------------------------------------------------
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """(doc_id, lang, score_milli, bucket) for every doc with ≥1
+    bigram; bucket ∈ head|middle|tail by per-language thirds, best
+    scores (highest mean log-prob = lowest perplexity) first.
+
+    Quantization: score_milli = floor(round(lm_score·10⁶)/1000) — the
+    6-dp score exactly recovers its micro-nat integer, and integer
+    floor-division to milli-nats is engine-identical.  Bucket rule
+    (frozen): with cum = count of docs at values ≥ this value
+    (value-group inclusive) and n = language total, a VALUE GROUP is
+    head iff 3·cum ≤ n, middle iff 3·cum ≤ 2n, else tail — every doc
+    with the same (lang, score) lands in the same bucket, ties pushed
+    toward the worse bucket.
+
+    Scale shape: bigram scoring as bigram_lm_score; one uniform
+    doc_id join to recover lang; the tercile window runs over
+    histogram rows only (|langs| × |distinct milli scores|, bounded by
+    the score RANGE not the corpus); the bucket map is tiny →
+    broadcast joined back.  No per-language row sort anywhere."""
+    scored = bigram_lm_score(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col).alias("doc_id"),
+                      F.col(lang_col).alias("lang"))
+    milli = F.floor(F.round(F.col("lm_score") * 1e6, 0) / 1000.0) \
+        .cast("long")
+    d = (scored.join(langs, "doc_id")
+         .select("doc_id", "lang", milli.alias("score_milli")))
+    hist = d.groupBy("lang", "score_milli").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("lang").orderBy(F.desc("score_milli")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("lang")
+    h = (hist.withColumn("cum", F.sum("c").over(wcum))
+         .withColumn("n", F.sum("c").over(wtot)))
+    bucket = (F.when(3 * F.col("cum") <= F.col("n"), F.lit("head"))
+              .when(3 * F.col("cum") <= 2 * F.col("n"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    bmap = h.select("lang", "score_milli", bucket.alias("bucket"))
+    return (d.join(F.broadcast(bmap), ["lang", "score_milli"])
+            .select("doc_id", "lang", "score_milli", "bucket"))
+
+
+def ccnet_buckets_sql(table: str = "documents", text_expr: str = "text",
+                      id_expr: str = "doc_id",
+                      lang_expr: str = "lang") -> str:
+    """Oracle: identical bigram model, quantization and bucket rule."""
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS doc_id,
+         regexp_split_to_array(trim({text_expr}), '\\s+') AS a
+  FROM {table} WHERE trim({text_expr}) <> ''
+), stream AS (
+  SELECT doc_id, a[i + 1] AS w1, a[i + 1] || ' ' || a[i + 2] AS bg
+  FROM toks, unnest(generate_series(0, len(a) - 2)) AS u(i)
+  WHERE len(a) >= 2
+), c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM stream GROUP BY bg),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM stream GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT w)::BIGINT AS v
+  FROM (SELECT unnest(regexp_split_to_array(trim({text_expr}), '\\s+'))
+          AS w
+        FROM {table} WHERE trim({text_expr}) <> '')
+), terms AS (
+  SELECT s.doc_id,
+         round(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + vocab.v)) * 1e6)::BIGINT
+           AS m
+  FROM stream s JOIN c2 USING (bg) JOIN c1 USING (w1), vocab
+), scored AS (
+  SELECT doc_id, round(sum(m) / (count(*) * 1e6), 6) AS lm_score
+  FROM terms GROUP BY doc_id
+), d AS (
+  SELECT s.doc_id, t.{lang_expr} AS lang,
+         floor(round(s.lm_score * 1e6) / 1000.0)::BIGINT AS score_milli
+  FROM scored s JOIN {table} t ON s.doc_id = t.{id_expr}
+), hist AS (
+  SELECT lang, score_milli, count(*)::BIGINT AS c
+  FROM d GROUP BY lang, score_milli
+), cum AS (
+  SELECT lang, score_milli,
+         sum(c) OVER (PARTITION BY lang ORDER BY score_milli DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+), bmap AS (
+  SELECT lang, score_milli,
+         CASE WHEN 3 * cum <= n THEN 'head'
+              WHEN 3 * cum <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM cum
+)
+SELECT d.doc_id, d.lang, d.score_milli, bmap.bucket
+FROM d JOIN bmap USING (lang, score_milli)
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning rules (Raffel et al. 2020, JMLR — the
+# "Colossal Clean Crawled Corpus" line/page filters): keep only lines
+# that end in terminal punctuation and have ≥ C4_MIN_LINE_WORDS words;
+# drop pages with < C4_MIN_SENTENCES sentences, any "lorem ipsum", or
+# a curly brace (code).  Pure codegen'd projection — split + a
+# higher-order array filter + regexp counts; zero shuffles, zero UDFs.
+# (The span-level cross-doc dedup of C4 is the existing segment-dedup
+# operator; this is the per-page rule set.)
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINAL_RX = '[.!?"]$'
+
+
+def c4_filters(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    keep, clean_text): the C4 rule set over newline-delimited pages.
+    Flags are LONG 0/1; clean_text is the kept lines re-joined with
+    a newline ('' when nothing survives)."""
+    lines = F.split(F.col(text_col), r"\n")
+    keep_line = lambda ln: (
+        (F.trim(ln) != "") &
+        (F.size(F.split(F.trim(ln), WS)) >= C4_MIN_LINE_WORDS) &
+        F.trim(ln).rlike(C4_TERMINAL_RX))
+    kept = F.filter(lines, keep_line)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0)) \
+        .cast("long")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).rlike(r"[{}]")
+    keep = ((n_sent >= C4_MIN_SENTENCES) & ~has_lorem & ~has_brace)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.cast("long").alias("has_lorem"),
+        has_brace.cast("long").alias("has_brace"),
+        keep.cast("long").alias("keep"),
+        clean.alias("clean_text"))
+
+
+def c4_filters_sql(table: str = "documents", text_expr: str = "text",
+                   id_expr: str = "doc_id") -> str:
+    """Oracle: same line filter / sentence count / page flags."""
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id, {text_expr} AS t,
+         string_split({text_expr}, chr(10)) AS lines
+  FROM {table}
+), f AS (
+  SELECT doc_id, t, lines,
+         list_filter(lines, ln ->
+           trim(ln) <> ''
+           AND len(regexp_split_to_array(trim(ln), '\\s+'))
+               >= {C4_MIN_LINE_WORDS}
+           AND regexp_matches(trim(ln), '{C4_TERMINAL_RX}')) AS kept
+  FROM base
+), g AS (
+  SELECT doc_id, len(lines)::BIGINT AS n_lines,
+         len(kept)::BIGINT AS n_kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         len(regexp_extract_all(
+             coalesce(array_to_string(kept, chr(10)), ''),
+             '[.!?]'))::BIGINT AS n_sentences,
+         (position('lorem ipsum' IN lower(t)) > 0) AS has_lorem,
+         regexp_matches(t, '[{{}}]') AS has_brace
+  FROM f
+)
+SELECT doc_id, n_lines, n_kept, n_sentences,
+       has_lorem::BIGINT AS has_lorem, has_brace::BIGINT AS has_brace,
+       (n_sentences >= {C4_MIN_SENTENCES} AND NOT has_lorem
+        AND NOT has_brace)::BIGINT AS keep,
+       clean_text
+FROM g
 """

@@ -27,6 +27,7 @@ _FIXTURE_DIR = os.path.join(
     "tests", "fixtures")
 
 from .functions import dedup as D
+from .functions import sampling as SA
 from .functions import similarity as S
 from .functions import text as TX
 from .functions.hashing import hash32, hash32_sql
@@ -1736,3 +1737,147 @@ def curation_funnel(spark, sf_dir):
                     .alias("n_train"),
                     F.coalesce("train_tokens", F.lit(0)).cast("long")
                     .alias("train_tokens")))
+
+
+@q("gopher_quality_flags", TX.gopher_flags_sql("documents", "text", "doc_id"))
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher rule-based quality pre-filter (Rae et al. 2021): per-doc
+    0/1 flags for word count, mean word length, symbol ratio,
+    alpha-word ratio and stop-word presence, every ratio tested in
+    exact integer arithmetic — pure codegen'd projection, zero
+    shuffles (functions/text.gopher_flags)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.gopher_flags(docs)
+
+
+@q("bpe_pair_counts", TX.bpe_pair_counts_sql("documents", "text", top_k=20))
+def bpe_pair_counts_q(spark, sf_dir):
+    """Tokenizer-prep: top-20 adjacent character pairs weighted by word
+    frequency — the first BPE merge statistic, computed over the
+    vocabulary-sized word-frequency table rather than the raw corpus
+    (functions/text.bpe_pair_counts)."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return TX.bpe_pair_counts(docs, top_k=20)
+
+
+@q("token_percentiles", TX.token_percentiles_sql("documents", "source",
+                                                 "text"))
+def token_percentiles_q(spark, sf_dir):
+    """Per-source corpus stats with EXACT discrete token-count
+    percentiles via the value-histogram cumulative trick — the window
+    runs over histogram rows (bounded by the token-count range), never
+    a per-source row sort (functions/text.token_percentiles)."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return TX.token_percentiles(docs)
+
+
+@q("dsir_weights", SA.dsir_weights_sql("documents", "text", "doc_id",
+                                       target_expr="lang = 'en'"))
+def dsir_weights_q(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-ratio of the lang='en' target slice vs the raw corpus,
+    micro-nat integer terms for order-independent summation
+    (functions/sampling.dsir_weights)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return SA.dsir_weights(docs, target=F.col("lang") == "en")
+
+
+MIXTURE_BUDGET = 1_000_000
+
+
+@q("mixture_epochs", SA.mixture_epochs_sql(MIXTURE_BUDGET, "documents",
+                                           "source", "text"))
+def mixture_epochs_q(spark, sf_dir):
+    """Data-mixture manifest: per-source token budget shares with
+    weight ∝ isqrt(tokens) (α=0.5 temperature) and repeat factors
+    (epochs_ppm), exact integer arithmetic end to end
+    (functions/sampling.mixture_epochs)."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return SA.mixture_epochs(docs, budget_tokens=MIXTURE_BUDGET)
+
+
+# priority = the numeric suffix of the source name (srcN → N): stands in
+# for dump recency — lower N = older, trusted dump wins duplicates
+_PRIO_EXPR_SQL = "CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)"
+
+
+@q("cross_dedup_priority", D.cross_dedup_priority_sql(
+    "documents", priority_expr=_PRIO_EXPR_SQL))
+def cross_dedup_priority_q(spark, sf_dir):
+    """Cross-source exact dedup with source-priority survivors (the
+    dedup-new-dumps-against-old rule): survivor = min(priority, doc_id)
+    struct, partial-aggregable — no window sort
+    (functions/dedup.cross_dedup_priority)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    prio = F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("long")
+    return D.cross_dedup_priority(docs, priority=prio)
+
+
+# deterministic line-structure fixture for the C4 rules: the word-soup
+# corpus has no newlines/punctuation, so the query re-renders each doc
+# as a multi-line page — 6-word lines, a terminal '.' on lines where
+# (doc_id + line_idx) % 3 != 0, plus an injected 'lorem ipsum' line on
+# doc_id % 7 == 0 and a curly-brace code line on doc_id % 11 == 0 —
+# identically in Spark and in the oracle (the html_text_extract
+# pattern: synthesize the structure the rule needs, in both engines).
+_C4_PAGE_SQL = """
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, ceil(len(toks) / 6.0)::BIGINT),
+             i -> array_to_string(list_slice(toks, i * 6 + 1, i * 6 + 6),
+                                  ' ') ||
+                  CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+           chr(10))
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'var f = function () { return 1; };'
+                 ELSE '' END AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+"""
+
+
+def _c4_page(docs):
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit("."))
+            .otherwise(F.lit(""))))
+    page = F.array_join(lines, "\n")
+    page = F.concat(
+        page,
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nlorem ipsum dolor sit amet.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\nvar f = function () { return 1; };"))
+        .otherwise(F.lit("")))
+    return docs.select("doc_id", page.alias("text"))
+
+
+@q("c4_line_filters", f"WITH pages AS ({_C4_PAGE_SQL}), "
+   + TX.c4_filters_sql("pages", "text", "doc_id").lstrip()
+   .removeprefix("WITH "))
+def c4_line_filters(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020) over deterministically
+    line-wrapped pages: per-line terminal-punctuation + min-word rules,
+    page-level sentence-count / lorem-ipsum / curly-brace flags, and
+    the cleaned text — one codegen'd projection, zero shuffles
+    (functions/text.c4_filters)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.c4_filters(_c4_page(docs))
+
+
+@q("ccnet_lm_buckets", TX.ccnet_buckets_sql("documents", "text",
+                                            "doc_id", "lang"))
+def ccnet_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail buckets (Wenzek et al. 2020): per-language
+    perplexity terciles of the corpus-self-trained bigram LM score,
+    cutoffs computed over a bounded milli-nat histogram window — never
+    a per-language row sort (functions/text.ccnet_buckets)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return TX.ccnet_buckets(docs)
