@@ -1,0 +1,133 @@
+"""Temporal join / rollup operators the reference engine family ships
+but vanilla Spark SQL lacks as primitives: as-of join, banded range
+join, and the hypertable-style multi-granularity rollup.
+
+All three are expressed as compositions of existing DataFrame ops (the
+task-spec's preferred strategy (a)) — no Python UDFs, no mapInPandas —
+so Catalyst sees the whole plan and every one of them survives a 100×
+scale-up:
+
+- ``asof_join``: ONE shuffle+sort per key (the tag-union + ordered
+  last_value(ignorenulls) pattern) — never a per-row probe, never a
+  range-exploded join.  This is how kdb's ``aj`` / Flink's temporal
+  join semantics map onto a shuffle-sort engine.
+- ``range_join_count``: time-bucketized equi-join (each probe row
+  expands to exactly ``ceil(span/bucket)+1`` candidate buckets) — the
+  standard trick that turns an O(n·m) theta-join into an equi-join
+  with bounded fan-out.
+- ``hypertable_rollup``: GROUPING SETS — one scan, one shuffle, all
+  granularities; partial aggregation happens map-side for every
+  grouping set simultaneously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              value_cols: list[str],
+              tie_col: str) -> DataFrame:
+    """For every left row, attach the LATEST right row with
+    ``right.ts <= left.ts`` for the same ``key`` (NULLs when no prior
+    right row exists).  Ties on ``ts`` are broken by ``tie_col``
+    (largest wins) so the result is deterministic even with duplicate
+    timestamps.
+
+    Scale shape: both inputs are tag-unioned and processed with ONE
+    window per key — a single hash exchange on ``key`` plus an in-
+    partition sort by (ts, side, tie).  Right rows sort BEFORE left
+    rows at equal ts (side 0 < 1), so a right row stamped exactly at
+    the left row's ts IS visible to it ("at or before" semantics).
+    ``last_value(..., ignorenulls=True)`` then carries each right
+    row's payload forward to every later left row.  No join fan-out,
+    no range explosion, no per-row lookup — O(n log n) per partition,
+    the canonical MPP as-of plan.  Skewed keys (one mega-user) are the
+    only hazard; at web scale, pre-split hot keys by coarse time range
+    and as-of within the range (the carried value crosses ranges only
+    at the first row, patchable with a second tiny pass)."""
+    lcols = [F.col(key), F.col(ts), F.lit(1).alias("_side"),
+             F.col(tie_col).alias("_tie"),
+             *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
+               for c in value_cols],
+             *[F.col(c) for c in left.columns if c not in (key, ts)]]
+    rcols = [F.col(key), F.col(ts), F.lit(0).alias("_side"),
+             F.col(tie_col).alias("_tie"),
+             *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+             *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+               for c in left.columns if c not in (key, ts)]]
+    u = left.select(*lcols).unionByName(right.select(*rcols))
+    w = (Window.partitionBy(key).orderBy(F.col(ts), F.col("_side"), F.col("_tie"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "*", *[F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")),
+                      ignorenulls=True).over(w).alias(f"asof_{c}")
+               for c in value_cols])
+    keep = [key, ts, *[c for c in left.columns if c not in (key, ts)],
+            *[f"asof_{c}" for c in value_cols]]
+    return carried.filter(F.col("_side") == 1).select(*keep)
+
+
+def range_join_count(left: DataFrame, right: DataFrame, key: str, ts: str,
+                     span_s: int, left_id: str) -> DataFrame:
+    """(left row, n_in_range): count right rows for the same ``key``
+    with ``left.ts < right.ts <= left.ts + span_s`` — a banded range
+    join turned into an equi-join.
+
+    Scale shape: both sides get integer bucket = floor(epoch/span);
+    each LEFT row probes exactly two buckets (b, b+1 — any right ts in
+    the window lives in one of them), so the join is an equi-join on
+    (key, bucket) with fan-out 2, then the exact interval predicate
+    filters in-place.  The exchange keys are fixed-width ints; skew is
+    bounded by per-(key, span) event density, which AQE's skew-join
+    splits.  Never a theta-join, never a cartesian."""
+    lb = F.floor(F.unix_timestamp(F.col(ts)) / span_s).cast("long")
+    probe = (left
+             .select(F.col(left_id).alias("_lid"), F.col(key), F.col(ts).alias("_lts"),
+                     F.explode(F.array(lb, lb + 1)).alias("_bkt")))
+    build = (right
+             .select(F.col(key), F.col(ts).alias("_rts"))
+             .withColumn("_bkt", F.floor(F.unix_timestamp(F.col("_rts")) / span_s)
+                         .cast("long")))
+    hits = (probe.join(build, [key, "_bkt"])
+            .filter((F.col("_rts") > F.col("_lts")) &
+                    (F.col("_rts") <= F.col("_lts") + F.expr(f"INTERVAL {span_s} SECOND")))
+            .groupBy("_lid").agg(F.count("*").alias("n_in_range")))
+    return (left.select(F.col(left_id).alias("_lid"), F.col(key), F.col(ts))
+            .join(hits, "_lid", "left")
+            .select(F.col("_lid").alias(left_id), key, ts,
+                    F.coalesce("n_in_range", F.lit(0)).alias("n_in_range")))
+
+
+def hypertable_rollup(df: DataFrame, ts: str, group_col: str,
+                      value_milli: Column) -> DataFrame:
+    """TimescaleDB-style continuous-aggregate rollup: per group_col
+    counts + exact milli-unit value sums at BOTH hour and day
+    granularity, in ONE pass via GROUPING SETS.
+
+    (group, day, hour, grain, n_events, sum_value) where grain is
+    'hour' or 'day' and hour is NULL on day rows.  The value sum is
+    accumulated in exact integer milli-units (order-independent) and
+    scaled back at the end, so the DuckDB oracle hashes identically.
+
+    Scale shape: GROUPING SETS compiles to a single Expand + one hash
+    aggregate — each input row is expanded to one record per grouping
+    set, partially aggregated map-side, and shuffled once on the
+    compound grouping key.  At 100 TB this beats two separate
+    aggregations (two scans, two shuffles) and is exactly how a
+    hypertable's multi-level continuous aggregates materialize."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("DAY", F.col(ts)).alias("day"),
+        F.date_trunc("HOUR", F.col(ts)).alias("hour"),
+        value_milli.alias("_vm"))
+    base.createOrReplaceTempView("_rollup_in")
+    return base.sparkSession.sql("""
+        SELECT grp, day, hour,
+               CASE WHEN grouping(hour) = 1 THEN 'day' ELSE 'hour' END AS grain,
+               count(*) AS n_events,
+               round(sum(_vm) / 1000.0, 3) AS sum_value
+        FROM _rollup_in
+        GROUP BY GROUPING SETS ((grp, day, hour), (grp, day))
+    """)

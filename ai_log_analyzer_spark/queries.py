@@ -27,8 +27,11 @@ _FIXTURE_DIR = os.path.join(
     "tests", "fixtures")
 
 from .functions import dedup as D
+from .functions import graph as G
 from .functions import sampling as SA
 from .functions import similarity as S
+from .functions import sketches as SK
+from .functions import temporal as TP
 from .functions import text as TX
 from .functions.hashing import hash32, hash32_sql
 
@@ -1881,3 +1884,181 @@ def ccnet_lm_buckets(spark, sf_dir):
     a per-language row sort (functions/text.ccnet_buckets)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return TX.ccnet_buckets(docs)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins / rollups (spec custom-operator list: as-of join, range
+# join, hypertable rollup) + sketches + link-graph ranking
+# ---------------------------------------------------------------------------
+
+@q("asof_join_events", """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT l.event_id, r.event_id AS r_id, round(r.value, 6) AS r_val,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts)
+SELECT l.event_id, l.user_id, l.ts,
+       c.r_id AS asof_event_id, c.r_val AS asof_value
+FROM l LEFT JOIN (SELECT event_id, r_id, r_val FROM cand WHERE rn = 1) c
+  USING (event_id)
+""")
+def asof_join_events(spark, sf_dir):
+    """As-of join (kdb aj / Flink temporal-join semantics): every click
+    gets the latest same-user purchase at-or-before its timestamp,
+    ties broken by event_id.  Spark side is the tag-union + ordered
+    last_value carry — ONE shuffle+sort on user_id, no join fan-out
+    (functions/temporal.asof_join); the oracle is the independent
+    O(n·m)-per-user rank-1 formulation, fine at oracle scale."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = TP.asof_join(left, right, key="user_id", ts="ts",
+                       value_cols=["event_id", "value"], tie_col="event_id")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("asof_event_id"),
+                      F.round("asof_value", 6).alias("asof_value"))
+
+
+@q("range_join_counts", """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT l.event_id, l.user_id, l.ts, count(r.ts) AS n_in_range
+FROM l LEFT JOIN r ON r.user_id = l.user_id
+  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
+GROUP BY l.event_id, l.user_id, l.ts
+""")
+def range_join_counts(spark, sf_dir):
+    """Banded range join: per click, how many same-user views landed in
+    the following 10 minutes.  Spark side bucketizes both streams to
+    600-s epochs and probes exactly two buckets per row — an equi-join
+    with fan-out 2, never a theta-join
+    (functions/temporal.range_join_count)."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts")
+    return TP.range_join_count(left, right, key="user_id", ts="ts",
+                               span_s=600, left_id="event_id")
+
+
+@q("hypertable_rollup", """
+WITH b AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS day,
+         date_trunc('hour', ts) AS hour,
+         CAST(round(value * 1000) AS BIGINT) AS _vm
+  FROM events)
+SELECT grp, day, hour,
+       CASE WHEN grouping(hour) = 1 THEN 'day' ELSE 'hour' END AS grain,
+       count(*) AS n_events,
+       round(sum(_vm) / 1000.0, 3) AS sum_value
+FROM b GROUP BY GROUPING SETS ((grp, day, hour), (grp, day))
+""")
+def hypertable_rollup_q(spark, sf_dir):
+    """Hypertable-style continuous aggregate: per-event-type counts and
+    exact milli-unit value sums at hour AND day granularity in one
+    GROUPING SETS pass — one scan, one Expand, one shuffle
+    (functions/temporal.hypertable_rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1000).cast("long")
+    return TP.hypertable_rollup(ev, ts="ts", group_col="event_type",
+                                value_milli=vm)
+
+
+_CMS_TOKS_SQL = """SELECT tok FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> '') WHERE tok <> ''"""
+
+
+@q("cms_heavy_hitters", f"""
+WITH _toks AS ({_CMS_TOKS_SQL}),
+lanes AS ({SK.cms_lanes_sql('tok')}),
+sk AS (SELECT row_i, bucket, count(*) AS cnt FROM lanes GROUP BY 1, 2),
+exact AS (SELECT tok, count(*) AS exact_cnt FROM _toks GROUP BY 1),
+est AS (
+  SELECT l.tok, min(sk.cnt) AS est
+  FROM (SELECT DISTINCT tok, row_i, bucket FROM lanes) l
+  JOIN sk USING (row_i, bucket) GROUP BY 1)
+SELECT e.tok, e.est, x.exact_cnt
+FROM est e JOIN exact x USING (tok)
+ORDER BY e.est DESC, e.tok LIMIT 20
+""")
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters: build the d=4 × w=1024 counter
+    table over the token stream (64 KB regardless of corpus size →
+    broadcastable), then report the top-20 tokens by CMS estimate next
+    to their exact counts (the correctness pin: est >= exact always,
+    equal when no bucket collision).  At 100 TB only the sketch and
+    the candidate probe survive; the exact column here is the oracle's
+    audit (functions/sketches.py)."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    sketch = SK.cms_sketch(docs)
+    toks = SK._tokens(docs, "text")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    est = SK.cms_estimate(exact.select("tok"), sketch)
+    return (est.join(exact, "tok")
+            .orderBy(F.desc("est"), "tok").limit(20)
+            .select("tok", "est", "exact_cnt"))
+
+
+@q("neardup_levenshtein", f"""
+WITH {_LSH_CTES},
+pairs AS ({_LSH_SELECT})
+SELECT p.doc_a, p.doc_b,
+       levenshtein(da.text, db.text) AS lev,
+       round(1 - levenshtein(da.text, db.text) /
+             greatest(length(da.text), length(db.text))::DOUBLE, 6) AS lev_sim
+FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+             JOIN documents db ON db.doc_id = p.doc_b
+""")
+def neardup_levenshtein(spark, sf_dir):
+    """Edit-distance verification of LSH near-dup candidates: exact
+    levenshtein + normalized similarity computed ONLY on the banded
+    candidate pairs (the expensive O(len²) metric never touches the
+    full cross product — the standard candidate-verify split).  Both
+    engines ship the same levenshtein builtin."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb")
+    return (pairs.select("doc_a", "doc_b").join(da, "doc_a").join(db, "doc_b")
+            .select("doc_a", "doc_b", lev.alias("lev"),
+                    F.round(F.lit(1) - lev / F.greatest(F.length("_ta"),
+                                                        F.length("_tb")), 6)
+                    .alias("lev_sim")))
+
+
+# synthetic deterministic link graph: 3 hash-derived out-links per doc
+# into a 256-slot id space (both engines build the identical edge set;
+# real crawls would feed <a href> targets from html_extract instead)
+_PR_EDGES_SQL = " UNION ALL ".join(
+    f"SELECT doc_id AS src, {hash32_sql(f'''doc_id::VARCHAR || '|pr{k}' ''')} % 256 AS dst "
+    f"FROM documents" for k in range(3))
+
+
+@q("linkgraph_pagerank",
+   "WITH " + G.pagerank_sql(
+       f"SELECT src, dst FROM ({_PR_EDGES_SQL}) WHERE src <> dst", iters=3))
+def linkgraph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over a deterministic synthetic link
+    graph (3 hash-derived out-links per doc) in exact integer
+    parts-per-billion — the iterative-shuffle graph workload behind
+    host-level curation ranks (Common Crawl publishes exactly such
+    ranks for domain filtering).  Each round: one src-keyed equi-join,
+    one dst-keyed partial-agg shuffle, localCheckpoint plan guard
+    (functions/graph.pagerank); oracle = the same integer update rule
+    unrolled in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|pr{k}"))), F.lit(256))
+        for k in range(3)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return G.pagerank(edges, iters=3)
