@@ -79,3 +79,87 @@ def cms_lanes_sql(tok_expr: str, d: int = CMS_D, w: int = CMS_W) -> str:
         parts.append(f"SELECT {tok_expr} AS tok, {i} AS row_i, "
                      f"{h} % {w} AS bucket FROM _toks")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (Flajolet et al. 2007) — portable registers
+# ---------------------------------------------------------------------------
+
+HLL_P = 10                   # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+HLL_WBITS = 32 - HLL_P       # rank field width (hash32 is 32-bit)
+# alpha_1024 = 0.7213 / (1 + 1.079/m) — the standard bias constant
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_registers(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bucket, m): HLL registers over the corpus' whitespace tokens.
+
+    Spark-side this is ONE groupBy(bucket).max(rho) — 1024 groups, the
+    partial max folds map-side, so the shuffle moves ≤ 1024 rows per
+    task regardless of corpus size.  That is the whole point of the
+    sketch: distinct-token cardinality at 100 TB without a corpus-wide
+    DISTINCT exchange (``distinct_counts`` does the exact version; this
+    is its sub-linear companion, mergeable across shards by plain max).
+
+    rho = leading-zero rank of the (32-p)-bit suffix, computed with
+    EXACT integer bit-length (string length of the binary rendering —
+    no float log2, whose ULP could misround at powers of two):
+    w = 0 → WBITS+1, else WBITS+1 - bit_length(w)."""
+    toks = _tokens(df, text_col)
+    h = hash32(F.col("tok"))
+    w = (h / HLL_M).cast("long")           # h div 2^p: exact, h < 2^32
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)) \
+        .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.bin(w)))
+    return (toks.select(F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+                        rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("m")))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One row (n_buckets_set, n_zero, hll_estimate) from the register
+    table.  The harmonic sum is accumulated in EXACT integers —
+    Σ 2^(32-M_j) scaled by 2^32, absent buckets contribute 2^32 — so
+    both engines reduce the same integer before the one double-valued
+    estimate expression (with the standard small-range linear-counting
+    correction below 2.5m when empty registers remain)."""
+    agg = registers.agg(
+        F.count("*").alias("n_set"),
+        F.sum(F.expr(f"cast(pow(2, 32 - m) as bigint)")).alias("s_set"))
+    n_set, s_set = F.col("n_set"), F.col("s_set")
+    n_zero = F.lit(HLL_M) - n_set
+    s_total = s_set + n_zero * F.lit(1 << 32)
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << 32)) / s_total
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero)
+    est = F.when((raw < 2.5 * HLL_M) & (n_zero > 0), lc).otherwise(raw)
+    return agg.select(n_set.cast("long").alias("n_buckets_set"),
+                      n_zero.cast("long").alias("n_zero"),
+                      F.round(est, 4).alias("hll_estimate"))
+
+
+def hll_sql(toks_cte: str) -> str:
+    """DuckDB oracle fragment: CTEs ``regs``, ``hsum``, ``hll`` (the
+    last exposing n_buckets_set / n_zero / hll_estimate) — identical
+    register construction + estimate over a CTE named ``toks_cte``
+    with one column ``tok``.  Caller writes ``WITH <toks>, {fragment}
+    SELECT ... FROM hll``."""
+    h = hash32_sql("tok")
+    raw = (f"({HLL_ALPHA * HLL_M * HLL_M}::DOUBLE * 4294967296.0::DOUBLE)"
+           f" / ((s_set + ({HLL_M} - n_set) * 4294967296)::DOUBLE)")
+    return f"""regs AS (
+  SELECT ({h}) % {HLL_M} AS bucket,
+         max(CASE WHEN ({h}) // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1}
+                       - length(format('{{:b}}', ({h}) // {HLL_M})) END) AS m
+  FROM {toks_cte} GROUP BY 1),
+hsum AS (
+  SELECT count(*) AS n_set,
+         sum(power(2, 32 - m)::BIGINT)::BIGINT AS s_set
+  FROM regs),
+hll AS (
+  SELECT n_set::BIGINT AS n_buckets_set,
+         ({HLL_M} - n_set)::BIGINT AS n_zero,
+         round(CASE WHEN {raw} < {2.5 * HLL_M} AND n_set < {HLL_M}
+               THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_set))
+               ELSE {raw} END, 4) AS hll_estimate
+  FROM hsum)"""

@@ -992,3 +992,68 @@ SELECT doc_id, n_lines, n_kept, n_sentences,
        clean_text
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Frozen-merge BPE encoding (tokenizer APPLY, the counterpart of the
+# bpe_pair_counts tokenizer-TRAIN statistic)
+# ---------------------------------------------------------------------------
+
+# rank-ordered merge table: in a real pipeline this comes out of the
+# bpe_pair_counts job; frozen here so both engines encode identically
+BPE_MERGES = [("e", "r"), ("t", "h"), ("a", "n"), ("i", "n"), ("o", "n")]
+
+
+def bpe_encode_counts(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): encode every word with the
+    frozen BPE merge table (chars spaced apart, then each merge
+    replace-all in rank order — textbook greedy BPE apply) and count
+    the resulting subword tokens.
+
+    Scale shape: a pure per-row projection — the merge chain compiles
+    to a fixed Catalyst expression tree (replace is codegen'd), zero
+    shuffles, zero Python.  A production tokenizer has 10⁴-10⁵ merges,
+    past what an expression chain should hold; at that size the same
+    loop moves into an Arrow-batched pandas UDF with the merge table
+    broadcast once (the multimodal decode pattern), but the relational
+    skeleton — stateless projection, explode-free counting — is
+    unchanged."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def enc_len(w):
+        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in BPE_MERGES:
+            s = F.replace(s, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+        return F.size(F.split(s, " "))
+
+    empty = F.trim(F.col(text_col)) == ""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(empty, F.lit(0)).otherwise(F.size(toks))
+        .cast("long").alias("n_words"),
+        F.when(empty, F.lit(0)).otherwise(
+            F.aggregate(F.transform(toks, enc_len), F.lit(0),
+                        lambda acc, x: acc + x))
+        .cast("long").alias("n_bpe_tokens"))
+
+
+def bpe_encode_sql(table: str = "documents", text_expr: str = "text",
+                   id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of ``bpe_encode_counts`` (regexp_replace needs the
+    explicit 'g' flag there; replace() is replace-all in both)."""
+    enc = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for a, b in BPE_MERGES:
+        enc = f"replace({enc}, '{a} {b}', '{a}{b}')"
+    return f"""
+SELECT {id_expr} AS doc_id,
+       CASE WHEN trim({text_expr}) = '' THEN 0
+            ELSE len(toks) END::BIGINT AS n_words,
+       CASE WHEN trim({text_expr}) = '' THEN 0
+            ELSE list_sum(list_transform(toks,
+                   w -> len(string_split({enc}, ' ')))) END::BIGINT
+         AS n_bpe_tokens
+FROM (SELECT {id_expr}, {text_expr},
+             regexp_split_to_array(trim({text_expr}), '\\s+') AS toks
+      FROM {table})
+"""

@@ -2062,3 +2062,36 @@ def linkgraph_pagerank(spark, sf_dir):
                          F.explode(lanes).alias("dst"))
              .filter(F.col("src") != F.col("dst")))
     return G.pagerank(edges, iters=3)
+
+
+@q("hll_distinct_tokens", f"""
+WITH _toks AS ({_CMS_TOKS_SQL}),
+{SK.hll_sql('_toks')},
+ex AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct FROM _toks)
+SELECT h.n_buckets_set, h.n_zero, h.hll_estimate, ex.exact_distinct
+FROM hll h, ex
+""")
+def hll_distinct_tokens(spark, sf_dir):
+    """HyperLogLog distinct-token cardinality: 1024 integer registers
+    (one groupBy(bucket).max — the shuffle moves ≤1024 rows per task at
+    ANY corpus size), exact-integer harmonic sum, linear-counting
+    small-range correction; the exact DISTINCT rides along as the
+    audit column (functions/sketches.hll_registers/hll_estimate).  At
+    100 TB the exact column is the thing you can no longer afford —
+    the sketch is mergeable across shards by plain register max."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    toks = SK._tokens(docs, "text")
+    est = SK.hll_estimate(SK.hll_registers(docs))
+    exact = toks.agg(F.countDistinct("tok").cast("long")
+                     .alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+@q("bpe_encode_tokens", TX.bpe_encode_sql("documents", "text", "doc_id"))
+def bpe_encode_tokens(spark, sf_dir):
+    """Tokenizer APPLY: encode every word with the frozen 5-merge BPE
+    table (greedy replace-all in rank order) and count subword tokens —
+    a pure codegen projection, zero shuffles
+    (functions/text.bpe_encode_counts)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.bpe_encode_counts(docs)

@@ -107,3 +107,40 @@ def test_pagerank_two_node_cycle_and_chain(spark):
     for _ in range(2):
         ra, rb = floor_ppb, floor_ppb + (G.DAMP_NUM * (ra // 1)) // G.DAMP_DEN
     assert got[1] == ra and got[2] == rb
+
+
+def test_hll_estimate_accuracy(spark):
+    # 5000 distinct tokens → well past linear-counting, exercises the
+    # raw harmonic path; HLL with m=1024 has ~3.25% std error
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i * 10, i * 10 + 10)))
+         for i in range(500)], ["doc_id", "text"])
+    from ai_log_analyzer_spark.functions import sketches as SK2
+    est = SK2.hll_estimate(SK2.hll_registers(docs)).collect()[0]
+    assert est.n_buckets_set + est.n_zero == SK2.HLL_M
+    assert abs(est.hll_estimate - 5000) / 5000 < 0.15
+    # registers are mergeable: max of two half-corpus register tables
+    # must equal the full-corpus registers
+    h1 = SK2.hll_registers(docs.filter("doc_id < 250"))
+    h2 = SK2.hll_registers(docs.filter("doc_id >= 250"))
+    merged = (h1.unionAll(h2).groupBy("bucket")
+              .agg(F.max("m").alias("m")))
+    full = {r.bucket: r.m for r in SK2.hll_registers(docs).collect()}
+    assert {r.bucket: r.m for r in merged.collect()} == full
+
+
+def test_bpe_encode_counts(spark):
+    from ai_log_analyzer_spark.functions import text as TX
+    docs = spark.createDataFrame([
+        (1, "the"),        # t h e → th e → 2 tokens
+        (2, "er"),         # e r → er → 1 token
+        (3, "xyz"),        # no merges → 3
+        (4, ""),           # empty → 0/0
+        (5, "anthem"),     # a n t h e m → an th e m → 4
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.bpe_encode_counts(docs).collect()}
+    assert (out[1].n_words, out[1].n_bpe_tokens) == (1, 2)
+    assert (out[2].n_words, out[2].n_bpe_tokens) == (1, 1)
+    assert (out[3].n_words, out[3].n_bpe_tokens) == (1, 3)
+    assert (out[4].n_words, out[4].n_bpe_tokens) == (0, 0)
+    assert (out[5].n_words, out[5].n_bpe_tokens) == (1, 4)
