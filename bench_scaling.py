@@ -96,6 +96,17 @@ def main():
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
     ctrl_rows = int(os.environ.get("SPARK_GRAFT_CTRL_ROWS", str(2 * n_rows)))
     corpus = os.path.join(REPO, ".bench_cache", f"pages_{n_rows}")
+    # pre-generate the corpus UNPINNED and outside any timed level: a
+    # pinned-8 generation wastes 20+ min of protocol wall, and a failed
+    # generation inside run_level poisons the level's best with a null
+    # (observed once: a straggler task wedged on an idle python worker)
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS_GEN")):
+        code = ("import sys; sys.path.insert(0, {r!r}); "
+                "from bench import ensure_pages; "
+                "from ai_log_analyzer_spark.conf import build_session; "
+                "ensure_pages(build_session(app='gen', cores=32), {n})"
+                .format(r=REPO, n=n_rows))
+        subprocess.run([sys.executable, "-c", code], check=True)
     best: dict[int, dict] = {}
     ctrl_best: dict[int, dict] = {}
     probes = []
@@ -105,6 +116,12 @@ def main():
                 _prewarm_page_cache(corpus)
             probes.append(_memcpy_gbps())
             res = run_level(lvl, n_rows)
+            if res.get("value") is None or res.get("docs_per_sec") is None:
+                # fault-isolated failure inside bench.py (errors field) —
+                # drop the round instead of poisoning the per-level min
+                print(f"bench_scaling: level {lvl} round {r} failed: "
+                      f"{res.get('errors')}", file=sys.stderr)
+                continue
             if lvl not in best or res["value"] < best[lvl]["value"]:
                 best[lvl] = res
             # same-hour control, adjacent to the e2e run at the same
@@ -112,6 +129,11 @@ def main():
             ctl = run_control(lvl, ctrl_rows)
             if lvl not in ctrl_best or ctl["wall_s"] < ctrl_best[lvl]["wall_s"]:
                 ctrl_best[lvl] = ctl
+    if LEVELS[0] not in best or LEVELS[1] not in best:
+        print(json.dumps({"metric": "scaling_efficiency", "value": None,
+                          "error": f"no successful rounds at levels "
+                                   f"{sorted(set(LEVELS) - set(best))}"}))
+        sys.exit(1)
     lo, hi = best[LEVELS[0]], best[LEVELS[1]]
     thr_lo, thr_hi = lo["docs_per_sec"], hi["docs_per_sec"]
     ratio = LEVELS[1] / LEVELS[0]
