@@ -147,3 +147,99 @@ def canonical_url_sql(expr: str) -> str:
             f" || (CASE WHEN {keep} THEN ':' || {port} ELSE '' END)"
             f" || {path}"
             f" || (CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)")
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction: html binary -> (link_idx, href, anchor_text, host,
+# registered domain) per <a> element.  One regex with two capture groups
+# runs twice (group 1 = href, group 2 = anchor body), so the two arrays
+# index the SAME match positions and zip losslessly — no risk of the
+# href/anchor misalignment a pair of independent patterns would have on
+# href-less anchors.  Pattern lives in the Java-regex ∩ RE2 subset
+# (inline (?is) flags, lazy quantifier — both engines support them), so
+# the DuckDB oracle is the identical computation.  Per-row projection +
+# one explode: no shuffle, codegen'd end to end at any corpus size.
+_LINK_RE = "(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>"
+_ABS_RE = r"^[A-Za-z]+://"
+
+
+def extract_links(df, html_col: str = "html", id_col: str = "doc_id"):
+    """(doc_id, link_idx, href, is_abs, host, domain, anchor_text) —
+    exploded outlink table from an ``html: binary`` column (the input
+    contract's page shape).  Anchor text is tag-stripped and
+    whitespace-collapsed; host/registered-domain are computed only for
+    absolute hrefs (relative links resolve against the page's own host,
+    which this table intentionally leaves to the caller's join).  This
+    is the edge-extraction step that feeds host-level link graphs
+    (``functions/graph.pagerank``) and anchor-text quality signals."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(s, F.lit(_LINK_RE), F.lit(1))
+    anchors = F.regexp_extract_all(s, F.lit(_LINK_RE), F.lit(2))
+    z = F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+    e = df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(z).alias("pos", "lk"))
+    href = F.col("lk.href")
+    is_abs = href.rlike(_ABS_RE)
+    anchor = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("lk.anchor"), r"<[^>]+>", " "),
+        r"\s+", " "))
+    return e.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("link_idx"),
+        href.alias("href"),
+        is_abs.alias("is_abs"),
+        F.when(is_abs, host_of(href)).otherwise(F.lit("")).alias("host"),
+        F.when(is_abs, registered_domain(href)).otherwise(F.lit(""))
+         .alias("domain"),
+        anchor.alias("anchor_text"))
+
+
+def extract_links_sql(html_table: str) -> str:
+    """DuckDB CTE chain over ``html_table`` (columns doc_id, html TEXT —
+    the oracle synthesizes html as VARCHAR, matching Spark's decode)."""
+    pat = _LINK_RE.replace("'", "''")
+    abs_m = f"regexp_matches(href, '{_ABS_RE}')"
+    host = host_of_sql("href")
+    dom = registered_domain_sql("href")
+    return f"""
+links AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '{pat}', 1) AS hrefs,
+         regexp_extract_all(html, '{pat}', 2) AS anchors
+  FROM {html_table}
+),
+edges AS (
+  SELECT doc_id, (i - 1)::BIGINT AS link_idx,
+         hrefs[i] AS href, anchors[i] AS anchor
+  FROM links, UNNEST(range(1, len(hrefs) + 1)) AS t(i)
+),
+outlinks AS (
+  SELECT doc_id, link_idx, href,
+         {abs_m} AS is_abs,
+         CASE WHEN {abs_m} THEN {host} ELSE '' END AS host,
+         CASE WHEN {abs_m} THEN {dom} ELSE '' END AS domain,
+         trim(regexp_replace(regexp_replace(anchor, '<[^>]+>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS anchor_text
+  FROM edges
+)"""
+
+
+# Frozen curation blocklist (UT1-style category ban), keyed by
+# REGISTERED domain so every subdomain of a banned domain is banned by
+# construction (www.spam.co.uk -> spam.co.uk -> hit).  Real pipelines
+# load ~4M UT1 entries; the mechanism is identical — at that size the
+# IN-list becomes a broadcast join on the domain column, named here as
+# the upgrade path.
+BLOCKLIST_DOMAINS = (
+    "spam.co.uk", "ads.example", "tracker.example", "casino7.com",
+)
+
+
+def domain_blocked(url: Column) -> Column:
+    """True iff the url's registered domain is on the frozen blocklist."""
+    return registered_domain(url).isin(list(BLOCKLIST_DOMAINS))
+
+
+def domain_blocked_sql(expr: str) -> str:
+    inlist = ", ".join(f"'{s}'" for s in BLOCKLIST_DOMAINS)
+    return f"({registered_domain_sql(expr)} IN ({inlist}))"

@@ -33,6 +33,7 @@ from .functions import similarity as S
 from .functions import sketches as SK
 from .functions import temporal as TP
 from .functions import text as TX
+from .functions import urls as U
 from .functions.hashing import hash32, hash32_sql
 
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2095,3 +2096,108 @@ def bpe_encode_tokens(spark, sf_dir):
     (functions/text.bpe_encode_counts)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return TX.bpe_encode_counts(docs)
+
+
+# --- outlink extraction + blocklist filtering (functions/urls.py) ---------
+
+# synthetic html with three <a> elements per doc, chosen to pin every
+# extraction edge: a relative href, an UPPERCASE <A HREF> with a
+# default port + utm/query params, a single-quoted href on a .co.uk
+# host, a nested tag + doubled whitespace inside the anchor body.
+def _outlink_html_sql() -> str:
+    return """
+  SELECT doc_id,
+         '<html><body><p>intro</p><a href="/local/' || doc_id::VARCHAR ||
+         '">home ' || doc_id::VARCHAR ||
+         '</a><A HREF="http://Ext' || (doc_id % 50)::VARCHAR ||
+         '.example.COM:80/x?utm_source=t&b=2&a=1"><b>ext  ' ||
+         (doc_id % 50)::VARCHAR ||
+         '</b></A><a class="x" href=''https://news' ||
+         (doc_id % 7)::VARCHAR ||
+         '.co.uk/y''>UK  news</a></body></html>' AS html
+  FROM documents
+"""
+
+
+@q("html_outlinks", f"""
+WITH h AS ({_outlink_html_sql()}),
+{U.extract_links_sql('h')}
+SELECT doc_id, link_idx, href, is_abs, host, domain, anchor_text
+FROM outlinks
+""")
+def html_outlinks(spark, sf_dir):
+    """Outlink extraction from the input contract's ``html: binary``
+    column: one (?is) two-group regex over the decoded bytes yields
+    aligned href/anchor arrays, posexplode emits the edge table, and
+    host/registered-domain classify absolute targets (the `.co.uk`
+    rows pin the public-suffix table; the UPPERCASE `<A HREF>` pins
+    case-insensitivity; the nested `<b>` + doubled spaces pin anchor
+    tag-strip/ws-collapse).  This is the extraction stage that feeds
+    host-level link graphs (linkgraph_pagerank consumes exactly such
+    edges) and anchor-text signals.  Pure projection + explode — no
+    shuffle, codegen end to end (functions/urls.extract_links)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m50 = (F.col("doc_id") % 50).cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="/local/'), did,
+        F.lit('">home '), did,
+        F.lit('</a><A HREF="http://Ext'), m50,
+        F.lit('.example.COM:80/x?utm_source=t&b=2&a=1"><b>ext  '), m50,
+        F.lit("</b></A><a class=\"x\" href='https://news"), m7,
+        F.lit(".co.uk/y'>UK  news</a></body></html>"))
+    hdf = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return U.extract_links(hdf)
+
+
+@q("url_blocklist_stats", f"""
+WITH u AS (
+  SELECT source,
+         'http://' || (CASE WHEN doc_id % 6 = 0 THEN 'www.' ELSE '' END) ||
+         'h' || (doc_id % 13)::VARCHAR ||
+         (CASE WHEN (doc_id // 7) % 4 = 0 THEN '.spam.co.uk'
+               WHEN (doc_id // 7) % 4 = 1 THEN '.ads.example'
+               ELSE '.ok.org' END) ||
+         '/p/' || doc_id::VARCHAR AS url
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_urls,
+       sum(CASE WHEN {U.domain_blocked_sql('url')} THEN 1 ELSE 0 END)::BIGINT
+         AS n_blocked,
+       sum(CASE WHEN {U.domain_blocked_sql('url')} THEN 0 ELSE 1 END)::BIGINT
+         AS n_kept,
+       count(DISTINCT CASE WHEN {U.domain_blocked_sql('url')}
+                           THEN {U.registered_domain_sql('url')} END)::BIGINT
+         AS n_blocked_domains
+FROM u GROUP BY source
+""")
+def url_blocklist_stats(spark, sf_dir):
+    """UT1-style domain blocklist curation: ban-by-registered-domain so
+    every subdomain of a banned domain is banned by construction
+    (`www.`/`h<k>.` prefixes and the `.spam.co.uk` rows pin suffix-aware
+    matching), report per-source kept/blocked counts.  The frozen
+    4-entry list compiles to a codegen'd IN; a production UT1 list
+    (~4M domains) swaps it for a broadcast join on the same domain
+    column — the plan shape (projection + one groupBy(source)) is
+    unchanged (functions/urls.domain_blocked)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(d % 6 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (d % 13).cast("string"),
+        F.when(F.expr("(doc_id div 7) % 4") == 0, F.lit(".spam.co.uk"))
+         .when(F.expr("(doc_id div 7) % 4") == 1, F.lit(".ads.example"))
+         .otherwise(F.lit(".ok.org")),
+        F.lit("/p/"), d.cast("string"))
+    u = docs.select("source", url.alias("url")) \
+        .select("source", "url", U.domain_blocked(F.col("url")).alias("_blk"),
+                U.registered_domain(F.col("url")).alias("_dom"))
+    return (u.groupBy("source")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum(F.col("_blk").cast("long")).alias("n_blocked"),
+                 F.sum((~F.col("_blk")).cast("long")).alias("n_kept"),
+                 F.countDistinct(F.when(F.col("_blk"), F.col("_dom")))
+                  .alias("n_blocked_domains")))

@@ -180,3 +180,61 @@ def test_new_ops_have_no_python_eval(spark):
                     df.select(U.canonical_url(F.lit("https://x.example.com/")))):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+# --- outlink extraction / blocklist (functions/urls.py round 5) -----------
+
+_HTML_CASES = [
+    # (doc_id, html, expected [(link_idx, href, is_abs, host, domain,
+    #                           anchor_text)])
+    (1, '<a href="/rel/1">one</a>',
+     [(0, "/rel/1", False, "", "", "one")]),
+    # uppercase tag+attr, single quotes, nested markup + whitespace mess
+    (2, "<A HREF='https://www.BBC.co.uk:443/news'>\n <b>Top</b>  story\t</A>",
+     [(0, "https://www.BBC.co.uk:443/news", True, "www.bbc.co.uk",
+       "bbc.co.uk", "Top story")]),
+    # two links incl. an anchor spanning lines; href-less <a name=> is
+    # NOT an outlink and must not desync href/anchor pairing
+    (3, '<a name="x">skip</a><a href="http://a.example/p">A\nB</a>'
+        '<a class="z" href="ftp://f.example/q">f</a>',
+     [(0, "http://a.example/p", True, "a.example", "a.example", "A B"),
+      (1, "ftp://f.example/q", True, "f.example", "f.example", "f")]),
+    (4, "<p>no links</p>", []),
+]
+
+
+def test_extract_links_handcrafted(spark):
+    df = spark.createDataFrame(
+        [(i, h.encode()) for i, h, _e in _HTML_CASES], ["doc_id", "html"])
+    out = U.extract_links(df).orderBy("doc_id", "link_idx").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(
+            (r.link_idx, r.href, r.is_abs, r.host, r.domain, r.anchor_text))
+    for i, _h, exp in _HTML_CASES:
+        assert got.get(i, []) == exp, f"doc {i}"
+
+
+def test_extract_links_sql_parity():
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h (doc_id BIGINT, html VARCHAR)")
+    for i, html, _e in _HTML_CASES:
+        con.execute("INSERT INTO h VALUES (?, ?)", [i, html])
+    # extract_links_sql returns "links AS (...), ..., outlinks AS (...)"
+    sql = "WITH" + U.extract_links_sql("h") + \
+          "\nSELECT doc_id, link_idx, href, is_abs, host, domain, anchor_text" \
+          " FROM outlinks ORDER BY doc_id, link_idx"
+    rows = con.sql(sql).fetchall()
+    exp = [(i, *e) for i, _h, es in _HTML_CASES for e in es]
+    assert rows == exp
+
+
+def test_domain_blocked_subdomains(spark):
+    urls = ["http://www.spam.co.uk/a", "http://x.y.ads.example/b",
+            "https://ok.org/c", "https://notspam.co.uk/d",
+            "http://casino7.com/e"]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r.b for r in
+           df.select(U.domain_blocked(F.col("url")).alias("b")).collect()]
+    assert got == [True, True, False, False, True]
