@@ -1057,3 +1057,100 @@ FROM (SELECT {id_expr}, {text_expr},
              regexp_split_to_array(trim({text_expr}), '\\s+') AS toks
       FROM {table})
 """
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text",
+                   lang_col: str = "lang",
+                   pcts: tuple[int, ...] = (50, 90)) -> DataFrame:
+    """(lang, total_tokens, n_distinct, toks_p<p>...) — per-language
+    vocabulary coverage curve: the number of top-frequency token types
+    needed to cover p% of the language's token mass (the statistic
+    tokenizer/vocab sizing is planned from).
+
+    Scale shape — the classic reason this is NOT "sort the vocabulary
+    and cumsum": the per-(lang, tok) frequency table is vocab-sized
+    (10⁷-10⁸ rows at web scale), but the WINDOW here runs over the
+    per-language FREQUENCY-VALUE histogram — (lang, c, n_toks) — whose
+    size is the number of distinct frequency values (≤ a few thousand
+    per language regardless of corpus size, by the long-tail shape).
+    Two uniform-key shuffles (token agg, histogram agg) and one tiny
+    window; never a vocabulary-scale global sort.
+
+    Within a frequency class, tokens are interchangeable (each
+    contributes exactly c), so the answer is exact without breaking
+    ties: k = prev_toks + ceil((p·total − 100·prev_mass) / (100·c)),
+    evaluated in integer arithmetic (`div`) on the first class whose
+    cumulative mass crosses the bar, minimized over qualifying classes."""
+    toks = (df.select(F.col(lang_col).alias("lang"),
+                      F.explode(F.split(F.trim(F.col(text_col)),
+                                        r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    hist = tf.groupBy("lang", "c").agg(F.count("*").alias("n_toks"))
+    w = (Window.partitionBy("lang").orderBy(F.col("c").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("lang")
+    cum = (hist
+           .withColumn("cls_mass", F.col("c") * F.col("n_toks"))
+           .withColumn("cum_mass", F.sum("cls_mass").over(w))
+           .withColumn("cum_toks", F.sum("n_toks").over(w))
+           .withColumn("total_tokens", F.sum("cls_mass").over(wtot))
+           .withColumn("n_distinct", F.sum("n_toks").over(wtot)))
+    aggs = [F.max("total_tokens").alias("total_tokens"),
+            F.max("n_distinct").alias("n_distinct")]
+    for p in pcts:
+        need = (F.col("total_tokens") * p
+                - (F.col("cum_mass") - F.col("cls_mass")) * 100)
+        k = (F.col("cum_toks") - F.col("n_toks")
+             + F.expr(f"(cast(total_tokens * {p} as bigint) "
+                      f" - (cum_mass - cls_mass) * 100 "
+                      f" + c * 100 - 1) div (c * 100)"))
+        # only the CROSSING class (prev below the bar, cum at/above it)
+        # yields a valid k — later classes would produce negative ceils
+        qualifies = (
+            (F.col("cum_mass") * 100 >= F.col("total_tokens") * p)
+            & ((F.col("cum_mass") - F.col("cls_mass")) * 100
+               < F.col("total_tokens") * p))
+        aggs.append(F.min(F.when(qualifies, k)).cast("long")
+                    .alias(f"toks_p{p}"))
+    return cum.groupBy("lang").agg(*aggs)
+
+
+def vocab_coverage_sql(table: str = "documents", text_expr: str = "text",
+                       lang_expr: str = "lang",
+                       pcts: tuple[int, ...] = (50, 90)) -> str:
+    """DuckDB mirror of ``vocab_coverage`` — same histogram + window +
+    integer-ceil recipe (`//` = DuckDB integer division on BIGINT)."""
+    pcols = []
+    for p in pcts:
+        k = (f"cum_toks - n_toks + "
+             f"(total_tokens * {p} - (cum_mass - cls_mass) * 100 "
+             f" + c * 100 - 1) // (c * 100)")
+        pcols.append(
+            f"min(CASE WHEN cum_mass * 100 >= total_tokens * {p} "
+            f"AND (cum_mass - cls_mass) * 100 < total_tokens * {p} "
+            f"THEN {k} END)::BIGINT AS toks_p{p}")
+    return f"""
+WITH toks AS (
+  SELECT {lang_expr} AS lang, t.tok
+  FROM {table},
+       UNNEST(regexp_split_to_array(trim({text_expr}), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (SELECT lang, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+hist AS (SELECT lang, c, count(*)::BIGINT AS n_toks FROM tf GROUP BY 1, 2),
+cum AS (
+  SELECT lang, c, n_toks, c * n_toks AS cls_mass,
+         sum(c * n_toks) OVER (PARTITION BY lang ORDER BY c DESC)
+           ::BIGINT AS cum_mass,
+         sum(n_toks) OVER (PARTITION BY lang ORDER BY c DESC)
+           ::BIGINT AS cum_toks,
+         sum(c * n_toks) OVER (PARTITION BY lang)::BIGINT AS total_tokens,
+         sum(n_toks) OVER (PARTITION BY lang)::BIGINT AS n_distinct
+  FROM hist
+)
+SELECT lang, max(total_tokens)::BIGINT AS total_tokens,
+       max(n_distinct)::BIGINT AS n_distinct,
+       {", ".join(pcols)}
+FROM cum GROUP BY lang
+"""

@@ -2201,3 +2201,17 @@ def url_blocklist_stats(spark, sf_dir):
                  F.sum((~F.col("_blk")).cast("long")).alias("n_kept"),
                  F.countDistinct(F.when(F.col("_blk"), F.col("_dom")))
                   .alias("n_blocked_domains")))
+
+
+@q("vocab_coverage", TX.vocab_coverage_sql("documents", "text", "lang"))
+def vocab_coverage(spark, sf_dir):
+    """Per-language vocabulary coverage curve: how many top-frequency
+    token types cover 50% / 90% of the language's token mass — the
+    statistic tokenizer vocab sizing is planned from.  The window runs
+    over the per-language frequency-VALUE histogram (≤ a few thousand
+    rows per language at any corpus size), never over the vocab-sized
+    frequency table — the same no-global-sort trick as
+    token_percentiles/ccnet_buckets; exact integer ceil arithmetic on
+    the crossing class (functions/text.vocab_coverage)."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return TX.vocab_coverage(docs)

@@ -213,3 +213,34 @@ def test_ccnet_buckets_per_language(spark):
         assert out[base] == "head"
         assert out[base + 1] == out[base + 2] == "middle"
         assert out[base + 3] == out[base + 4] == "tail"
+
+
+def test_vocab_coverage_exact_integer_ceil(spark):
+    # en: freqs {a:6, b:2, c:1, d:1} -> total 10, distinct 4.
+    #   p50: bar 5 -> class c=6 crosses: k = 0 + ceil(500/600) = 1
+    #   p90: bar 9 -> after a(6)+b(2)=8 < 9; class c=1 (2 toks) crosses:
+    #        k = 2 + ceil((900-800)/100) = 3
+    # fr: uniform freqs {u,v,w,x}=1 -> total 4; p50 -> 2, p90 -> 4
+    #     (single class c=1, k = ceil(p*4/100))
+    rows = [(1, "a a a b", "en"), (2, "a a a b c d", "en"),
+            (3, "u v", "fr"), (4, "w x", "fr")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.lang: r for r in TX.vocab_coverage(df).collect()}
+    en, fr = out["en"], out["fr"]
+    assert (en.total_tokens, en.n_distinct, en.toks_p50, en.toks_p90) \
+        == (10, 4, 1, 3)
+    assert (fr.total_tokens, fr.n_distinct, fr.toks_p50, fr.toks_p90) \
+        == (4, 4, 2, 4)
+
+
+def test_vocab_coverage_sql_parity_handcrafted():
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (lang VARCHAR, text VARCHAR)")
+    for lang, text in [("en", "a a a b"), ("en", "a a a b c d"),
+                       ("fr", "u v"), ("fr", "w x")]:
+        con.execute("INSERT INTO d VALUES (?, ?)", [lang, text])
+    rows = {r[0]: r for r in con.sql(
+        TX.vocab_coverage_sql("d", "text", "lang")).fetchall()}
+    assert rows["en"] == ("en", 10, 4, 1, 3)
+    assert rows["fr"] == ("fr", 4, 4, 2, 4)
