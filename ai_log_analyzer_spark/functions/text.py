@@ -1154,3 +1154,68 @@ SELECT lang, max(total_tokens)::BIGINT AS total_tokens,
        {", ".join(pcols)}
 FROM cum GROUP BY lang
 """
+
+
+# Unicode script classes for multilingual curation routing.  Ranges use
+# \x{....} syntax — the hex-codepoint form BOTH Java regex (Spark) and
+# RE2 (DuckDB) accept (Java's \uXXXX form is not RE2-portable).  BMP
+# core blocks only: the dominant crawl mass; extension blocks (CJK ext
+# B+, supplementary planes) are counted as 'other' and documented here
+# as the fidelity upgrade path.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("arabic", "\\x{0600}-\\x{06FF}"),
+    ("cjk", "\\x{4E00}-\\x{9FFF}"),
+    ("hangul", "\\x{AC00}-\\x{D7AF}"),
+)
+
+
+def script_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_<script>..., n_other, dominant_script) — per-document
+    Unicode script histogram + argmax, the routing signal multilingual
+    curation branches on (CJK → different tokenizer/quality rules than
+    Latin).  Counts are regexp_extract_all sizes per script class over
+    the raw text; 'other' = non-whitespace chars in no class (digits,
+    punctuation, unlisted blocks).  Ties break by script-name order,
+    all-zero → 'none'.  Pure codegen projection — no shuffle, no
+    Python, linear in bytes at any corpus size."""
+    t = F.col(text_col)
+    names = [n for n, _ in SCRIPT_RANGES]
+    counts = {n: F.size(F.regexp_extract_all(t, F.lit(f"[{r}]"), F.lit(0)))
+                 .cast("long") for n, r in SCRIPT_RANGES}
+    nonws = F.length(F.regexp_replace(t, r"\s", ""))
+    other = (nonws - sum(counts.values())).cast("long")
+    best = F.greatest(*[counts[n] for n in names])
+    dom = F.lit("none")
+    for n in reversed(names):
+        dom = F.when((counts[n] == best) & (best > 0), n).otherwise(dom)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[counts[n].alias(f"n_{n}") for n in names],
+        other.alias("n_other"),
+        dom.alias("dominant_script"))
+
+
+def script_stats_sql(table: str = "documents", text_expr: str = "text",
+                     id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of ``script_stats`` (same \\x{..} class ranges)."""
+    names = [n for n, _ in SCRIPT_RANGES]
+    cnt = {n: f"len(regexp_extract_all({text_expr}, '[{r}]'))::BIGINT"
+           for n, r in SCRIPT_RANGES}
+    nonws = f"len(regexp_replace({text_expr}, '\\s', '', 'g'))"
+    other = f"({nonws} - ({' + '.join(cnt[n] for n in names)}))::BIGINT"
+    best = "greatest(" + ", ".join(cnt[n] for n in names) + ")"
+    dom = "'none'"
+    for n in reversed(names):
+        dom = (f"CASE WHEN {cnt[n]} = {best} AND {best} > 0 "
+               f"THEN '{n}' ELSE {dom} END")
+    return f"""
+SELECT {id_expr} AS doc_id,
+       {", ".join(f"{cnt[n]} AS n_{n}" for n in names)},
+       {other} AS n_other,
+       {dom} AS dominant_script
+FROM {table}
+"""

@@ -2215,3 +2215,43 @@ def vocab_coverage(spark, sf_dir):
     the crossing class (functions/text.vocab_coverage)."""
     docs = _t(spark, sf_dir, "documents").select("lang", "text")
     return TX.vocab_coverage(docs)
+
+
+_SCRIPT_SNIPPETS = [
+    ("Привет мир", "cyrillic"), ("你好世界", "cjk"), ("مرحبا بالعالم", "arabic"),
+    ("Γειά σου κόσμε", "greek"), ("안녕하세요 세계", "hangul"),
+]
+
+
+def _script_text_sql() -> str:
+    # even ids: latin text + snippet (mixed-script page); odd ids: the
+    # snippet alone (native-script page — exercises the argmax)
+    cases = " ".join(
+        f"WHEN doc_id % 10 = {2 * i} THEN text || ' {s}' "
+        f"WHEN doc_id % 10 = {2 * i + 1} THEN '{s} {s}'"
+        for i, (s, _n) in enumerate(_SCRIPT_SNIPPETS))
+    return f"SELECT doc_id, CASE {cases} END AS text FROM documents"
+
+
+@q("script_detect", f"""
+WITH s AS ({_script_text_sql()})
+{TX.script_stats_sql('s', 'text', 'doc_id')}
+""")
+def script_detect(spark, sf_dir):
+    """Unicode script histogram + dominant-script routing signal over
+    text carrying deterministic non-Latin snippets (Cyrillic/CJK/
+    Arabic/Greek/Hangul appended by doc_id mod 5 — both engines build
+    the identical corpus).  Script class counts are \\x{..}-range
+    regexp_extract_all sizes — the hex-codepoint syntax shared by Java
+    regex and RE2, so Spark and DuckDB run the same patterns.  Pure
+    codegen projection, zero shuffle (functions/text.script_stats)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    txt = None
+    for i, (s, _n) in enumerate(_SCRIPT_SNIPPETS):
+        mixed = F.concat(F.col("text"), F.lit(" " + s))
+        native = F.lit(s + " " + s)
+        txt = F.when(d % 10 == 2 * i, mixed) if txt is None \
+            else txt.when(d % 10 == 2 * i, mixed)
+        txt = txt.when(d % 10 == 2 * i + 1, native)
+    return TX.script_stats(docs.select("doc_id", txt.alias("text")))

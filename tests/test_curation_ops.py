@@ -244,3 +244,36 @@ def test_vocab_coverage_sql_parity_handcrafted():
         TX.vocab_coverage_sql("d", "text", "lang")).fetchall()}
     assert rows["en"] == ("en", 10, 4, 1, 3)
     assert rows["fr"] == ("fr", 4, 4, 2, 4)
+
+
+def test_script_stats_histogram_and_argmax(spark):
+    rows = [(1, "abc Привет"),          # latin 3, cyrillic 6 -> cyrillic
+            (2, "你好 ab 12 !"),          # cjk 2, latin 2, other 3 -> tie:
+                                         # name order (cjk after latin) ->
+                                         # latin wins (first in order)
+            (3, "   "),                  # all zero -> none
+            (4, "안녕 Γειά")]             # hangul 2, greek 4 -> greek
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.script_stats(df).collect()}
+    assert out[1].n_latin == 3 and out[1].n_cyrillic == 6
+    assert out[1].dominant_script == "cyrillic"
+    assert out[2].n_cjk == 2 and out[2].n_latin == 2
+    assert out[2].n_other == 3  # '1', '2', '!'
+    assert out[2].dominant_script == "latin"  # tie -> earlier name
+    assert out[3].dominant_script == "none"
+    assert out[4].dominant_script == "greek"
+
+
+def test_script_stats_sql_parity_handcrafted():
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    for r in [(1, "abc Привет"), (2, "你好 ab 12 !"), (3, "   "),
+              (4, "안녕 Γειά")]:
+        con.execute("INSERT INTO d VALUES (?, ?)", list(r))
+    rows = {r[0]: r for r in con.sql(
+        TX.script_stats_sql("d", "text", "doc_id")).fetchall()}
+    assert rows[1][-1] == "cyrillic" and rows[1][1] == 3 and rows[1][2] == 6
+    assert rows[2][-1] == "latin" and rows[2][-2] == 3
+    assert rows[3][-1] == "none"
+    assert rows[4][-1] == "greek"
