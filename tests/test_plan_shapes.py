@@ -74,3 +74,35 @@ def test_sink_counts_is_partial_agg(spark, pages_path, catalog_rows):
         F.rand(7).alias("anomaly_score"), (F.rand(8) > 0.5).alias("is_anomaly"))
     plan = _plan(route_op.sink_counts(route_op.with_severity(scored)))
     assert "partial" in plan.lower()  # map-side combine before the exchange
+
+
+def test_round5_projection_ops_zero_shuffle_zero_python(spark):
+    """script_stats, extract_links, and the html_outlinks explode are
+    pure projections: no Exchange, no Python eval node anywhere."""
+    from ai_log_analyzer_spark.functions import text as TX
+    from ai_log_analyzer_spark.functions import urls as U
+    docs = spark.createDataFrame(
+        [(1, "abc Привет"), (2, "hola")], ["doc_id", "text"])
+    for df in (TX.script_stats(docs),
+               U.extract_links(docs.select(
+                   "doc_id",
+                   F.encode(F.col("text"), "UTF-8").alias("html")))):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, plan
+
+
+def test_vocab_coverage_window_is_histogram_sized(spark):
+    """vocab_coverage's window must partition by lang over the
+    frequency-value histogram — the plan may contain exchanges for the
+    two aggs + window, but NO global single-partition sort (the
+    vocab-scale sort this operator exists to avoid)."""
+    from ai_log_analyzer_spark.functions import text as TX
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "c", "fr")], ["doc_id", "text", "lang"])
+    plan = _plan(TX.vocab_coverage(docs))
+    assert "Exchange SinglePartition" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
