@@ -31,6 +31,7 @@ from .functions import graph as G
 from .functions import sampling as SA
 from .functions import similarity as S
 from .functions import sketches as SK
+from .functions import snapshots as SN
 from .functions import temporal as TP
 from .functions import text as TX
 from .functions import urls as U
@@ -2255,3 +2256,52 @@ def script_detect(spark, sf_dir):
             else txt.when(d % 10 == 2 * i, mixed)
         txt = txt.when(d % 10 == 2 * i + 1, native)
     return TX.script_stats(docs.select("doc_id", txt.alias("text")))
+
+
+# --- crawl snapshot diff (functions/snapshots.py) --------------------------
+
+# two deterministic snapshots of one url space: 10% of urls exist only
+# in the new crawl (added), 10% only in the old (removed), 20% carry a
+# real content edit (changed), 10% a formatting-only edit (doubled
+# spaces — must read 'unchanged' through the normalized fingerprint)
+_SNAP_URL_SQL = "'https://example.com/p/' || doc_id::VARCHAR"
+_SNAP_OLD_SQL = f"""
+  SELECT {_SNAP_URL_SQL} AS url, text FROM documents WHERE doc_id % 10 <> 0
+"""
+_SNAP_NEW_SQL = f"""
+  SELECT {_SNAP_URL_SQL} AS url,
+         CASE WHEN doc_id % 10 IN (2, 3) THEN text || ' updated'
+              WHEN doc_id % 10 = 4
+                THEN replace(text, ' ', '  ')
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 1
+"""
+
+
+@q("snapshot_diff", f"""
+WITH old_snap AS ({_SNAP_OLD_SQL}),
+new_snap AS ({_SNAP_NEW_SQL}),
+{SN.snapshot_diff_sql('old_snap', 'new_snap', TX.fingerprint_sql)}
+SELECT url, status FROM d
+""")
+def snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot diff: per-url added/removed/changed/unchanged
+    between two monthly-crawl-style snapshots — the incremental
+    ingestion primitive (reprocess added+changed only, tombstone
+    removed).  Both sides project to (url, normalized-md5 fingerprint)
+    BEFORE the one full-outer url join, so the fat text column never
+    enters the shuffle; formatting-only edits (the doubled-space rows)
+    read 'unchanged' through the shared whitespace-normalized
+    fingerprint kernel (functions/snapshots.snapshot_diff)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://example.com/p/"), d.cast("string"))
+    old = docs.filter(d % 10 != 0).select(url.alias("url"), "text")
+    new_text = (F.when((d % 10).isin(2, 3),
+                       F.concat(F.col("text"), F.lit(" updated")))
+                 .when(d % 10 == 4,
+                       F.regexp_replace("text", " ", "  "))
+                 .otherwise(F.col("text")))
+    new = docs.filter(d % 10 != 1).select(url.alias("url"),
+                                          new_text.alias("text"))
+    return SN.snapshot_diff(old, new)

@@ -277,3 +277,18 @@ def test_script_stats_sql_parity_handcrafted():
     assert rows[2][-1] == "latin" and rows[2][-2] == 3
     assert rows[3][-1] == "none"
     assert rows[4][-1] == "greek"
+
+
+def test_snapshot_diff_statuses(spark):
+    from ai_log_analyzer_spark.functions import snapshots as SN
+    old = spark.createDataFrame(
+        [("u1", "hello world"), ("u2", "old text"), ("u3", "same")],
+        ["url", "text"])
+    new = spark.createDataFrame(
+        [("u2", "new text"),          # changed
+         ("u3", "  same  "),          # formatting-only -> unchanged
+         ("u4", "brand new")],        # added; u1 removed
+        ["url", "text"])
+    out = {r.url: r.status for r in SN.snapshot_diff(old, new).collect()}
+    assert out == {"u1": "removed", "u2": "changed",
+                   "u3": "unchanged", "u4": "added"}
