@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import hash32
+from .text import fingerprint as _fingerprint
 
 # shingles occurring in more docs than this are dropped from the
 # inverted index (stop-shingles): bounds the self-join fan-out
@@ -772,4 +773,64 @@ WITH base AS (
 SELECT doc_id, source, keep_id,
        (doc_id = keep_id)::BIGINT AS is_kept
 FROM base JOIN keep USING (fp)
+"""
+
+
+def source_overlap(df: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """(source_a, source_b, n_a, n_b, n_shared, jaccard_ppm) — exact
+    content overlap between every pair of data sources: how many
+    distinct normalized fingerprints each pair shares (the dataset-
+    leakage / mixture-overlap report curation teams sign off on before
+    mixing sources).
+
+    Scale shape: the per-source distinct fingerprint table is the only
+    corpus-sized object (one hash-keyed distinct).  The pair expansion
+    self-joins ON fingerprint, so each fingerprint fans out at most
+    (sources it appears in choose 2) — bounded by the SOURCE count, not
+    the corpus; per-pair counts then aggregate on a key space of
+    |sources|², which broadcasts trivially.  Jaccard is reported in
+    exact integer parts-per-million (n_shared·10⁶ div union) — no float
+    division in either engine."""
+    fp = (df.select(F.col(group_col).alias("src"),
+                    _fingerprint(F.col(text_col)).alias("fp"))
+          .distinct())
+    sizes = fp.groupBy("src").agg(F.count("*").alias("n"))
+    a = fp.select(F.col("src").alias("source_a"), "fp")
+    b = fp.select(F.col("src").alias("source_b"), "fp")
+    shared = (a.join(b, "fp")
+              .where(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count("*").alias("n_shared")))
+    na = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (shared.join(F.broadcast(na), "source_a")
+            .join(F.broadcast(nb), "source_b")
+            .select("source_a", "source_b", "n_a", "n_b", "n_shared",
+                    F.expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+                     .alias("jaccard_ppm")))
+
+
+def source_overlap_sql(table: str = "documents", group_expr: str = "source",
+                       text_expr: str = "text", fp_sql=None) -> str:
+    """DuckDB mirror of ``source_overlap``."""
+    if fp_sql is None:
+        from .text import fingerprint_sql as fp_sql
+    return f"""
+WITH fp AS (
+  SELECT DISTINCT {group_expr} AS src, {fp_sql(text_expr)} AS fp
+  FROM {table}
+),
+sizes AS (SELECT src, count(*)::BIGINT AS n FROM fp GROUP BY src),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*)::BIGINT AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, n_shared,
+       (n_shared * 1000000 // (na.n + nb.n - n_shared))::BIGINT
+         AS jaccard_ppm
+FROM shared
+JOIN sizes na ON na.src = source_a
+JOIN sizes nb ON nb.src = source_b
 """

@@ -2305,3 +2305,29 @@ def snapshot_diff(spark, sf_dir):
     new = docs.filter(d % 10 != 1).select(url.alias("url"),
                                           new_text.alias("text"))
     return SN.snapshot_diff(old, new)
+
+
+@q("source_overlap_matrix", D.source_overlap_sql(
+    table="""(
+  SELECT source,
+         CASE WHEN (doc_id // 20) % 5 = 0
+              THEN 'shared boilerplate ' || (doc_id % 17)::VARCHAR
+              ELSE text END AS text
+  FROM documents)"""))
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source exact-content overlap matrix: for every source
+    pair, distinct shared fingerprints + exact-integer Jaccard (ppm) —
+    the dataset-leakage report mixture planning signs off on.  A fifth
+    of the corpus is rewritten (identically in both engines) to one of
+    17 boilerplate strings so sources genuinely collide.  The pair
+    expansion joins ON fingerprint, so fan-out is bounded by the
+    SOURCE count per fingerprint, never the corpus
+    (functions/dedup.source_overlap)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.when(F.expr("(doc_id div 20) % 5") == 0,
+                  F.concat(F.lit("shared boilerplate "),
+                           (d % 17).cast("string"))) \
+        .otherwise(F.col("text"))
+    return D.source_overlap(
+        docs.select("source", text.alias("text")))

@@ -292,3 +292,17 @@ def test_snapshot_diff_statuses(spark):
     out = {r.url: r.status for r in SN.snapshot_diff(old, new).collect()}
     assert out == {"u1": "removed", "u2": "changed",
                    "u3": "unchanged", "u4": "added"}
+
+
+def test_source_overlap_exact_jaccard(spark):
+    rows = [("s1", "a"), ("s1", "b"), ("s1", "c"),
+            ("s2", "b"), ("s2", "c"), ("s2", "d"),
+            ("s3", "zzz"),
+            ("s1", "b  ")]  # formatting dup of s1's 'b' -> same fp
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {(r.source_a, r.source_b): r
+           for r in D.source_overlap(df).collect()}
+    r = out[("s1", "s2")]
+    # s1 = {a,b,c}, s2 = {b,c,d}: shared 2, union 4 -> 500000 ppm
+    assert (r.n_a, r.n_b, r.n_shared, r.jaccard_ppm) == (3, 3, 2, 500000)
+    assert ("s1", "s3") not in out  # zero-overlap pairs are absent
