@@ -243,3 +243,197 @@ def domain_blocked(url: Column) -> Column:
 def domain_blocked_sql(expr: str) -> str:
     inlist = ", ".join(f"'{s}'" for s in BLOCKLIST_DOMAINS)
     return f"({registered_domain_sql(expr)} IN ({inlist}))"
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation: the inlink-side quality signal.  Web curation
+# pipelines score a target domain by who links to it and with what
+# words (anchor text is the classic relevance/spam signal; FineWeb-Edu
+# style quality classifiers consume exactly this table).  Shape: the
+# edge table from ``extract_links`` is grouped twice — once per target
+# domain (inlink counts), once per (domain, term) for the top anchor
+# term.  Both aggs have map-side partials over fixed-width keys; the
+# deterministic top term is a partial-aggregable min_by over the
+# struct (-count, term) — count desc, term asc, never a per-domain
+# sort.  At 10^12 edges both shuffles key on the target domain, whose
+# skew (everyone links to wikipedia.org) is exactly what AQE's skew
+# split handles; the term agg pre-aggregates map-side so a hot domain
+# contributes one row per distinct term per task, not one per edge.
+
+def anchor_domain_stats(links):
+    """(domain, n_links, n_src_docs, top_term, top_term_count) over the
+    absolute outlinks of an ``extract_links`` edge table."""
+    abs_links = links.filter(F.col("is_abs") & (F.col("domain") != ""))
+    base = abs_links.groupBy("domain").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_src_docs"))
+    terms = (abs_links
+             .select("domain", F.explode(
+                 F.split(F.lower("anchor_text"), r"\s+")).alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy("domain", "term").agg(F.count("*").alias("cnt")))
+    ordkey = F.struct((-F.col("cnt")).alias("nc"), F.col("term").alias("t"))
+    top = terms.groupBy("domain").agg(
+        F.min_by("term", ordkey).alias("top_term"),
+        F.min_by("cnt", ordkey).alias("top_term_count"))
+    # left join: a domain whose every anchor is empty still reports its
+    # inlink counts (top_term NULL -> '')
+    return (base.join(top, "domain", "left")
+            .select("domain", "n_links", "n_src_docs",
+                    F.coalesce("top_term", F.lit("")).alias("top_term"),
+                    F.coalesce("top_term_count", F.lit(0)).cast("long")
+                     .alias("top_term_count")))
+
+
+def anchor_domain_stats_sql() -> str:
+    """DuckDB CTE chain continuing from ``extract_links_sql``'s
+    ``outlinks`` CTE; final relation is ``anchor_stats``."""
+    return """
+abslinks AS (
+  SELECT * FROM outlinks WHERE is_abs AND domain <> ''
+),
+base AS (
+  SELECT domain, count(*)::BIGINT AS n_links,
+         count(DISTINCT doc_id)::BIGINT AS n_src_docs
+  FROM abslinks GROUP BY domain
+),
+terms AS (
+  SELECT domain, term, count(*)::BIGINT AS cnt
+  FROM (SELECT domain,
+               unnest(regexp_split_to_array(lower(anchor_text), '\\s+'))
+                 AS term
+        FROM abslinks)
+  WHERE term <> '' GROUP BY domain, term
+),
+top AS (
+  SELECT domain, term AS top_term, cnt AS top_term_count
+  FROM (SELECT domain, term, cnt,
+               row_number() OVER (PARTITION BY domain
+                                  ORDER BY cnt DESC, term) AS rn
+        FROM terms)
+  WHERE rn = 1
+),
+anchor_stats AS (
+  SELECT base.domain, n_links, n_src_docs,
+         coalesce(top_term, '') AS top_term,
+         coalesce(top_term_count, 0)::BIGINT AS top_term_count
+  FROM base LEFT JOIN top ON base.domain = top.domain
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Page indexing policy: meta-robots noindex/nofollow + rel=canonical.
+# A crawl-curation pipeline must honor these before a page enters the
+# corpus (noindex pages are the publisher's opt-out; the canonical link
+# collapses parameterized/mirrored duplicates onto one representative
+# BEFORE any content-hash dedup runs — it is the cheapest dedup signal
+# a crawl carries).  All three extractions are single regexes in the
+# Java ∩ RE2 subset over the decoded html, pure codegen projection,
+# zero shuffle.  FROZEN attribute-order contract: `name` precedes
+# `content` on <meta>, `rel` precedes `href` on <link> (the dominant
+# emitted order; a production variant adds the mirrored-order
+# alternation at 2x pattern cost, same plan shape).
+
+_META_ROBOTS = ("(?is)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"']"
+                "[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']")
+_CANONICAL = ("(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"']"
+              "[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']")
+
+
+def page_policy(df, html_col: str = "html", url_col: str = "url",
+                id_col: str = "doc_id"):
+    """(doc_id, noindex, nofollow, canonical_href, has_canonical,
+    canonical_offsite): indexing policy per page.  ``canonical_offsite``
+    is true when the canonical target's registered domain differs from
+    the page's own — the cross-domain-canonical case a dedup stage must
+    treat as a merge hint, not an intra-site alias."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    robots = F.lower(F.regexp_extract(s, _META_ROBOTS, 1))
+    canon = F.regexp_extract(s, _CANONICAL, 1)
+    has_canon = canon != ""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        canon.alias("canonical_href"),
+        has_canon.alias("has_canonical"),
+        (has_canon &
+         (registered_domain(canon) != registered_domain(F.col(url_col))))
+        .alias("canonical_offsite"))
+
+
+def page_policy_sql(html_table: str) -> str:
+    """DuckDB projection over ``html_table`` (doc_id, url, html TEXT);
+    yields CTE ``policy``."""
+    rob = _META_ROBOTS.replace("'", "''")
+    can = _CANONICAL.replace("'", "''")
+    robots = f"lower(regexp_extract(html, '{rob}', 1))"
+    canon = f"regexp_extract(html, '{can}', 1)"
+    return f"""
+policy AS (
+  SELECT doc_id,
+         contains({robots}, 'noindex') AS noindex,
+         contains({robots}, 'nofollow') AS nofollow,
+         {canon} AS canonical_href,
+         {canon} <> '' AS has_canonical,
+         ({canon} <> '' AND
+          {registered_domain_sql(canon)} <>
+          {registered_domain_sql('url')}) AS canonical_offsite
+  FROM {html_table}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-level curation rollup: the per-registered-domain summary table
+# every web-corpus pipeline maintains (FineWeb/RefinedWeb curate at the
+# domain grain — quota caps, blocklists, and quality triage all key on
+# it).  ONE groupBy(domain) with exclusively partial-aggregable
+# aggregates (counts, sums, approx-free distincts on md5 fingerprints);
+# dup_ppm is exact integer arithmetic so the oracle can never diverge
+# on rounding.  Domain skew (a mega-host with 10^9 pages) is the
+# canonical AQE-skew-split case; the per-row projection before the agg
+# keeps only (domain, host, n_tokens, fp) — text never shuffles.
+
+def domain_rollup(df, url_col: str = "url", text_col: str = "text"):
+    """(domain, n_pages, n_hosts, total_tokens, n_distinct_fps,
+    dup_ppm) — per-registered-domain corpus stats; ``dup_ppm`` =
+    (pages − distinct fingerprints) · 10⁶ / pages, the within-domain
+    exact-duplicate mass."""
+    from .text import fingerprint, token_count
+    u = F.col(url_col)
+    proj = df.select(
+        registered_domain(u).alias("domain"),
+        host_of(u).alias("host"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        fingerprint(F.col(text_col)).alias("fp"))
+    return (proj.groupBy("domain")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.countDistinct("fp").alias("n_distinct_fps"))
+            .withColumn("dup_ppm", F.expr(
+                "CAST(((n_pages - n_distinct_fps) * 1000000L) div n_pages"
+                " AS LONG)")))
+
+
+def domain_rollup_sql(pages_table: str) -> str:
+    """DuckDB CTE over ``pages_table`` (url, text); yields ``rollup``."""
+    from .text import fingerprint_sql, token_count_sql
+    return f"""
+proj AS (
+  SELECT {registered_domain_sql('url')} AS domain,
+         {host_of_sql('url')} AS host,
+         ({token_count_sql('text')})::BIGINT AS n_tokens,
+         {fingerprint_sql('text')} AS fp
+  FROM {pages_table}
+),
+rollup AS (
+  SELECT domain,
+         count(*)::BIGINT AS n_pages,
+         count(DISTINCT host)::BIGINT AS n_hosts,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         count(DISTINCT fp)::BIGINT AS n_distinct_fps,
+         ((count(*) - count(DISTINCT fp)) * 1000000 // count(*))::BIGINT
+           AS dup_ppm
+  FROM proj GROUP BY domain
+)"""

@@ -34,7 +34,9 @@ from .functions import sketches as SK
 from .functions import snapshots as SN
 from .functions import temporal as TP
 from .functions import text as TX
+from .functions import unicodefold as UF
 from .functions import urls as U
+from .functions import warc as W
 from .functions.hashing import hash32, hash32_sql
 
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2331,3 +2333,261 @@ def source_overlap_matrix(spark, sf_dir):
         .otherwise(F.col("text"))
     return D.source_overlap(
         docs.select("source", text.alias("text")))
+
+
+# --- anchor-text aggregation / page policy / domain rollup (urls.py) ------
+
+@q("anchor_text_stats", f"""
+WITH h AS ({_outlink_html_sql()}),
+{U.extract_links_sql('h')},
+{U.anchor_domain_stats_sql()}
+SELECT domain, n_links, n_src_docs, top_term, top_term_count
+FROM anchor_stats
+""")
+def anchor_text_stats(spark, sf_dir):
+    """Inlink/anchor-text aggregation per target registered domain —
+    the edge-side quality signal (who links here, with what words) that
+    domain-level curation classifiers consume.  Two partial-aggregable
+    groupBys over the outlink edge table; the deterministic top anchor
+    term is a min_by over struct(-count, term), never a per-domain sort
+    (functions/urls.anchor_domain_stats).  Reuses html_outlinks'
+    synthetic corpus so every extraction edge case flows through."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m50 = (F.col("doc_id") % 50).cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="/local/'), did,
+        F.lit('">home '), did,
+        F.lit('</a><A HREF="http://Ext'), m50,
+        F.lit('.example.COM:80/x?utm_source=t&b=2&a=1"><b>ext  '), m50,
+        F.lit("</b></A><a class=\"x\" href='https://news"), m7,
+        F.lit(".co.uk/y'>UK  news</a></body></html>"))
+    hdf = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return U.anchor_domain_stats(U.extract_links(hdf))
+
+
+def _policy_html_sql() -> str:
+    return """
+  SELECT doc_id,
+         'https://site' || (doc_id % 11)::VARCHAR ||
+         '.example.org/p/' || doc_id::VARCHAR AS url,
+         '<html><head>' ||
+         (CASE WHEN doc_id % 5 = 0
+               THEN '<meta name="robots" content="noindex, nofollow">'
+               WHEN doc_id % 5 = 1
+               THEN '<meta name="robots" content="index, follow">' ||
+                    '<link rel="canonical" href="https://site' ||
+                    (doc_id % 11)::VARCHAR || '.example.org/p/' ||
+                    doc_id::VARCHAR || '">'
+               WHEN doc_id % 5 = 2
+               THEN '<LINK REL=''canonical'' HREF=''https://mirror.example.net/p/' ||
+                    doc_id::VARCHAR || '''>'
+               WHEN doc_id % 5 = 3
+               THEN '<meta name="robots" content="NOINDEX">'
+               ELSE '' END) ||
+         '</head><body>b</body></html>' AS html
+  FROM documents
+"""
+
+
+@q("page_policy_flags", f"""
+WITH h AS ({_policy_html_sql()}),
+{U.page_policy_sql('h')}
+SELECT doc_id, noindex, nofollow, canonical_href, has_canonical,
+       canonical_offsite
+FROM policy
+""")
+def page_policy_flags(spark, sf_dir):
+    """Meta-robots / rel=canonical indexing policy per page — the
+    publisher opt-out a curation pipeline must honor before a page
+    enters the corpus, plus the canonical link that collapses
+    mirrored/parameterized duplicates BEFORE any content-hash dedup.
+    Pure codegen regex projection, zero shuffle; the UPPERCASE
+    single-quoted <LINK> rows pin case/quote-insensitivity, the %5==2
+    rows pin cross-domain canonical detection
+    (functions/urls.page_policy)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    m11 = (d % 11).cast("string")
+    url = F.concat(F.lit("https://site"), m11, F.lit(".example.org/p/"), did)
+    head = (
+        F.when(d % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(d % 5 == 1, F.concat(
+            F.lit('<meta name="robots" content="index, follow">'
+                  '<link rel="canonical" href="https://site'),
+            m11, F.lit(".example.org/p/"), did, F.lit('">')))
+        .when(d % 5 == 2, F.concat(
+            F.lit("<LINK REL='canonical' HREF='https://mirror.example.net/p/"),
+            did, F.lit("'>")))
+        .when(d % 5 == 3, F.lit('<meta name="robots" content="NOINDEX">'))
+        .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body>b</body></html>"))
+    hdf = docs.select("doc_id", url.alias("url"),
+                      F.encode(html, "UTF-8").alias("html"))
+    return U.page_policy(hdf)
+
+
+def _warc_blob_sql() -> str:
+    # CRLFs are embedded in the SQL literal as real bytes (e'' escapes)
+    return """
+  SELECT doc_id,
+         'WARC/1.0' || e'\\r\\n' ||
+         'WARC-Type: response' || e'\\r\\n' ||
+         'WARC-Target-URI: https://ex.org/p/' || doc_id::VARCHAR || e'\\r\\n' ||
+         'WARC-Date: 2024-01-01T00:00:00Z' || e'\\r\\n' ||
+         'Content-Length: ' ||
+         (length('html body ' || doc_id::VARCHAR) +
+          CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)::VARCHAR ||
+         e'\\r\\n\\r\\n' ||
+         'html body ' || doc_id::VARCHAR || e'\\r\\n\\r\\n' ||
+         'WARC/1.0' || e'\\r\\n' ||
+         'WARC-Type: metadata' || e'\\r\\n' ||
+         'WARC-Target-URI: https://ex.org/p/' || doc_id::VARCHAR || e'\\r\\n' ||
+         'WARC-Date: 2024-01-01T00:00:01Z' || e'\\r\\n' ||
+         'Content-Length: ' ||
+         length('meta ' || (doc_id % 7)::VARCHAR)::VARCHAR ||
+         e'\\r\\n\\r\\n' ||
+         'meta ' || (doc_id % 7)::VARCHAR || e'\\r\\n\\r\\n' AS warc
+  FROM documents
+"""
+
+
+@q("warc_record_parse", f"""
+WITH wt AS ({_warc_blob_sql()}),
+{W.parse_warc_records_sql('wt')}
+SELECT doc_id, rec_idx, warc_type, target_uri, warc_date, content_length,
+       payload, length_ok
+FROM warc_records
+""")
+def warc_record_parse(spark, sf_dir):
+    """WARC container parsing: each doc carries a two-record WARC blob
+    (response + metadata) in a binary column; ONE regex split on the
+    version line + posexplode + per-record header regexes yield the
+    record table — the stage a Common-Crawl pipeline needs the moment
+    upstream hands raw WARC segments instead of pre-exploded pages.
+    The %9==0 rows declare Content-Length one octet high, pinning the
+    length_ok integrity check (torn records route to a dead-letter
+    sink, not the corpus).  Pure projection+explode, no shuffle
+    (functions/warc.parse_warc_records)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    crlf = F.lit("\r\n")
+    p1 = F.concat(F.lit("html body "), did)
+    len1 = (F.length(p1) +
+            F.when(d % 9 == 0, F.lit(1)).otherwise(F.lit(0))).cast("string")
+    p2 = F.concat(F.lit("meta "), (d % 7).cast("string"))
+    blob = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: response"), crlf,
+        F.lit("WARC-Target-URI: https://ex.org/p/"), did, crlf,
+        F.lit("WARC-Date: 2024-01-01T00:00:00Z"), crlf,
+        F.lit("Content-Length: "), len1, F.lit("\r\n\r\n"),
+        p1, F.lit("\r\n\r\n"),
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: metadata"), crlf,
+        F.lit("WARC-Target-URI: https://ex.org/p/"), did, crlf,
+        F.lit("WARC-Date: 2024-01-01T00:00:01Z"), crlf,
+        F.lit("Content-Length: "), F.length(p2).cast("string"),
+        F.lit("\r\n\r\n"), p2, F.lit("\r\n\r\n"))
+    wdf = docs.select("doc_id", F.encode(blob, "UTF-8").alias("warc"))
+    return W.parse_warc_records(wdf)
+
+
+# NFC fixture strings built from explicit escapes so the decomposed /
+# precomposed distinction is unambiguous: _NFC_DEC is 'e' + U+0301
+# COMBINING ACUTE (NFC-composes to _NFC_PRE's U+00E9); _NFC_RING is
+# 'A' + U+030A COMBINING RING ABOVE (composes to U+00C5)
+_NFC_DEC = "cafe\u0301 visit "
+_NFC_PRE = "caf\u00e9 visit "
+_NFC_RING = "A\u030a ring "
+
+
+def _nfc_text_sql() -> str:
+    # the combining sequences land as raw UTF-8 bytes in this SQL text
+    return f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN '{_NFC_DEC}' || doc_id::VARCHAR
+              WHEN doc_id % 4 = 1
+              THEN '{_NFC_PRE}' || doc_id::VARCHAR
+              WHEN doc_id % 4 = 2
+              THEN 'cafe visit ' || doc_id::VARCHAR
+              ELSE '{_NFC_RING}' || doc_id::VARCHAR END AS text
+  FROM documents
+"""
+
+
+@q("nfc_normalization", f"""
+WITH t AS ({_nfc_text_sql()}),
+{UF.nfc_stats_sql('t')}
+SELECT doc_id, changed, len_before, len_after, norm_hash FROM nfc
+""")
+def nfc_normalization(spark, sf_dir):
+    """Unicode NFC normalization — must run BEFORE any content hash or
+    mixed-normalization duplicates (decomposed mac/CMS text vs
+    precomposed everything-else) silently evade exact dedup.  Spark
+    side is an Arrow-batched pandas_udf over unicodedata (Catalyst has
+    no normalization expression — the documented slow path, one Python
+    hop per record batch); the oracle is DuckDB's native nfc_normalize,
+    an INDEPENDENT UAX #15 implementation, so parity here cross-checks
+    the kernel across engines rather than echoing shared code
+    (functions/unicodefold.nfc_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    text = (F.when(d % 4 == 0, F.concat(F.lit(_NFC_DEC), did))
+            .when(d % 4 == 1, F.concat(F.lit(_NFC_PRE), did))
+            .when(d % 4 == 2, F.concat(F.lit("cafe visit "), did))
+            .otherwise(F.concat(F.lit(_NFC_RING), did)))
+    return UF.nfc_stats(docs.select("doc_id", text.alias("text")))
+
+
+def _rollup_pages_sql() -> str:
+    return """
+  SELECT 'https://' ||
+         (CASE WHEN doc_id % 4 = 0 THEN 'www.'
+               WHEN doc_id % 4 = 1 THEN 'm.'
+               WHEN doc_id % 4 = 2 THEN 'blog.' ELSE '' END) ||
+         'site' || (doc_id % 5)::VARCHAR ||
+         (CASE WHEN (doc_id // 5) % 2 = 0 THEN '.org' ELSE '.co.uk' END) ||
+         '/p/' || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 11 = 0 THEN 'dup page body' ELSE text END AS text
+  FROM documents
+"""
+
+
+@q("domain_rollup_stats", f"""
+WITH p AS ({_rollup_pages_sql()}),
+{U.domain_rollup_sql('p')}
+SELECT domain, n_pages, n_hosts, total_tokens, n_distinct_fps, dup_ppm
+FROM rollup
+""")
+def domain_rollup_stats(spark, sf_dir):
+    """Per-registered-domain curation rollup (pages, hosts, token mass,
+    distinct fingerprints, exact-integer within-domain dup ppm) — the
+    domain-grain summary table quota caps / blocklists / quality triage
+    key on.  ONE partial-aggregable groupBy(domain) over a 4-column
+    projection (text never shuffles); the www/m/blog host prefixes pin
+    host-vs-domain grouping through the public-suffix table, the %11
+    rewrite plants within-domain exact-dup mass
+    (functions/urls.domain_rollup)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 4 == 0, F.lit("www."))
+         .when(d % 4 == 1, F.lit("m."))
+         .when(d % 4 == 2, F.lit("blog.")).otherwise(F.lit("")),
+        F.lit("site"), (d % 5).cast("string"),
+        F.when(F.expr("(doc_id div 5) % 2") == 0, F.lit(".org"))
+         .otherwise(F.lit(".co.uk")),
+        F.lit("/p/"), d.cast("string"))
+    text = F.when(d % 11 == 0, F.lit("dup page body")) \
+        .otherwise(F.col("text"))
+    return U.domain_rollup(
+        docs.select(url.alias("url"), text.alias("text")))
