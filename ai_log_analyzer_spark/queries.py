@@ -28,6 +28,7 @@ _FIXTURE_DIR = os.path.join(
 
 from .functions import dedup as D
 from .functions import graph as G
+from .functions import robots as RB
 from .functions import sampling as SA
 from .functions import similarity as S
 from .functions import sketches as SK
@@ -2591,3 +2592,78 @@ def domain_rollup_stats(spark, sf_dir):
         .otherwise(F.col("text"))
     return U.domain_rollup(
         docs.select(url.alias("url"), text.alias("text")))
+
+
+# --- robots.txt crawl-permission evaluation (robots.py) --------------------
+
+_ROBOTS_BASE = ("# crawler policy\n"
+                "User-agent: badbot\nDisallow: /\n\n")
+_ROBOTS_STAR = ("User-agent: goodbot\nUser-agent: *\n"
+                "Disallow: /private\nAllow: /private/ok\nDisallow:\n")
+
+
+def _robots_fixture_sql() -> str:
+    base = _ROBOTS_BASE.replace("\n", "' || chr(10) || '")
+    star = _ROBOTS_STAR.replace("\n", "' || chr(10) || '")
+    return f"""
+  SELECT 'h' || m::VARCHAR || '.example.org' AS host,
+         '{base}' ||
+         (CASE WHEN m % 3 = 0 THEN '' ELSE '{star}' END) ||
+         'Sitemap: https://h' || m::VARCHAR ||
+         '.example.org/sitemap.xml' || chr(10) AS robots_txt
+  FROM (SELECT DISTINCT doc_id % 13 AS m FROM documents)
+"""
+
+
+def _robots_urls_sql() -> str:
+    return """
+  SELECT doc_id,
+         'https://h' || (doc_id % 13)::VARCHAR || '.example.org' ||
+         (CASE WHEN doc_id % 4 = 0 THEN '/private/x' || doc_id::VARCHAR
+               WHEN doc_id % 4 = 1 THEN '/private/ok/x' || doc_id::VARCHAR
+               WHEN doc_id % 4 = 2 THEN '/public/x' || doc_id::VARCHAR
+               ELSE '/' END) AS url
+  FROM documents
+"""
+
+
+@q("robots_url_filter", f"""
+WITH rt AS ({_robots_fixture_sql()}),
+u AS ({_robots_urls_sql()}),
+{RB.robots_rules_sql('rt')},
+{RB.robots_match_sql('u')}
+SELECT doc_id, host, matched, rule_path, rule_is_allow, crawl_allowed
+FROM verdicts
+""")
+def robots_url_filter(spark, sf_dir):
+    """RFC 9309 robots.txt evaluation: parse each host's robots text
+    into the User-agent:* group's Allow/Disallow rules (lag+running-sum
+    group recovery handles consecutive UA lines), then verdict every
+    URL by longest-prefix match with Allow winning ties — the
+    publisher opt-out gate a crawl corpus applies before anything else.
+    The fixture pins comments, a non-star group that must NOT apply, a
+    star group opened by its SECOND UA line, the empty-Disallow no-op,
+    hosts with no star group (all-allowed), and the /private vs
+    /private/ok longest-match inversion.  Rules broadcast; pages never
+    shuffle (functions/robots.robots_rules, robots_match)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 13
+    host = F.concat(F.lit("h"), m.cast("string"), F.lit(".example.org"))
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/private/x"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("/private/ok/x"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("/public/x"), d.cast("string")))
+        .otherwise(F.lit("/")))
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url"))
+    mm = F.col("m")
+    robots = (docs.select(m.alias("m")).distinct().select(
+        F.concat(F.lit("h"), mm.cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit(_ROBOTS_BASE),
+            F.when(mm % 3 == 0, F.lit("")).otherwise(F.lit(_ROBOTS_STAR)),
+            F.lit("Sitemap: https://h"), mm.cast("string"),
+            F.lit(".example.org/sitemap.xml\n")).alias("robots_txt")))
+    return RB.robots_match(urls, RB.robots_rules(robots))

@@ -110,3 +110,57 @@ def test_domain_rollup_exact_dup_ppm(spark):
     assert d.dup_ppm == (3 - 2) * 1000000 // 3
     o = got["other.co.uk"]
     assert (o.n_pages, o.n_hosts, o.dup_ppm) == (1, 1, 0)
+
+
+def _robots_df(spark, rows):
+    from ai_log_analyzer_spark.functions import robots as RB
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["host", "robots_txt"]))
+
+
+def test_robots_consecutive_ua_lines_share_group(spark):
+    from ai_log_analyzer_spark.functions import robots as RB
+    txt = ("User-agent: goodbot\nUser-agent: *\nDisallow: /a\n\n"
+           "User-agent: badbot\nDisallow: /\n")
+    rules = RB.robots_rules(_robots_df(spark, [("h", txt)])).collect()
+    # the star group owns /a (opened by goodbot, joined by *); the
+    # badbot group's Disallow: / must NOT leak in
+    assert [(r.rule_path, r.is_allow) for r in rules] == [("/a", False)]
+
+
+def test_robots_longest_match_allow_wins_and_comments(spark):
+    from ai_log_analyzer_spark.functions import robots as RB
+    txt = ("# policy\nUser-agent: *\n"
+           "Disallow: /p  # inline comment\n"
+           "Allow: /p/ok\nDisallow:\n")
+    rules = RB.robots_rules(_robots_df(spark, [("h", txt)]))
+    urls = spark.createDataFrame(pd.DataFrame(
+        [(1, "https://h/p/x"), (2, "https://h/p/ok/x"),
+         (3, "https://h/other"), (4, "https://nowhere/abc")],
+        columns=["doc_id", "url"]))
+    got = {r.doc_id: r for r in RB.robots_match(urls, rules).collect()}
+    assert not got[1].crawl_allowed and got[1].rule_path == "/p"
+    assert got[2].crawl_allowed and got[2].rule_path == "/p/ok"
+    assert got[3].crawl_allowed and not got[3].matched
+    # host with no robots at all -> allowed, unmatched
+    assert got[4].crawl_allowed and not got[4].matched
+
+
+def test_robots_equal_length_tie_allow_wins(spark):
+    from ai_log_analyzer_spark.functions import robots as RB
+    txt = "User-agent: *\nDisallow: /dup\nAllow: /dup\n"
+    rules = RB.robots_rules(_robots_df(spark, [("h", txt)]))
+    urls = spark.createDataFrame(pd.DataFrame(
+        [(1, "https://h/dup/page")], columns=["doc_id", "url"]))
+    r = RB.robots_match(urls, rules).collect()[0]
+    assert r.crawl_allowed and r.rule_is_allow
+
+
+def test_robots_sitemaps_are_group_independent(spark):
+    from ai_log_analyzer_spark.functions import robots as RB
+    txt = ("Sitemap: https://h/s1.xml\nUser-agent: badbot\n"
+           "Disallow: /\nSitemap: https://h/s2.xml\n")
+    got = sorted(r.sitemap_url for r in
+                 RB.robots_sitemaps(_robots_df(spark, [("h", txt)]))
+                 .collect())
+    assert got == ["https://h/s1.xml", "https://h/s2.xml"]
