@@ -437,3 +437,87 @@ rollup AS (
            AS dup_ppm
   FROM proj GROUP BY domain
 )"""
+
+
+# ---------------------------------------------------------------------------
+# URL pattern mining / crawler-trap detection.  Crawlers die in URL
+# spaces that grow without bound (calendars, session ids, faceted
+# search permutations); the standard defense groups URLs by PATH
+# SKELETON (variable runs abstracted to typed placeholders) and flags
+# skeletons whose population is large AND fully distinct — the
+# signature of a generated space rather than an authored one.  The
+# skeleton kernel is a frozen ordered regexp_replace chain in the
+# Java ∩ RE2 subset (hex runs BEFORE digit runs, or every hex id
+# degrades to '<d>x<d>'); the aggregate is ONE groupBy(domain,
+# skeleton) with count + countDistinct(path) + max(flag) — all
+# partial-aggregable, one shuffle, AQE handles skeleton skew.
+
+_HEX_RUN = "[0-9a-f]{8,}"
+_DIGIT_RUN = "[0-9]+"
+SESSION_PARAMS = ("sid", "sessionid", "phpsessid", "jsessionid", "sess")
+_SESSION_RE = "(?i)[?&](" + "|".join(SESSION_PARAMS) + ")="
+
+
+def path_skeleton(url: Column) -> Column:
+    """Typed path skeleton: lowercase path with ≥8-char hex runs →
+    ``<h>`` then digit runs → ``<d>``."""
+    path = F.lower(F.regexp_extract(url, _PATH, 1))
+    path = F.regexp_replace(path, _HEX_RUN, "<h>")
+    return F.regexp_replace(path, _DIGIT_RUN, "<d>")
+
+
+def url_pattern_stats(df, url_col: str = "url",
+                      trap_min_urls: int = 20):
+    """(domain, skeleton, n_urls, n_paths, depth, any_session,
+    is_trap_candidate) per (registered domain, path skeleton).
+    ``is_trap_candidate`` = population ≥ ``trap_min_urls`` AND every
+    member path distinct — an unbounded generated space."""
+    u = F.col(url_col)
+    proj = df.select(
+        registered_domain(u).alias("domain"),
+        path_skeleton(u).alias("skeleton"),
+        F.lower(F.regexp_extract(u, _PATH, 1)).alias("path"),
+        u.rlike(_SESSION_RE).alias("has_session"))
+    agg = (proj.groupBy("domain", "skeleton").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("path").alias("n_paths"),
+        F.max("has_session").alias("any_session")))
+    depth = (F.length("skeleton")
+             - F.length(F.regexp_replace("skeleton", "/", ""))) \
+        .cast("long")
+    return agg.select(
+        "domain", "skeleton", "n_urls", "n_paths",
+        depth.alias("depth"), "any_session",
+        ((F.col("n_urls") >= trap_min_urls)
+         & (F.col("n_paths") == F.col("n_urls")))
+        .alias("is_trap_candidate"))
+
+
+def path_skeleton_sql(expr: str) -> str:
+    path = f"lower(regexp_extract({expr}, '{_PATH}', 1))"
+    return (f"regexp_replace(regexp_replace({path}, '{_HEX_RUN}', '<h>', 'g'),"
+            f" '{_DIGIT_RUN}', '<d>', 'g')")
+
+
+def url_pattern_stats_sql(urls_table: str, trap_min_urls: int = 20) -> str:
+    """DuckDB CTE chain over ``urls_table`` (url); yields
+    ``url_patterns``."""
+    return f"""
+uproj AS (
+  SELECT {registered_domain_sql('url')} AS domain,
+         {path_skeleton_sql('url')} AS skeleton,
+         lower(regexp_extract(url, '{_PATH}', 1)) AS path,
+         regexp_matches(url, '{_SESSION_RE}') AS has_session
+  FROM {urls_table}
+),
+url_patterns AS (
+  SELECT domain, skeleton,
+         count(*)::BIGINT AS n_urls,
+         count(DISTINCT path)::BIGINT AS n_paths,
+         (length(skeleton) -
+          length(replace(skeleton, '/', '')))::BIGINT AS depth,
+         bool_or(has_session) AS any_session,
+         (count(*) >= {trap_min_urls} AND
+          count(DISTINCT path) = count(*)) AS is_trap_candidate
+  FROM uproj GROUP BY domain, skeleton
+)"""

@@ -26,12 +26,16 @@ _FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests", "fixtures")
 
+from .functions import collocations as CL
 from .functions import dedup as D
+from .functions import encodings as EN
 from .functions import graph as G
 from .functions import robots as RB
 from .functions import sampling as SA
 from .functions import similarity as S
 from .functions import sketches as SK
+from .functions import maincontent as MC
+from .functions import sitemaps as SM
 from .functions import snapshots as SN
 from .functions import temporal as TP
 from .functions import text as TX
@@ -2667,3 +2671,233 @@ def robots_url_filter(spark, sf_dir):
             F.lit("Sitemap: https://h"), mm.cast("string"),
             F.lit(".example.org/sitemap.xml\n")).alias("robots_txt")))
     return RB.robots_match(urls, RB.robots_rules(robots))
+
+
+# --- PMI bigram collocation mining (collocations.py) -----------------------
+
+@q("pmi_collocations", f"""
+WITH dtext AS (SELECT text FROM documents),
+{CL.pmi_collocations_sql('dtext')}
+SELECT w1, w2, n_xy, n_x, n_y, pmi_ppm FROM pmi
+""")
+def pmi_collocations_q(spark, sf_dir):
+    """Collocation mining for tokenizer/vocab construction: every
+    adjacent lowercased word pair seen >= 5 times, scored by
+    exact-integer PMI in ppm (n_xy*N*1e6 div n_x*n_y; 1e6 =
+    independence) so no float ever enters the compare.  Bigrams form
+    per-row via zip_with over two slices (no self-join, no shuffle to
+    pair), one skew-prone groupBy(w1,w2) with map-side partials,
+    vocabulary-sized unigram counts broadcast twice, N on a broadcast
+    1-row crossJoin; numerator in DECIMAL(38,0)/HUGEINT (bound
+    documented in functions/collocations)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CL.pmi_collocations(docs.select("text"), min_count=5)
+
+
+# --- encoding triage: BOM sniff + UTF-8 validity (encodings.py) ------------
+
+def _enc_bodies_sql() -> str:
+    th = "hex(encode('body ' || doc_id::VARCHAR))"
+    return f"""
+  SELECT doc_id,
+         unhex(CASE
+           WHEN doc_id % 7 = 0 THEN 'EFBBBF' || {th}
+           WHEN doc_id % 7 = 1 THEN {th}
+           WHEN doc_id % 7 = 2 THEN 'FFFE' || '680065006C006C006F00'
+           WHEN doc_id % 7 = 3 THEN 'FF' || {th}
+           WHEN doc_id % 7 = 4 THEN '0000FEFF' || '00000041'
+           WHEN doc_id % 7 = 5 THEN 'FFFE0000' || '41000000'
+           ELSE {th} || 'C3A9E282ACF09F9880' END) AS body
+  FROM documents
+"""
+
+
+@q("encoding_triage_stats", f"""
+WITH b AS ({_enc_bodies_sql()}),
+{EN.encoding_triage_sql('b')}
+SELECT doc_id, n_bytes, bom, valid_utf8 FROM triage
+""")
+def encoding_triage_stats(spark, sf_dir):
+    """Encoding triage over raw bodies WITHOUT decoding them: BOM
+    sniff (UTF-32 prefixes checked before their UTF-16 prefix-subsets)
+    + complete RFC 3629 structural UTF-8 validation as ONE anchored
+    regex over the hex transcription — pure codegen projection, zero
+    shuffle.  Fixture pins every BOM family, a bare invalid lead byte,
+    the FFFE0000-vs-FFFE longest-prefix case, and 2/3/4-byte valid
+    UTF-8 sequences (functions/encodings.encoding_triage; the regex is
+    cross-checked against Spark's native is_valid_utf8 in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    th = F.hex(F.encode(F.concat(F.lit("body "), d.cast("string")),
+                        "UTF-8"))
+    hexpr = (
+        F.when(d % 7 == 0, F.concat(F.lit("EFBBBF"), th))
+        .when(d % 7 == 1, th)
+        .when(d % 7 == 2, F.lit("FFFE680065006C006C006F00"))
+        .when(d % 7 == 3, F.concat(F.lit("FF"), th))
+        .when(d % 7 == 4, F.lit("0000FEFF00000041"))
+        .when(d % 7 == 5, F.lit("FFFE000041000000"))
+        .otherwise(F.concat(th, F.lit("C3A9E282ACF09F9880"))))
+    return EN.encoding_triage(
+        docs.select("doc_id", F.unhex(hexpr).alias("body")))
+
+
+# --- sitemap XML parsing (sitemaps.py) --------------------------------------
+
+def _sitemap_fixture_sql() -> str:
+    return """
+  SELECT 'h' || m::VARCHAR AS host,
+         CASE WHEN m % 3 = 0 THEN
+           '<?xml version="1.0"?><sitemapindex>' ||
+           '<sitemap><loc> https://h' || m::VARCHAR ||
+           '/a.xml </loc></sitemap>' ||
+           '<sitemap><loc>https://h' || m::VARCHAR ||
+           '/b.xml</loc><lastmod>2024-02-01</lastmod></sitemap>' ||
+           '</sitemapindex>'
+         ELSE
+           '<?xml version="1.0"?><urlset>' ||
+           '<url><loc>https://h' || m::VARCHAR ||
+           '/p1</loc><lastmod>2024-01-0' || (m % 9 + 1)::VARCHAR ||
+           '</lastmod><changefreq>daily</changefreq>' ||
+           '<priority>0.' || (m % 9)::VARCHAR || '</priority></url>' ||
+           '<url><loc> https://h' || m::VARCHAR || '/p2 </loc></url>' ||
+           '</urlset>'
+         END AS sitemap_xml
+  FROM (SELECT DISTINCT doc_id % 9 AS m FROM documents)
+"""
+
+
+@q("sitemap_entries", f"""
+WITH st AS ({_sitemap_fixture_sql()}),
+{SM.parse_sitemap_sql('st')}
+SELECT host, entry_idx, is_index, loc, lastmod, changefreq, priority
+FROM sitemap_entries
+""")
+def sitemap_entries(spark, sf_dir):
+    """Sitemap XML parsing (sitemaps.org protocol): one
+    regexp_extract_all pass pulls every <url>/<sitemap> block,
+    posexplode flattens, per-block regexes lift loc/lastmod/
+    changefreq/priority — the publisher's crawl-freshness signal a
+    recrawl scheduler joins against the crawl log.  Fixture pins both
+    record shapes (urlset + sitemapindex), whitespace-padded <loc>,
+    and absent optional fields ('').  Pure projection+explode, no
+    shuffle (functions/sitemaps.parse_sitemap)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 9)
+    mm = F.col("m")
+    mms = mm.cast("string")
+    idx2 = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'
+              '<sitemap><loc> https://h'), mms, F.lit("/a.xml </loc>"
+              "</sitemap><sitemap><loc>https://h"), mms,
+        F.lit("/b.xml</loc><lastmod>2024-02-01</lastmod></sitemap>"
+              "</sitemapindex>"))
+    url2 = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://h'), mms,
+        F.lit("/p1</loc><lastmod>2024-01-0"),
+        (mm % 9 + 1).cast("string"),
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+        (mm % 9).cast("string"),
+        F.lit("</priority></url><url><loc> https://h"), mms,
+        F.lit("/p2 </loc></url></urlset>"))
+    smdf = (docs.select(m.alias("m")).distinct().select(
+        F.concat(F.lit("h"), mms).alias("host"),
+        F.when(mm % 3 == 0, idx2).otherwise(url2).alias("sitemap_xml")))
+    return SM.parse_sitemap(smdf)
+
+
+# --- URL pattern mining / crawler-trap detection (urls.py) ------------------
+
+def _trap_urls_sql() -> str:
+    return """
+  SELECT CASE
+           WHEN doc_id % 4 = 0
+             THEN 'https://d-trap.org/cal/2024-' || doc_id::VARCHAR
+           WHEN doc_id % 4 = 1
+             THEN 'https://shop.example.com/product/' ||
+                  (doc_id % 50)::VARCHAR || '/view'
+           WHEN doc_id % 4 = 2
+             THEN 'https://app.example.com/s/' ||
+                  substr(md5(doc_id::VARCHAR), 1, 12)
+           ELSE 'https://plain.example.com/about?sid=x' || doc_id::VARCHAR
+         END AS url
+  FROM documents
+"""
+
+
+@q("url_trap_patterns", f"""
+WITH tu AS ({_trap_urls_sql()}),
+{U.url_pattern_stats_sql('tu')}
+SELECT domain, skeleton, n_urls, n_paths, depth, any_session,
+       is_trap_candidate
+FROM url_patterns
+""")
+def url_trap_patterns(spark, sf_dir):
+    """Crawler-trap detection via URL pattern mining: paths abstract to
+    typed skeletons (hex runs → <h> BEFORE digit runs → <d>, or hex ids
+    degrade), then ONE partial-aggregable groupBy(domain, skeleton)
+    counts population vs distinct paths — a large fully-distinct
+    skeleton is a generated space (calendar, session id), not an
+    authored one.  Fixture pins a date trap (every path unique), a
+    bounded product space (NOT a trap: 50 paths repeat), an <h>
+    session-token trap, and a session-PARAM page (flagged via
+    any_session, not via skeleton)
+    (functions/urls.url_pattern_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    url = (
+        F.when(d % 4 == 0,
+               F.concat(F.lit("https://d-trap.org/cal/2024-"), did))
+        .when(d % 4 == 1,
+              F.concat(F.lit("https://shop.example.com/product/"),
+                       (d % 50).cast("string"), F.lit("/view")))
+        .when(d % 4 == 2,
+              F.concat(F.lit("https://app.example.com/s/"),
+                       F.substring(F.md5(did), 1, 12)))
+        .otherwise(
+            F.concat(F.lit("https://plain.example.com/about?sid=x"), did)))
+    return U.url_pattern_stats(docs.select(url.alias("url")))
+
+
+# --- main-content block selection (maincontent.py) --------------------------
+
+def _mc_html_sql() -> str:
+    return """
+  SELECT doc_id,
+         '<html><body><!-- header --><script>var x=1;</script>' ||
+         '<div><a href="/a">Home page</a> <a href="/b">About us</a> ' ||
+         '<a href="/c">Contact now</a></div>' ||
+         '<div>' || text || '</div>' ||
+         '<div><a href="/p">Privacy</a> tiny footer</div>' ||
+         '</body></html>' AS html
+  FROM documents
+"""
+
+
+@q("main_content_blocks", f"""
+WITH mh AS ({_mc_html_sql()}),
+{MC.main_content_sql('mh')}
+SELECT doc_id, main_text, main_len, n_blocks, total_len, main_ppm
+FROM main_blocks
+""")
+def main_content_blocks(spark, sf_dir):
+    """Boilerpipe-style main-content selection: split the page at
+    block-level tags (after comment/script/style removal), score each
+    block text_len - 40*n_anchors, keep the per-doc argmax via one
+    partial-aggregable max_by(struct(score, -idx)) — block rows never
+    survive the exchange — plus exact-integer main_ppm (main text mass
+    / total).  Fixture wraps each document's text as the article
+    between a link-farm nav and a link-heavy footer; the article must
+    win despite the nav having more elements
+    (functions/maincontent.main_content)."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><!-- header --><script>var x=1;</script>'
+              '<div><a href="/a">Home page</a> <a href="/b">About us</a> '
+              '<a href="/c">Contact now</a></div><div>'),
+        F.col("text"),
+        F.lit('</div><div><a href="/p">Privacy</a> tiny footer</div>'
+              '</body></html>'))
+    return MC.main_content(
+        docs.select("doc_id", F.encode(html, "UTF-8").alias("html")))

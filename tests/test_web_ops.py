@@ -164,3 +164,116 @@ def test_robots_sitemaps_are_group_independent(spark):
                  RB.robots_sitemaps(_robots_df(spark, [("h", txt)]))
                  .collect())
     assert got == ["https://h/s1.xml", "https://h/s2.xml"]
+
+
+def test_pmi_exact_integer_values(spark):
+    from ai_log_analyzer_spark.functions import collocations as CL
+    rows = [(1, "New York new york"), (2, "york new"),
+            (3, "plain words here"), (4, "")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {(r.w1, r.w2): r
+           for r in CL.pmi_collocations(df, min_count=2).collect()}
+    # corpus: new=3, york=3, N=9; (new,york)=2 (case-folded), (york,new)=2
+    assert set(got) == {("new", "york"), ("york", "new")}
+    for k in got:
+        r = got[k]
+        assert (r.n_xy, r.n_x, r.n_y) == (2, 3, 3)
+        assert r.pmi_ppm == 2 * 9 * 1_000_000 // (3 * 3)  # 2_000_000
+
+
+def test_encoding_triage_matches_native_is_valid_utf8(spark):
+    from ai_log_analyzer_spark.functions import encodings as EN
+    blobs = [
+        b"plain ascii", "café € \U0001f600".encode(),
+        b"\xef\xbb\xbfbom", b"\xff\xfeh\x00", b"\xfe\xff\x00h",
+        b"\xc0\x80", b"\xed\xa0\x80", b"\xf4\x90\x80\x80",
+        b"\xf4\x8f\xbf\xbf", b"", b"\xe0\x9f\xbf", b"\xc2",
+        b"\xff\xfe\x00\x00rest", b"\x00\x00\xfe\xffrest",
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "doc_id long, body binary")
+    out = EN.encoding_triage(df)
+    # cross-check the shared hex-regex kernel against Spark's NATIVE
+    # JVM is_valid_utf8 — an independent implementation of RFC 3629
+    native = df.select(
+        "doc_id",
+        F.expr("is_valid_utf8(cast(body as string))").alias("nv"))
+    joined = {r.doc_id: r for r in out.join(native, "doc_id").collect()}
+    for i in range(len(blobs)):
+        assert joined[i].valid_utf8 == joined[i].nv, (i, blobs[i])
+    assert joined[2].bom == "utf8"
+    assert joined[3].bom == "utf16le" and joined[4].bom == "utf16be"
+    assert joined[12].bom == "utf32le"      # FFFE0000 beats FFFE
+    assert joined[13].bom == "utf32be"
+    assert joined[9].valid_utf8 and joined[9].n_bytes == 0
+
+
+def test_sitemap_parse_both_shapes_and_trim(spark):
+    from ai_log_analyzer_spark.functions import sitemaps as SMF
+    xml = ('<?xml version="1.0"?><urlset>'
+           "<url><loc>  https://h/p1\n</loc>"
+           "<priority>0.8</priority></url>"
+           "<url><loc>https://h/p2</loc></url></urlset>"
+           "<sitemapindex><sitemap><loc>https://h/child.xml</loc>"
+           "</sitemap></sitemapindex>")
+    df = spark.createDataFrame(
+        pd.DataFrame([("h", xml)], columns=["host", "sitemap_xml"]))
+    out = sorted(SMF.parse_sitemap(df).collect(),
+                 key=lambda r: r.entry_idx)
+    assert [(r.is_index, r.loc) for r in out] == [
+        (False, "https://h/p1"), (False, "https://h/p2"),
+        (True, "https://h/child.xml")]
+    assert out[0].priority == "0.8" and out[0].lastmod == ""
+    assert out[2].lastmod == ""
+
+
+def test_url_pattern_skeleton_hex_before_digits(spark):
+    rows = [("https://a.org/s/deadbeef1234/x",),
+            ("https://a.org/p/123/v2",),
+            ("https://a.org/p/456/v2",)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url"]))
+    got = {r.skeleton: r for r in
+           U.url_pattern_stats(df, trap_min_urls=2).collect()}
+    # hex run became <h>, NOT '<d>x<d>'-style digit debris
+    assert "/s/<h>/x" in got
+    p = got["/p/<d>/v<d>"]
+    # depth = '/' count = path-segment count ('/p/<d>/v<d>' has 3)
+    assert (p.n_urls, p.n_paths, p.depth) == (2, 2, 3)
+    assert p.is_trap_candidate  # 2 urls, all distinct, min_urls=2
+
+
+def test_url_pattern_session_param_flag(spark):
+    rows = [("https://a.org/x?sid=1",), ("https://a.org/x?q=2",),
+            ("https://b.org/y?JSESSIONID=abc",)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url"]))
+    got = {(r.domain, r.skeleton): r for r in
+           U.url_pattern_stats(df).collect()}
+    assert got[("a.org", "/x")].any_session          # bool_or over the group
+    assert got[("b.org", "/y")].any_session          # case-insensitive
+    assert not got[("a.org", "/x")].is_trap_candidate
+
+
+def test_main_content_link_farm_loses(spark):
+    from ai_log_analyzer_spark.functions import maincontent as MCF
+    # nav has MORE characters than the article but 5 anchors; with
+    # LINK_PENALTY=40 the article must win
+    nav = " ".join(f'<a href="/{i}">menu item number {i}</a>'
+                   for i in range(5))
+    art = "a short but real article body with actual words"
+    html = (f"<body><div>{nav}</div><p>{art}</p>"
+            f"<div><a href='/x'>foot</a></div></body>")
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, html.encode())], columns=["doc_id", "html"]))
+    r = MCF.main_content(df).collect()[0]
+    assert r.main_text == art
+    assert r.n_blocks == 3
+    assert r.main_ppm == len(art) * 1_000_000 // r.total_len
+
+
+def test_main_content_tie_earliest_block_wins(spark):
+    from ai_log_analyzer_spark.functions import maincontent as MCF
+    html = b"<body><p>same size</p><p>xame size</p></body>"
+    r = MCF.main_content(spark.createDataFrame(
+        pd.DataFrame([(1, html)], columns=["doc_id", "html"]))).collect()[0]
+    assert r.main_text == "same size"
