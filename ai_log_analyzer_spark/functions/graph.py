@@ -86,3 +86,81 @@ def pagerank_sql(edges_cte: str, iters: int = 3) -> str:
     FROM edges e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
     GROUP BY e.dst) s ON s.node = n.node)""")
     return ",\n".join(sql) + f"\nSELECT node, rank_ppb FROM r{iters}"
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution.  Crawl postprocessing must map every
+# fetched URL to its FINAL target (3xx chains, link-rot hops) before
+# dedup/canonicalization — or the same page enters the corpus once per
+# chain prefix.  A naive per-hop join is O(longest chain) shuffles;
+# this is POINTER DOUBLING (classic parallel list-ranking): each round
+# composes the current map with itself, so after r rounds every URL
+# points min(chain_len, 2^r) hops ahead — O(log h) joins resolve
+# chains of length h.  The DuckDB oracle walks the same map with a
+# recursive CTE capped at 2^max_doublings hops, so resolved/unresolved
+# verdicts agree exactly (cycles and over-long chains stay unresolved
+# in both engines).
+
+
+def resolve_redirects(edges: DataFrame, max_doublings: int = 4,
+                      src_col: str = "src_url",
+                      dst_col: str = "dst_url") -> DataFrame:
+    """(src_url, final_url, n_hops, resolved) for every redirecting URL.
+
+    The input is made functional and deterministic first (min(dst) per
+    src; self-redirects dropped).  ``resolved`` = the chain reached a
+    terminal (a node that is not itself a redirect source) within
+    2^``max_doublings`` hops; unresolved rows (cycles, longer chains)
+    carry NULL final/hops.  Scale shape: each round is ONE self-join of
+    the (src, dst, hops) map on a single key plus a localCheckpoint
+    (plan-growth guard, same as the CC operators); hop counts compose
+    additively inside the join — no per-hop iteration ever touches the
+    full corpus."""
+    m = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .groupBy("src").agg(F.min("dst").alias("dst")))
+    cur = (m.select("src", "dst", F.lit(1).cast("long").alias("hops"))
+           .localCheckpoint(eager=True))
+    for _ in range(max_doublings):
+        b = cur.select(F.col("src").alias("_mid"),
+                       F.col("dst").alias("_dst2"),
+                       F.col("hops").alias("_hops2"))
+        cur = (cur.join(b, cur["dst"] == b["_mid"], "left")
+               .select("src",
+                       F.coalesce("_dst2", "dst").alias("dst"),
+                       (F.col("hops") + F.coalesce(F.col("_hops2"), F.lit(0)))
+                       .alias("hops"))
+               .localCheckpoint(eager=True))
+    nonterm = m.select(F.col("src").alias("dst"),
+                       F.lit(True).alias("_nonterm"))
+    return (cur.join(nonterm, "dst", "left")
+            .select(F.col("src").alias("src_url"),
+                    F.when(F.col("_nonterm").isNull(), F.col("dst"))
+                    .alias("final_url"),
+                    F.when(F.col("_nonterm").isNull(), F.col("hops"))
+                    .cast("long").alias("n_hops"),
+                    F.col("_nonterm").isNull().alias("resolved")))
+
+
+def resolve_redirects_sql(edges_cte: str, max_doublings: int = 4) -> str:
+    """DuckDB oracle: recursive walk over the same functional map,
+    capped at 2^max_doublings hops; yields ``redirects``."""
+    cap = 2 ** max_doublings
+    return f"""redge AS ({edges_cte}),
+rmap AS (SELECT src_url AS src, min(dst_url) AS dst FROM redge
+         WHERE src_url <> dst_url GROUP BY src_url),
+rwalk AS (
+  SELECT src, dst AS cur, 1::BIGINT AS hops FROM rmap
+  UNION ALL
+  SELECT w.src, m.dst, w.hops + 1 FROM rwalk w
+  JOIN rmap m ON w.cur = m.src WHERE w.hops < {cap}
+),
+rlast AS (SELECT src, arg_max(cur, hops) AS cur, max(hops) AS hops
+          FROM rwalk GROUP BY src),
+redirects AS (
+  SELECT l.src AS src_url,
+         CASE WHEN m.src IS NULL THEN l.cur END AS final_url,
+         CASE WHEN m.src IS NULL THEN l.hops END::BIGINT AS n_hops,
+         (m.src IS NULL) AS resolved
+  FROM rlast l LEFT JOIN rmap m ON l.cur = m.src
+)"""

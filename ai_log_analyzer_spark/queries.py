@@ -2901,3 +2901,61 @@ def main_content_blocks(spark, sf_dir):
               '</body></html>'))
     return MC.main_content(
         docs.select("doc_id", F.encode(html, "UTF-8").alias("html")))
+
+
+# --- redirect-chain resolution (graph.py) -----------------------------------
+
+def _redirect_edges_sql() -> str:
+    return """
+  SELECT CASE
+           WHEN doc_id % 50 = 0
+             THEN 'https://r.example/cyc' || doc_id::VARCHAR || 'a'
+           WHEN doc_id % 50 = 1
+             THEN 'https://r.example/cyc' || (doc_id - 1)::VARCHAR || 'b'
+           ELSE 'https://r.example/u' || doc_id::VARCHAR
+         END AS src_url,
+         CASE
+           WHEN doc_id % 50 = 0
+             THEN 'https://r.example/cyc' || doc_id::VARCHAR || 'b'
+           WHEN doc_id % 50 = 1
+             THEN 'https://r.example/cyc' || (doc_id - 1)::VARCHAR || 'a'
+           ELSE 'https://r.example/u' || (doc_id // 2)::VARCHAR
+         END AS dst_url
+  FROM documents
+"""
+
+
+@q("redirect_resolution", f"""
+WITH RECURSIVE {G.resolve_redirects_sql(_redirect_edges_sql())}
+SELECT src_url, final_url, n_hops, resolved FROM redirects
+""")
+def redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution via pointer doubling: every fetched
+    URL maps to its final 3xx target in O(log h) self-joins of the
+    functional (src -> dst) map — hop counts compose additively inside
+    the join, chains up to 2^4 hops resolve, cycles and longer chains
+    come back (NULL, NULL, resolved=false) in BOTH engines (the DuckDB
+    oracle is a recursive walk capped at the same 16 hops).  Fixture: a
+    binary-halving tree u_d -> u_{{d div 2}} (chains up to ~10 hops at
+    sf0.01, terminating at nodes whose doc_id fell in the cycle branch
+    and therefore never redirects) plus exact 2-cycles on every 50th
+    doc pair, pinning the unresolved path
+    (functions/graph.resolve_redirects)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    src = (F.when(d % 50 == 0,
+                  F.concat(F.lit("https://r.example/cyc"), did, F.lit("a")))
+           .when(d % 50 == 1,
+                 F.concat(F.lit("https://r.example/cyc"),
+                          (d - 1).cast("string"), F.lit("b")))
+           .otherwise(F.concat(F.lit("https://r.example/u"), did)))
+    dst = (F.when(d % 50 == 0,
+                  F.concat(F.lit("https://r.example/cyc"), did, F.lit("b")))
+           .when(d % 50 == 1,
+                 F.concat(F.lit("https://r.example/cyc"),
+                          (d - 1).cast("string"), F.lit("a")))
+           .otherwise(F.concat(F.lit("https://r.example/u"),
+                               F.expr("doc_id div 2").cast("string"))))
+    return G.resolve_redirects(
+        docs.select(src.alias("src_url"), dst.alias("dst_url")))

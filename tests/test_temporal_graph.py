@@ -144,3 +144,26 @@ def test_bpe_encode_counts(spark):
     assert (out[3].n_words, out[3].n_bpe_tokens) == (1, 3)
     assert (out[4].n_words, out[4].n_bpe_tokens) == (0, 0)
     assert (out[5].n_words, out[5].n_bpe_tokens) == (1, 4)
+
+
+def test_redirect_resolution_chain_cycle_and_cap(spark):
+    from ai_log_analyzer_spark.functions import graph as G
+    # chain a0->a1->...->a17 (17 hops from a0: OVER the 16-hop cap),
+    # a 2-cycle, a dup-src (min(dst) wins), and a self-redirect (drops)
+    edges = ([(f"a{i}", f"a{i + 1}") for i in range(17)]
+             + [("c1", "c2"), ("c2", "c1"),
+                ("d", "zz"), ("d", "aa"), ("s", "s")])
+    df = spark.createDataFrame(edges, ["src_url", "dst_url"])
+    out = {r.src_url: r for r in G.resolve_redirects(df).collect()}
+    assert "s" not in out                       # self-redirect dropped
+    assert out["d"].final_url == "aa" and out["d"].n_hops == 1  # min(dst)
+    # a1 is 16 hops from the terminal a17 -> resolves exactly at cap
+    assert out["a1"].resolved and out["a1"].n_hops == 16
+    assert out["a1"].final_url == "a17"
+    # a0 is 17 hops -> unresolved, NULL final/hops
+    assert not out["a0"].resolved
+    assert out["a0"].final_url is None and out["a0"].n_hops is None
+    # cycle members never resolve
+    assert not out["c1"].resolved and not out["c2"].resolved
+    # mid-chain hop counts are exact path lengths
+    assert out["a10"].n_hops == 7 and out["a10"].final_url == "a17"
