@@ -34,6 +34,7 @@ from .functions import robots as RB
 from .functions import sampling as SA
 from .functions import similarity as S
 from .functions import sketches as SK
+from .functions import htmlmeta as HM
 from .functions import maincontent as MC
 from .functions import sitemaps as SM
 from .functions import snapshots as SN
@@ -2959,3 +2960,77 @@ def redirect_resolution(spark, sf_dir):
                                F.expr("doc_id div 2").cast("string"))))
     return G.resolve_redirects(
         docs.select(src.alias("src_url"), dst.alias("dst_url")))
+
+
+# --- HTML metadata extraction (htmlmeta.py) ---------------------------------
+
+def _meta_html_sql() -> str:
+    return """
+  SELECT doc_id,
+         '<html' ||
+         CASE WHEN doc_id % 5 = 0 THEN ' lang="EN-us"'
+              WHEN doc_id % 5 = 1 THEN ' lang="fr"'
+              ELSE '' END ||
+         '><head>' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '<meta charset=utf-8>'
+              WHEN doc_id % 3 = 1
+              THEN '<meta http-equiv="Content-Type" ' ||
+                   'content="text/html; charset=ISO-8859-1">'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0 THEN ''
+              ELSE '<title> Doc &amp; page ' || doc_id::VARCHAR ||
+                   ' </title>' END ||
+         '<meta name="description" content="about doc ' ||
+         doc_id::VARCHAR || '">' ||
+         CASE WHEN doc_id % 7 = 0
+              THEN '<meta property="og:title" content="OG ' ||
+                   doc_id::VARCHAR || '">'
+              ELSE '' END ||
+         '</head><body>' || text || '</body></html>' AS html
+  FROM documents
+"""
+
+
+@q("html_meta_extract", f"""
+WITH mh AS ({_meta_html_sql()}),
+{HM.html_meta_sql('mh')}
+SELECT doc_id, title, description, og_title, lang, lang2, charset,
+       has_title, charset_is_utf8
+FROM meta
+""")
+def html_meta_extract(spark, sf_dir):
+    """HTML metadata extraction: title (entity-decoded, ws-collapsed),
+    meta description, og:title, the <html lang> claim lowered plus its
+    2-letter primary subtag (the join key against detected language),
+    and the declared charset (meta-charset coalesced over http-equiv).
+    Pure codegen regex projection, zero shuffle; patterns shared
+    verbatim with DuckDB.  Fixture pins absent title/lang/charset
+    branches, the unquoted <meta charset=utf-8> form, http-equiv
+    ISO-8859-1, uppercase lang lowering, and &amp; decoding inside
+    <title> (functions/htmlmeta.html_meta)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    lang_part = (F.when(d % 5 == 0, F.lit(' lang="EN-us"'))
+                 .when(d % 5 == 1, F.lit(' lang="fr"'))
+                 .otherwise(F.lit("")))
+    cs_part = (F.when(d % 3 == 0, F.lit("<meta charset=utf-8>"))
+               .when(d % 3 == 1,
+                     F.lit('<meta http-equiv="Content-Type" '
+                           'content="text/html; charset=ISO-8859-1">'))
+               .otherwise(F.lit("")))
+    title_part = (F.when(d % 11 == 0, F.lit(""))
+                  .otherwise(F.concat(F.lit("<title> Doc &amp; page "),
+                                      did, F.lit(" </title>"))))
+    og_part = (F.when(d % 7 == 0,
+                      F.concat(F.lit('<meta property="og:title" '
+                                     'content="OG '), did, F.lit('">')))
+               .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html"), lang_part, F.lit("><head>"), cs_part, title_part,
+        F.lit('<meta name="description" content="about doc '), did,
+        F.lit('">'), og_part, F.lit("</head><body>"), F.col("text"),
+        F.lit("</body></html>"))
+    return HM.html_meta(
+        docs.select("doc_id", F.encode(html, "UTF-8").alias("html")))

@@ -277,3 +277,26 @@ def test_main_content_tie_earliest_block_wins(spark):
     r = MCF.main_content(spark.createDataFrame(
         pd.DataFrame([(1, html)], columns=["doc_id", "html"]))).collect()[0]
     assert r.main_text == "same size"
+
+
+def test_html_meta_shapes(spark):
+    from ai_log_analyzer_spark.functions import htmlmeta as HMF
+    pages = [
+        (0, b'<html lang="PT-br"><head><title>\n A &amp; B \n</title>'
+            b'<meta charset=UTF-8></head><body>x</body></html>'),
+        (1, b'<html><head><meta http-equiv="content-type" '
+            b'content="text/html; charset=windows-1252">'
+            b'<meta name="description" content="d1"></head></html>'),
+        (2, b'<html><body>no head at all</body></html>'),
+        (3, b'<html><head><meta property="og:title" content="OG T">'
+            b'<title>t</title></head></html>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html binary")
+    out = {r.doc_id: r for r in HMF.html_meta(df).collect()}
+    assert out[0].title == "A & B"            # entity + ws collapse
+    assert (out[0].lang, out[0].lang2) == ("pt-br", "pt")
+    assert out[0].charset == "utf-8" and out[0].charset_is_utf8
+    assert out[1].charset == "windows-1252" and not out[1].charset_is_utf8
+    assert out[1].description == "d1" and not out[1].has_title
+    assert (out[2].title, out[2].lang, out[2].charset) == ("", "", "")
+    assert out[3].og_title == "OG T" and out[3].has_title
