@@ -164,3 +164,59 @@ redirects AS (
          (m.src IS NULL) AS resolved
   FROM rlast l LEFT JOIN rmap m ON l.cur = m.src
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-level link reciprocity.  Organic linking is asymmetric
+# (authorities receive far more than they return); link farms and paid
+# networks show up as domains whose outlink partners overwhelmingly
+# link BACK.  The classic counter-signal is the reciprocity rate over
+# the domain-pair graph (e.g. Becchetti et al., "Link Analysis for Web
+# Spam Detection", TWEB 2008 — public literature; reimplemented
+# relationally).  Scale shape: collapse the edge table to distinct
+# directed domain pairs first (the only corpus-sized shuffle), then
+# ONE self-join on the reversed fixed-width key and ONE uniform
+# groupBy(domain) — reciprocity never touches page rows.
+
+
+def link_reciprocity(edges: DataFrame,
+                     src_col: str = "src_domain",
+                     dst_col: str = "dst_domain") -> DataFrame:
+    """(domain, n_out_domains, n_reciprocal, n_links, reciprocity_ppm)
+    per linking domain.  ``n_out_domains`` counts distinct partner
+    domains, ``n_reciprocal`` those that link back, ``n_links`` total
+    directed (multi-)edges; ``reciprocity_ppm`` is the exact integer
+    n_reciprocal·10⁶ div n_out_domains.  Self-links are dropped."""
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .groupBy("a", "b").agg(F.count("*").alias("n_ab")))
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                   F.lit(1).alias("_back"))
+    j = e.join(rev, ["a", "b"], "left")
+    return (j.groupBy(F.col("a").alias("domain"))
+            .agg(F.count("*").alias("n_out_domains"),
+                 F.sum(F.coalesce(F.col("_back"), F.lit(0)))
+                 .cast("long").alias("n_reciprocal"),
+                 F.sum("n_ab").cast("long").alias("n_links"))
+            .withColumn("reciprocity_ppm",
+                        F.expr("(n_reciprocal * 1000000L) div "
+                               "n_out_domains").cast("long")))
+
+
+def link_reciprocity_sql(edges_cte: str) -> str:
+    """DuckDB oracle over ``edges_cte`` (src_domain, dst_domain);
+    yields ``reciprocity``."""
+    return f"""ledge AS ({edges_cte}),
+lpair AS (SELECT src_domain AS a, dst_domain AS b, count(*)::BIGINT AS n_ab
+          FROM ledge WHERE src_domain <> dst_domain GROUP BY 1, 2),
+reciprocity AS (
+  SELECT p.a AS domain,
+         count(*)::BIGINT AS n_out_domains,
+         sum(CASE WHEN r.a IS NULL THEN 0 ELSE 1 END)::BIGINT
+           AS n_reciprocal,
+         sum(p.n_ab)::BIGINT AS n_links,
+         ((sum(CASE WHEN r.a IS NULL THEN 0 ELSE 1 END) * 1000000) //
+          count(*))::BIGINT AS reciprocity_ppm
+  FROM lpair p LEFT JOIN lpair r ON p.a = r.b AND p.b = r.a
+  GROUP BY p.a
+)"""

@@ -104,3 +104,83 @@ meta AS (
          charset IN ('utf-8', 'utf8') AS charset_is_utf8
   FROM mraw
 )"""
+
+
+# ---------------------------------------------------------------------------
+# DOM structural stats — markup-shape quality signals.  Machine-
+# generated and spammy pages betray themselves structurally before any
+# text model runs: tag soup (unbalanced divs), iframe/form farms,
+# script-dominated payloads, near-zero visible-text mass.  These are
+# the cheap structural features web-quality classifiers consume
+# (the prevalence of such features in public spam-detection literature
+# is exactly why they're here).  Pure codegen regex-count projection —
+# zero shuffle, zero Python; every count is one regexp_extract_all
+# over the decoded page, shared verbatim with the DuckDB oracle.
+
+_OPEN_TAG = "<[a-zA-Z]"
+_CLOSE_TAG = "</[a-zA-Z]"
+_DIV_OPEN = "(?i)<div[\\s>]"
+_DIV_CLOSE = "(?i)</div"
+_SCRIPT_TAG = "(?i)<script[\\s>]"
+_IFRAME_TAG = "(?i)<iframe[\\s>]"
+_FORM_TAG = "(?i)<form[\\s>]"
+
+
+def dom_structure(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_open_tags, n_close_tags, div_balance, n_scripts,
+    n_iframes, n_forms, html_len, text_len, markup_ppm) per page.
+    ``div_balance`` = div opens − div closes (0 for well-formed);
+    ``markup_ppm`` = exact-integer share of bytes that are NOT visible
+    text (tags, scripts, styles, comments, inter-tag whitespace)."""
+    from .text import html_text
+    s = F.decode(F.col(html_col), "UTF-8")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(s, F.lit(pat), 0)).cast("long")
+
+    html_len = F.length(s).cast("long")
+    text_len = F.length(html_text(s)).cast("long")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n(_OPEN_TAG).alias("n_open_tags"),
+        n(_CLOSE_TAG).alias("n_close_tags"),
+        (n(_DIV_OPEN) - n(_DIV_CLOSE)).alias("div_balance"),
+        n(_SCRIPT_TAG).alias("n_scripts"),
+        n(_IFRAME_TAG).alias("n_iframes"),
+        n(_FORM_TAG).alias("n_forms"),
+        html_len.alias("html_len"),
+        text_len.alias("text_len"))
+    return base.withColumn(
+        "markup_ppm",
+        F.expr("CAST(((html_len - text_len) * 1000000L) div "
+               "greatest(html_len, 1L) AS LONG)"))
+
+
+def dom_structure_sql(html_table: str) -> str:
+    """DuckDB projection over ``html_table`` (doc_id, html TEXT);
+    yields CTE ``dom_stats``."""
+    from .text import html_text_sql
+
+    def n(pat):
+        return f"len(regexp_extract_all(html, '{pat}'))::BIGINT"
+
+    text_len = f"length({html_text_sql('html')})::BIGINT"
+    return f"""
+draw AS (
+  SELECT doc_id,
+         {n(_OPEN_TAG)} AS n_open_tags,
+         {n(_CLOSE_TAG)} AS n_close_tags,
+         ({n(_DIV_OPEN)} - {n(_DIV_CLOSE)})::BIGINT AS div_balance,
+         {n(_SCRIPT_TAG)} AS n_scripts,
+         {n(_IFRAME_TAG)} AS n_iframes,
+         {n(_FORM_TAG)} AS n_forms,
+         length(html)::BIGINT AS html_len,
+         {text_len} AS text_len
+  FROM {html_table}
+),
+dom_stats AS (
+  SELECT *, (((html_len - text_len) * 1000000) //
+             greatest(html_len, 1))::BIGINT AS markup_ppm
+  FROM draw
+)"""

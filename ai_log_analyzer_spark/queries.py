@@ -3034,3 +3034,85 @@ def html_meta_extract(spark, sf_dir):
         F.lit("</body></html>"))
     return HM.html_meta(
         docs.select("doc_id", F.encode(html, "UTF-8").alias("html")))
+
+
+# --- domain link reciprocity (graph.py) --------------------------------------
+
+def _recip_edges_sql() -> str:
+    return """
+  SELECT 'd' || (doc_id % 20)::VARCHAR || '.org' AS src_domain,
+         'd' || ((doc_id * 7 + 3) % 20)::VARCHAR || '.org' AS dst_domain
+  FROM documents
+"""
+
+
+@q("link_reciprocity_stats", f"""
+WITH {G.link_reciprocity_sql(_recip_edges_sql())}
+SELECT domain, n_out_domains, n_reciprocal, n_links, reciprocity_ppm
+FROM reciprocity
+""")
+def link_reciprocity_stats(spark, sf_dir):
+    """Domain-level link reciprocity, the classic link-farm signal
+    (organic linking is asymmetric; paid networks link back).  Edge
+    table collapses to distinct directed domain pairs first — the only
+    corpus-sized shuffle — then ONE self-join on the reversed
+    fixed-width key and ONE uniform groupBy(domain); exact-integer
+    reciprocity_ppm.  Fixture: a deterministic affine map over 20
+    domains (src = id mod 20, dst = (7·id+3) mod 20) whose reciprocal
+    pairs are fixed by the arithmetic
+    (functions/graph.link_reciprocity)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    src = F.concat(F.lit("d"), (d % 20).cast("string"), F.lit(".org"))
+    dst = F.concat(F.lit("d"), ((d * 7 + 3) % 20).cast("string"),
+                   F.lit(".org"))
+    return G.link_reciprocity(
+        docs.select(src.alias("src_domain"), dst.alias("dst_domain")))
+
+
+# --- DOM structural stats (htmlmeta.py) --------------------------------------
+
+def _dom_html_sql() -> str:
+    return """
+  SELECT doc_id,
+         '<html><body><div><p>' || text || '</p>' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '<script>var a=1;</script>' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN '<iframe src="/ad"></iframe><form action="/s"></form>'
+              ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0 THEN '<div><div>' ELSE '' END ||
+         '</div></body></html>' AS html
+  FROM documents
+"""
+
+
+@q("dom_structure_stats", f"""
+WITH dh AS ({_dom_html_sql()}),
+{HM.dom_structure_sql('dh')}
+SELECT doc_id, n_open_tags, n_close_tags, div_balance, n_scripts,
+       n_iframes, n_forms, html_len, text_len, markup_ppm
+FROM dom_stats
+""")
+def dom_structure_stats(spark, sf_dir):
+    """DOM structural quality stats: open/close tag counts, div
+    balance (tag soup), script/iframe/form counts (ad- and form-farm
+    signals), and exact-integer markup_ppm — the byte share that is
+    markup rather than visible text (shares the html_text kernel).
+    Pure codegen regex-count projection, zero shuffle.  Fixture
+    injects unbalanced divs on every 13th doc, scripts on thirds,
+    iframe+form farms on sevenths
+    (functions/htmlmeta.dom_structure)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><div><p>"), F.col("text"), F.lit("</p>"),
+        F.when(d % 3 == 0, F.lit("<script>var a=1;</script>"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0,
+               F.lit('<iframe src="/ad"></iframe><form action="/s"></form>'))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("<div><div>")).otherwise(F.lit("")),
+        F.lit("</div></body></html>"))
+    return HM.dom_structure(
+        docs.select("doc_id", F.encode(html, "UTF-8").alias("html")))

@@ -167,3 +167,18 @@ def test_redirect_resolution_chain_cycle_and_cap(spark):
     assert not out["c1"].resolved and not out["c2"].resolved
     # mid-chain hop counts are exact path lengths
     assert out["a10"].n_hops == 7 and out["a10"].final_url == "a17"
+
+
+def test_link_reciprocity_hand_graph(spark):
+    from ai_log_analyzer_spark.functions import graph as G
+    # a<->b reciprocal; a->c one-way (c has NO outlinks); b->b self (drops)
+    edges = [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"), ("b", "b")]
+    df = spark.createDataFrame(edges, ["src_domain", "dst_domain"])
+    out = {r.domain: r for r in G.link_reciprocity(df).collect()}
+    assert set(out) == {"a", "b"}               # c never links out
+    a = out["a"]
+    assert (a.n_out_domains, a.n_reciprocal, a.n_links) == (2, 1, 3)
+    assert a.reciprocity_ppm == 1 * 1_000_000 // 2
+    b = out["b"]
+    assert (b.n_out_domains, b.n_reciprocal, b.n_links) == (1, 1, 1)
+    assert b.reciprocity_ppm == 1_000_000

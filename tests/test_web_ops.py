@@ -300,3 +300,17 @@ def test_html_meta_shapes(spark):
     assert out[1].description == "d1" and not out[1].has_title
     assert (out[2].title, out[2].lang, out[2].charset) == ("", "", "")
     assert out[3].og_title == "OG T" and out[3].has_title
+
+
+def test_dom_structure_counts_and_markup(spark):
+    from ai_log_analyzer_spark.functions import htmlmeta as HMF
+    html = (b'<html><body><div><DIV><p>hi</p>'
+            b'<script>x</script><iframe></iframe><form></form>'
+            b'</div></body></html>')           # 2 div opens, 1 close
+    df = spark.createDataFrame([(1, html)], "doc_id long, html binary")
+    r = HMF.dom_structure(df).collect()[0]
+    assert r.div_balance == 1                  # case-insensitive opens
+    assert (r.n_scripts, r.n_iframes, r.n_forms) == (1, 1, 1)
+    assert r.text_len == 2                     # just "hi"
+    assert r.markup_ppm == (r.html_len - 2) * 1_000_000 // r.html_len
+    assert r.n_open_tags > r.n_close_tags      # the unbalanced div
