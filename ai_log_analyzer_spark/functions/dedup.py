@@ -834,3 +834,99 @@ FROM shared
 JOIN sizes na ON na.src = source_a
 JOIN sizes nb ON nb.src = source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter contamination gate — the scale path past the exact
+# broadcast in ``contamination_overlap``.  That operator broadcasts
+# every distinct eval shingle hash (8 bytes each); at very large eval
+# suites the executor-memory ceiling arrives at ~10⁹ shingles.  A
+# Bloom filter ships k bit positions per shingle instead of the hash
+# itself — at k=3 and a bit-space sized near the shingle count, the
+# broadcast shrinks toward the information floor and false positives
+# stay at the classic (1-e^{-kn/m})^k rate, which for a CONTAMINATION
+# GATE errs on the safe side (flagged ⊇ truly contaminated; nothing
+# contaminated ever passes).  The lane kernel is the repo's md5-based
+# hash32 over "hash:lane", so Spark and DuckDB compute bit-identical
+# filters — false positives included, which is what makes the op
+# value-hashable.
+
+BLOOM_M = 1 << 18            # bit-space; frozen contract
+BLOOM_K = 3                  # lanes; frozen contract
+
+
+def _bloom_lanes(h):
+    """k bit positions for a 32-bit shingle hash, as an array column."""
+    return F.array(*[
+        F.pmod(hash32(F.concat(h.cast("string"), F.lit(f":{i}"))),
+               F.lit(BLOOM_M))
+        for i in range(BLOOM_K)])
+
+
+def contamination_bloom(train: DataFrame, eval_df: DataFrame,
+                        n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, n_flagged, flagged_ppm) per train doc:
+    how many of its distinct word n-grams hit the eval corpus's Bloom
+    filter (superset of true contamination — a gate, not a measure;
+    ``contamination_overlap`` is the exact variant).
+
+    Scale: the eval side reduces to ≤ k·|eval shingles| distinct bit
+    positions (longs, ≤ BLOOM_M of them regardless of eval size) that
+    broadcast; the train side explodes k lanes per distinct shingle,
+    semi-joins map-side, and folds hits back with ONE
+    groupBy(doc_id, shingle_hash) + ONE groupBy(doc_id) — both
+    fixed-width uniform keys."""
+    e_sh = shingles(eval_df, n=n).select("shingle_hash").distinct()
+    bits = (e_sh.select(F.explode(_bloom_lanes(F.col("shingle_hash")))
+                        .alias("bit")).distinct())
+    t_sh = shingles(train, n=n)
+    lanes = t_sh.select(
+        "doc_id", "shingle_hash",
+        F.explode(_bloom_lanes(F.col("shingle_hash"))).alias("bit"))
+    hits = (lanes.join(F.broadcast(bits), "bit")
+            .groupBy("doc_id", "shingle_hash")
+            .agg(F.count("*").alias("n_hit"))
+            .filter(F.col("n_hit") == BLOOM_K)
+            .groupBy("doc_id").agg(F.count("*").alias("n_flagged")))
+    sizes = t_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_flagged", F.lit(0)).cast("long")
+                    .alias("n_flagged"))
+            .withColumn("flagged_ppm",
+                        F.expr("(n_flagged * 1000000L) div n_shingles")
+                        .cast("long")))
+
+
+def contamination_bloom_sql(train_sh: str, eval_sh: str) -> str:
+    """DuckDB oracle over two shingle CTEs (doc_id, shingle_hash) /
+    (shingle_hash); yields ``bloomed``.  Identical lane kernel —
+    false positives reproduce bit-exactly."""
+    from .hashing import hash32_sql
+
+    def lane(i, expr="shingle_hash"):
+        keyed = f"({expr}::VARCHAR || ':{i}')"
+        return f"({hash32_sql(keyed)} % {BLOOM_M})"
+    lanes_e = " UNION ALL ".join(
+        f"SELECT {lane(i)} AS bit FROM {eval_sh}" for i in range(BLOOM_K))
+    lanes_t = " UNION ALL ".join(
+        f"SELECT doc_id, shingle_hash, {lane(i)} AS bit FROM {train_sh}"
+        for i in range(BLOOM_K))
+    return f"""
+bbits AS (SELECT DISTINCT bit FROM ({lanes_e})),
+blanes AS ({lanes_t}),
+bsh_hits AS (
+  SELECT doc_id, shingle_hash FROM blanes JOIN bbits USING (bit)
+  GROUP BY doc_id, shingle_hash HAVING count(*) = {BLOOM_K}
+),
+bflag AS (SELECT doc_id, count(*)::BIGINT AS n_flagged FROM bsh_hits
+          GROUP BY doc_id),
+bsizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM {train_sh}
+           GROUP BY doc_id),
+bloomed AS (
+  SELECT s.doc_id, s.n_shingles,
+         coalesce(f.n_flagged, 0)::BIGINT AS n_flagged,
+         ((coalesce(f.n_flagged, 0) * 1000000) // s.n_shingles)::BIGINT
+           AS flagged_ppm
+  FROM bsizes s LEFT JOIN bflag f ON s.doc_id = f.doc_id
+)"""

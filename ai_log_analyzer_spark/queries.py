@@ -3116,3 +3116,35 @@ def dom_structure_stats(spark, sf_dir):
         F.lit("</div></body></html>"))
     return HM.dom_structure(
         docs.select("doc_id", F.encode(html, "UTF-8").alias("html")))
+
+
+# --- Bloom-filter contamination gate (dedup.py) ------------------------------
+
+@q("contamination_bloom_gate", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {hash32_sql("shingle")} AS shingle_hash
+  FROM (
+    SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+  )
+),
+ev AS (SELECT DISTINCT shingle_hash FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, shingle_hash FROM sh WHERE doc_id % 97 <> 0),
+{D.contamination_bloom_sql('tr', 'ev')}
+SELECT doc_id, n_shingles, n_flagged, flagged_ppm FROM bloomed
+""")
+def contamination_bloom_gate(spark, sf_dir):
+    """Bloom-filter contamination GATE — the scale path past
+    contamination_ngrams' exact broadcast: the eval set ships as k=3
+    md5-lane bit positions in a 2^18 bit-space instead of raw hashes,
+    so the broadcast is bounded by BLOOM_M regardless of eval size;
+    flagged is a superset of true contamination and the false
+    positives reproduce bit-exactly in DuckDB (shared hash32 lane
+    kernel), which is what makes a probabilistic operator
+    value-hashable (functions/dedup.contamination_bloom)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination_bloom(tr, ev, n=3)

@@ -802,3 +802,26 @@ def test_semdedup_assignment_is_projection(spark):
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_bloom_gate_is_superset_of_exact_contamination(spark):
+    from ai_log_analyzer_spark.functions import dedup as D2
+    import pandas as pd
+    ev = spark.createDataFrame(pd.DataFrame(
+        [(100, "the quick brown fox jumps over it")],
+        columns=["doc_id", "text"]))
+    tr = spark.createDataFrame(pd.DataFrame(
+        [(1, "the quick brown fox runs home now"),   # 2 shared 3-grams
+         (2, "completely different words entirely here today friend"),
+         (3, "xx yy")],                              # < n tokens: no shingles
+        columns=["doc_id", "text"]))
+    bloom = {r.doc_id: r for r in
+             D2.contamination_bloom(tr, ev, n=3).collect()}
+    exact = {r.doc_id: r for r in
+             D2.contamination_overlap(tr, ev, n=3).collect()}
+    assert set(bloom) == {1, 2}          # doc 3 has no shingles
+    for d in bloom:
+        # gate property: bloom-flagged >= exact contaminated, same sizes
+        assert bloom[d].n_shingles == exact[d].n_shingles
+        assert bloom[d].n_flagged >= exact[d].n_contaminated
+    assert bloom[1].n_flagged >= 2       # the true leaks are caught
