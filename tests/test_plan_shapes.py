@@ -106,3 +106,45 @@ def test_vocab_coverage_window_is_histogram_sized(spark):
     assert "Exchange SinglePartition" not in plan, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_web_projection_ops_zero_shuffle_zero_python(spark):
+    """html_meta, dom_structure, sitemap parsing, encoding triage, and
+    main-content block scoring are Catalyst-only; the pure projections
+    among them also never exchange."""
+    from ai_log_analyzer_spark.functions import encodings as EN
+    from ai_log_analyzer_spark.functions import htmlmeta as HM
+    from ai_log_analyzer_spark.functions import maincontent as MC
+    from ai_log_analyzer_spark.functions import sitemaps as SM
+    docs = spark.createDataFrame(
+        [(1, b"<html><title>t</title><div>x</div></html>")],
+        "doc_id long, html binary")
+    sm = spark.createDataFrame(
+        [("h", "<urlset><url><loc>u</loc></url></urlset>")],
+        "host string, sitemap_xml string")
+    pure = [HM.html_meta(docs), HM.dom_structure(docs),
+            SM.parse_sitemap(sm),
+            EN.encoding_triage(docs.withColumnRenamed("html", "body"))]
+    for df in pure:
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+    # main_content aggregates (one exchange, partial-aggregated) but
+    # must stay Python-free and its agg must have a map-side partial
+    plan = _plan(MC.main_content(docs))
+    for df_plan in [plan] + [_plan(d) for d in pure]:
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            assert node not in df_plan, df_plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_pmi_unigram_joins_are_broadcast(spark):
+    """pmi_collocations joins the bigram table to the unigram counts
+    twice — both must be broadcast (vocab-sized side), never a shuffle
+    of the pair table on a word key."""
+    from ai_log_analyzer_spark.functions import collocations as CL
+    docs = spark.createDataFrame([(f"w{i} w{(i + 1) % 9} common",)
+                                  for i in range(40)], ["text"])
+    plan = _plan(CL.pmi_collocations(docs, min_count=2))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
