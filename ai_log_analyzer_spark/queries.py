@@ -34,6 +34,7 @@ from .functions import robots as RB
 from .functions import sampling as SA
 from .functions import similarity as S
 from .functions import sketches as SK
+from .functions import crawlfunnel as CF
 from .functions import htmlmeta as HM
 from .functions import maincontent as MC
 from .functions import sitemaps as SM
@@ -3148,3 +3149,89 @@ def contamination_bloom_gate(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
     return D.contamination_bloom(tr, ev, n=3)
+
+
+# --- crawl-admission funnel (crawlfunnel.py) ---------------------------------
+
+def _funnel_pages_sql() -> str:
+    return """
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 5)::VARCHAR || '.org' ||
+         CASE WHEN doc_id % 4 = 0
+                THEN '/cal/2024-' || doc_id::VARCHAR
+              WHEN doc_id % 4 = 1
+                THEN '/p/' || (doc_id % 10)::VARCHAR || '/view'
+              ELSE '/about' END AS url,
+         '<head>' ||
+         CASE WHEN doc_id % 9 = 0
+              THEN '<meta name="robots" content="noindex">' ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0
+              THEN '<link rel="canonical" href="https://www.site' ||
+                   (doc_id % 5)::VARCHAR || '.org/canon">'
+              ELSE '' END ||
+         '</head><body>' || text || '</body>' AS html
+  FROM documents
+"""
+
+
+def _funnel_robots_sql() -> str:
+    return """
+  SELECT 'www.site' || m::VARCHAR || '.org' AS host,
+         CASE WHEN m % 2 = 0
+              THEN 'User-agent: *' || chr(10) || 'Disallow: /cal' || chr(10)
+              ELSE 'User-agent: *' || chr(10) || 'Disallow: /p' || chr(10)
+                   || 'Allow: /p/1' || chr(10) END AS robots_txt
+  FROM (SELECT DISTINCT doc_id % 5 AS m FROM documents)
+"""
+
+
+@q("crawl_admission_funnel", f"""
+WITH fpages AS ({_funnel_pages_sql()}),
+frobots AS ({_funnel_robots_sql()}),
+{CF.crawl_admission_sql('fpages', 'frobots')}
+SELECT domain, n_urls, n_allowed, n_indexable, n_admitted,
+       n_canonical_targets
+FROM admission
+""")
+def crawl_admission_funnel(spark, sf_dir):
+    """Crawl-admission funnel — the crawl-side twin of
+    curation_funnel: robots verdict (broadcast rules + longest-match
+    max_by), meta-robots indexability, crawler-trap skeleton filter,
+    and canonical collapse, folded into ONE groupBy(domain) of
+    conditional aggregates.  Fixture: 5 hosts where even hosts
+    disallow /cal (killing their calendar trap space twice over) and
+    odd hosts disallow /p except the longest-match Allow: /p/1 carveout,
+    noindex on every 9th page, canonical collapse onto one target per
+    domain for every 6th (functions/crawlfunnel.crawl_admission)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    host = F.concat(F.lit("https://www.site"), (d % 5).cast("string"),
+                    F.lit(".org"))
+    path = (F.when(d % 4 == 0, F.concat(F.lit("/cal/2024-"), did))
+            .when(d % 4 == 1, F.concat(F.lit("/p/"), (d % 10).cast("string"),
+                                       F.lit("/view")))
+            .otherwise(F.lit("/about")))
+    html = F.concat(
+        F.lit("<head>"),
+        F.when(d % 9 == 0,
+               F.lit('<meta name="robots" content="noindex">'))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0,
+               F.concat(F.lit('<link rel="canonical" href="https://www.site'),
+                        (d % 5).cast("string"),
+                        F.lit('.org/canon">')))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>"), F.col("text"), F.lit("</body>"))
+    pages = docs.select(
+        "doc_id", F.concat(host, path).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    m = F.col("m")
+    robots = (docs.select((d % 5).alias("m")).distinct().select(
+        F.concat(F.lit("www.site"), m.cast("string"),
+                 F.lit(".org")).alias("host"),
+        F.when(m % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /cal\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /p\nAllow: /p/1\n"))
+        .alias("robots_txt")))
+    return CF.crawl_admission(pages, robots)
