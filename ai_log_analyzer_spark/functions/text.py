@@ -332,13 +332,17 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     (the flagship-fixture lesson).  The ln argument itself is a ratio
     of exact integers, identical IEEE division in Spark and DuckDB.
 
-    Scale: one explode (linear), bigram counts = one groupBy with
-    map-side partials; the count table joins back on the bigram string
-    itself — too large to broadcast at web scale, so a shuffle join on
-    a near-uniform key (stop-bigrams like "of the" are the skew tail;
-    AQE's skew join splits them).  Context counts and V are
-    vocabulary-sized / scalar → broadcast.  Final groupBy(doc_id) is
-    uniform."""
+    Scale: one explode (linear); the per-bigram corpus count is a
+    ``count(*) over (partition by bg)`` window, NOT a groupBy + join
+    back — the count table is bigram-string-keyed (too large to
+    broadcast at web scale) and a self-join would shuffle the exploded
+    stream on ``bg`` TWICE (once into the agg, once as the probe) and
+    recompute the explode for each branch; the window pays one shuffle
+    + one sort of the stream and reads it once (measured 14.9 → ~9 s at
+    sf0.1/local[32], and ccnet_buckets inherits the win).  Stop-bigrams
+    like "of the" are the skew tail of that one shuffle; AQE handles
+    them.  Context counts and V are vocabulary-sized / scalar →
+    broadcast.  Final groupBy(doc_id) is uniform."""
     toks = F.split(F.trim(F.col(text_col)), WS)
     idxs = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)) \
         .otherwise(F.array().cast("array<int>"))
@@ -350,7 +354,6 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                       F.explode(bgs).alias("b"))
               .select("doc_id", F.col("b.w1").alias("w1"),
                       F.col("b.bg").alias("bg")))
-    c2 = stream.groupBy("bg").agg(F.count("*").alias("c2"))
     c1 = stream.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = (df.filter(F.trim(F.col(text_col)) != "")
              .select(F.explode(F.split(F.trim(F.col(text_col)), WS))
@@ -358,7 +361,8 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
              .agg(F.countDistinct("w").alias("v")))
     micro = F.round(F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))) *
                     1e6, 0).cast("long")
-    return (stream.join(c2, "bg")
+    wbg = Window.partitionBy("bg")
+    return (stream.withColumn("c2", F.count("*").over(wbg))
             .join(F.broadcast(c1), "w1")
             .crossJoin(F.broadcast(vocab))
             .select("doc_id", micro.alias("m"))
