@@ -435,6 +435,37 @@ def contamination_overlap(train: DataFrame, eval_df: DataFrame,
                 F.col("n_contaminated") / F.col("n_shingles"), 6)))
 
 
+def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty_ratio) per doc with ≥1
+    word n-gram: the fraction of the doc's distinct shingles whose
+    FIRST corpus occurrence (minimum doc_id owning the shingle) is this
+    doc — the novelty/contribution signal used by diversity-pruning
+    curations (the D4 / "does this doc add anything the corpus lacks"
+    line): ``novelty_ratio`` ≈ 1 is fresh content, ≈ 0 is a recombination
+    of already-seen n-grams, strictly 0 for an exact duplicate of an
+    earlier (lower-id) doc.
+
+    Scale: ONE shuffle of the distinct (doc, shingle_hash) table on
+    shingle_hash — the first-owner is a ``min(doc_id) over (partition
+    by shingle_hash)`` window, NOT a groupBy + join back, which would
+    shuffle the shingle table twice and recompute the explode (the
+    measured bigram-LM lesson, text.py) — then one uniform
+    groupBy(doc_id).  Hot stop-shingles are the skew tail of that one
+    shuffle; AQE splits them, and the window's min is cheap even on a
+    pathological key (no pair blow-up, unlike the Jaccard path's
+    DF_CAP concern)."""
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    first = F.min("doc_id").over(Window.partitionBy("shingle_hash"))
+    return (sh.withColumn("_first", first)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum((F.col("doc_id") == F.col("_first")).cast("long"))
+                 .alias("n_novel"))
+            .withColumn("novelty_ratio", F.round(
+                F.col("n_novel") / F.col("n_shingles"), 6)))
+
+
 def connected_components_star(pairs: DataFrame,
                               max_iter: int = 20) -> DataFrame:
     """(doc_id, cluster_id): connected components via alternating

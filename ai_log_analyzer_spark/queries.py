@@ -1282,6 +1282,37 @@ def contamination_ngrams(spark, sf_dir):
     return D.contamination_overlap(tr, ev, n=3)
 
 
+@q("ngram_novelty", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {hash32_sql("shingle")} AS shingle_hash
+  FROM (
+    SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+  )
+),
+owned AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY shingle_hash) AS first_doc
+  FROM sh
+)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+             / count(*), 6) AS novelty_ratio
+FROM owned GROUP BY doc_id
+""")
+def ngram_novelty_q(spark, sf_dir):
+    """Per-doc n-gram novelty (D4-style diversity-pruning signal): the
+    fraction of a doc's distinct word 3-grams whose first corpus
+    occurrence — minimum owning doc_id — is this doc.  One shuffle on
+    shingle_hash (window min, no join-back) + one uniform doc_id
+    groupBy (functions/dedup.ngram_novelty)."""
+    return D.ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: multimodal columns (driver-checkable — the fake
 # decoder is a pure byte function, so DuckDB mirrors it bit-exactly)

@@ -825,3 +825,37 @@ def test_bloom_gate_is_superset_of_exact_contamination(spark):
         assert bloom[d].n_shingles == exact[d].n_shingles
         assert bloom[d].n_flagged >= exact[d].n_contaminated
     assert bloom[1].n_flagged >= 2       # the true leaks are caught
+
+
+def test_ngram_novelty_hand_corpus(spark):
+    from ai_log_analyzer_spark.functions import dedup as D2
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(1, "a b c d"),            # shingles {a b c, b c d} — all first
+         (2, "a b c d"),            # exact dup of 1 → novelty 0
+         (3, "x y z w"),            # disjoint → novelty 1
+         (4, "b c d x y z"),        # {b c d}(1) {c d x}* {d x y}* {x y z}(3)
+         (5, "ab")],                # < 3 tokens: no shingles, no row
+        columns=["doc_id", "text"]))
+    out = {r.doc_id: r for r in D2.ngram_novelty(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].n_shingles, out[1].n_novel) == (2, 2)
+    assert (out[2].n_shingles, out[2].n_novel) == (2, 0)
+    assert out[2].novelty_ratio == 0.0
+    assert (out[3].n_shingles, out[3].n_novel) == (2, 2)
+    assert out[3].novelty_ratio == 1.0
+    assert (out[4].n_shingles, out[4].n_novel) == (4, 2)
+    assert out[4].novelty_ratio == 0.5
+
+
+def test_ngram_novelty_one_shuffle_no_join(spark):
+    """Plan shape: window-min over shingle_hash, never a join back —
+    exactly one Exchange on shingle_hash feeds the window, and the
+    final agg exchanges on doc_id; no SortMergeJoin/ShuffledHashJoin."""
+    from ai_log_analyzer_spark.functions import dedup as D2
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(1, "a b c d e")], columns=["doc_id", "text"]))
+    plan = D2.ngram_novelty(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
