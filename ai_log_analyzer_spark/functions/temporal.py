@@ -127,7 +127,10 @@ def hypertable_rollup(df: DataFrame, ts: str, group_col: str,
         SELECT grp, day, hour,
                CASE WHEN grouping(hour) = 1 THEN 'day' ELSE 'hour' END AS grain,
                count(*) AS n_events,
-               round(sum(_vm) / 1000.0, 3) AS sum_value
+               -- 1000.0 is a DECIMAL literal in Spark SQL, so the division
+               -- is exact decimal; cast the rounded result to DOUBLE so the
+               -- output type matches DuckDB's (double) for value-hash parity
+               CAST(round(sum(_vm) / 1000.0, 3) AS DOUBLE) AS sum_value
         FROM _rollup_in
         GROUP BY GROUPING SETS ((grp, day, hour), (grp, day))
     """)

@@ -51,7 +51,22 @@ _ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Driver-table loader.  The driver's documents/embeddings parquet
+    is one file with ONE row group → one input split, which serializes
+    every heavy per-row stage downstream (shingling, minhash lanes,
+    n-gram explodes, vector math) on a single core of 32 — measured as
+    the whole wall of repetition_ratio/boilerplate_ngrams at sf0.1.
+    Spread those two tables to the core count at the adapter, exactly
+    like ``pages_from_documents`` already does for the flagship path:
+    every consumer is partitioning-invariant (aggregations, windows
+    keyed by content, two-phase top-K with the superset proof), pinned
+    by the sf0.01 oracle hashes.  At real scale the source has natural
+    splits and this round-robin exchange of raw text disappears — a
+    test-data-only cost, not part of the logical plan."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1990,7 +2005,11 @@ def range_join_counts(spark, sf_dir):
 
 @q("hypertable_rollup", """
 WITH b AS (
-  SELECT event_type AS grp, date_trunc('day', ts) AS day,
+  SELECT event_type AS grp,
+         -- Spark's date_trunc always yields TIMESTAMP; DuckDB's yields
+         -- DATE at day precision — cast so the value types (and any
+         -- type-sensitive driver hash) agree exactly
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          date_trunc('hour', ts) AS hour,
          CAST(round(value * 1000) AS BIGINT) AS _vm
   FROM events)
