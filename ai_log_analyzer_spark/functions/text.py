@@ -537,9 +537,17 @@ def bm25_rank(df: DataFrame, query_terms: list[str], top_k: int = 20,
               .select("doc_id",
                       F.round(F.col("_sm") / F.lit(1e6), 6).alias("score")))
     from pyspark.sql import Window
+    # distributed top-k: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (per-partition partial take-k, tiny driver
+    # merge) — a global row_number window here would funnel the ENTIRE
+    # n_docs-row score table through one partition.  The rank window
+    # then runs over ≤ top_k rows (constant-bounded, not data-bounded);
+    # (score desc, doc_id) is a total order, so limit-then-rank equals
+    # rank-then-filter row-for-row.
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")) \
+        .limit(top_k)
     w_rank = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (scored.withColumn("rank", F.row_number().over(w_rank))
-            .filter(F.col("rank") <= top_k))
+    return topk.withColumn("rank", F.row_number().over(w_rank))
 
 
 def bm25_rank_sql(query_terms: list[str], top_k: int = 20,
@@ -719,9 +727,13 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
                  .alias("pair"))
              .groupBy("pair").agg(F.sum("wc").cast("long")
                                   .alias("pair_count")))
+    # distributed top-k (TakeOrderedAndProject) then rank the ≤ top_k
+    # survivors — same bounded-window pattern as bm25_rank; the pair
+    # table is vocabulary-substring-sized but still grows with corpus
+    # vocabulary, so it must not cross a single-partition window
+    topk = pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(top_k)
     w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
-    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= top_k)
+    return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("pair", "pair_count", "rank"))
 
 

@@ -148,3 +148,25 @@ def test_pmi_unigram_joins_are_broadcast(spark):
     plan = _plan(CL.pmi_collocations(docs, min_count=2))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_ranks_are_take_ordered_not_global_window(spark):
+    """bm25_rank and bpe_pair_counts compute global top-k via
+    TakeOrderedAndProject (per-partition partial take-k) — the
+    data-sized score/pair table must never cross an unpartitioned
+    row_number window (one Exchange SinglePartition over n_docs rows).
+    The rank window runs AFTER the limit, over ≤ top_k rows, so the
+    only allowed SinglePartition exchange feeds a LocalLimit/Window
+    over the already-reduced set."""
+    from ai_log_analyzer_spark.functions import text as TX
+    docs = spark.createDataFrame(
+        [(1, "spark rules the web"), (2, "spark spark"), (3, "web")],
+        ["doc_id", "text"])
+    for df in (TX.bm25_rank(docs, ["spark", "web"], top_k=2),
+               TX.bpe_pair_counts(docs, "text", top_k=3)):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        # the window must consume the take-ordered output, never a raw
+        # exchange of the full table: TakeOrderedAndProject appears
+        # BELOW (after, in toString order) the Window node
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
