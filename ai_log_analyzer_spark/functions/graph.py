@@ -220,3 +220,107 @@ reciprocity AS (
   FROM lpair p LEFT JOIN lpair r ON p.a = r.b AND p.b = r.a
   GROUP BY p.a
 )"""
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) — the second classic link-
+# centrality signal next to PageRank: a page is a good AUTHORITY if
+# good hubs link to it, a good HUB if it links to good authorities.
+# Curation pipelines use authority scores to pick seed/quality domains
+# and hub scores to find link farms (high hub, low authority).  Same
+# exact-integer design as ``pagerank``: scores live in parts-per-
+# million of the round's MAX (max-normalization instead of the
+# textbook L2 norm — scale-equivalent for ranking, and exactly
+# representable in integers, where an L2 norm never is), so every
+# engine reproduces bit-identical scores.
+
+PPM = 1_000_000
+
+
+def _scale_to_max(df: DataFrame, col: str) -> DataFrame:
+    """score → score·PPM div max(score), exact.  The multiply runs in a
+    DECIMAL(38,0) lane: with raw sums bounded by indeg·PPM ≤ ~9·10¹⁸
+    the int64 sum is safe, but sum·PPM is not — decimal holds 10³⁸ and
+    Spark's ``div`` / DuckDB's ``//`` agree on non-negative integral
+    division (micro-pinned in test_hits_scale_div_parity)."""
+    mx = df.agg(F.max(col).alias("_mx"))
+    return (df.crossJoin(F.broadcast(mx))
+            .select("node",
+                    F.expr(f"(CAST({col} AS DECIMAL(38,0)) * {PPM}) "
+                           f"div greatest(_mx, 1)")
+                    .cast("long").alias(col)))
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, hub_ppm, auth_ppm) after ``iters`` synchronous HITS
+    rounds from a uniform hub start of PPM per node.
+
+    Per round (all integer):
+
+        auth(v) = Σ_{u→v} hub(u),  then auth ← auth·PPM div max(auth)
+        hub(u)  = Σ_{u→v} auth(v), then hub  ← hub·PPM div max(hub)
+
+    Multi-edges contribute once each (distinct the edge table first
+    for simple-graph semantics).  Scale shape per round: two edge⨝score
+    equi-joins (src- then dst-keyed) each feeding a groupBy with
+    map-side partial sums, plus one scalar max broadcast — no global
+    sort, no driver state; ``localCheckpoint`` bounds plan growth
+    exactly like ``pagerank`` / the CC operators.  Dangling/unlinked
+    directions score 0, the standard convention."""
+    edges = edges.select(F.col("src").cast("long").alias("src"),
+                         F.col("dst").cast("long").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionAll(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    e = edges.localCheckpoint(eager=True)
+    hub = nodes.select("node", F.lit(PPM).cast("long").alias("hub"))
+    auth = nodes.select("node", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iters):
+        a_raw = (e.join(hub, e["src"] == hub["node"])
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("auth")))
+        a_all = (nodes.join(a_raw, "node", "left")
+                 .select("node", F.coalesce("auth", F.lit(0))
+                         .cast("long").alias("auth")))
+        auth = _scale_to_max(a_all, "auth").localCheckpoint(eager=True)
+        h_raw = (e.join(auth, e["dst"] == auth["node"])
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("hub")))
+        h_all = (nodes.join(h_raw, "node", "left")
+                 .select("node", F.coalesce("hub", F.lit(0))
+                         .cast("long").alias("hub")))
+        hub = _scale_to_max(h_all, "hub").localCheckpoint(eager=True)
+    return (hub.join(auth, "node")
+            .select("node", F.col("hub").alias("hub_ppm"),
+                    F.col("auth").alias("auth_ppm")))
+
+
+def hits_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB oracle: the same integer update rule unrolled, HUGEINT
+    lane for the scale multiply."""
+    sql = [f"edges AS ({edges_cte})",
+           "nodes AS (SELECT DISTINCT node FROM "
+           "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+           f"h0 AS (SELECT node, {PPM}::BIGINT AS hub FROM nodes)"]
+    for i in range(iters):
+        sql.append(f"""ar{i + 1} AS (
+  SELECT n.node, COALESCE(s.s, 0)::BIGINT AS s FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub) AS s
+    FROM edges e JOIN h{i} h ON h.node = e.src GROUP BY e.dst) s
+  ON s.node = n.node),
+a{i + 1} AS (
+  SELECT node, ((s::HUGEINT * {PPM}) //
+                greatest((SELECT max(s) FROM ar{i + 1}), 1))::BIGINT AS auth
+  FROM ar{i + 1}),
+hr{i + 1} AS (
+  SELECT n.node, COALESCE(s.s, 0)::BIGINT AS s FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.auth) AS s
+    FROM edges e JOIN a{i + 1} a ON a.node = e.dst GROUP BY e.src) s
+  ON s.node = n.node),
+h{i + 1} AS (
+  SELECT node, ((s::HUGEINT * {PPM}) //
+                greatest((SELECT max(s) FROM hr{i + 1}), 1))::BIGINT AS hub
+  FROM hr{i + 1})""")
+    return (",\n".join(sql) +
+            f"\nSELECT h.node, h.hub AS hub_ppm, a.auth AS auth_ppm "
+            f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node")

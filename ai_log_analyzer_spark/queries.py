@@ -32,6 +32,7 @@ from .functions import encodings as EN
 from .functions import graph as G
 from .functions import robots as RB
 from .functions import sampling as SA
+from .functions import scheduling as SCH
 from .functions import similarity as S
 from .functions import sketches as SK
 from .functions import crawlfunnel as CF
@@ -3285,3 +3286,74 @@ def crawl_admission_funnel(spark, sf_dir):
         .otherwise(F.lit("User-agent: *\nDisallow: /p\nAllow: /p/1\n"))
         .alias("robots_txt")))
     return CF.crawl_admission(pages, robots)
+
+
+@q("linkgraph_hits",
+   "WITH " + G.hits_sql(
+       f"SELECT src, dst FROM ({_PR_EDGES_SQL}) WHERE src <> dst", iters=2))
+def linkgraph_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the same synthetic
+    3-outlink graph as linkgraph_pagerank — the second classic link-
+    centrality signal (authority picks quality/seed domains, hub finds
+    link farms).  Exact parts-per-million integers with max-
+    normalization per half-round, DECIMAL(38,0) lane for the scale
+    multiply; per round two edge⨝score joins + partial-agg sums + one
+    scalar-max broadcast, localCheckpoint plan guard
+    (functions/graph.hits); oracle = the identical rule unrolled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|pr{k}"))), F.lit(256))
+        for k in range(3)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return G.hits(edges, iters=2)
+
+
+# domain axis for the scheduling ops: 41 synthetic domains keyed off
+# doc_id (both engines derive the identical mapping); weight = token
+# mass, the quantity crawl budgeting actually apportions
+_SCHED_W_SQL = f"""SELECT doc_id % 41 AS domain,
+       {TX.token_count_sql('text')} AS weight
+FROM documents WHERE trim(text) <> ''"""
+
+
+@q("crawl_budget_alloc",
+   "WITH " + SCH.budget_apportion_sql(_SCHED_W_SQL, budget=100000))
+def crawl_budget_alloc(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a 100k-fetch crawl
+    budget across domains proportional to token mass — exact integer,
+    Σ alloc == budget ALWAYS.  Remainder ranking is distributed via the
+    pack_manifest range-bucket + driver-cumulative-base + within-bucket
+    window pattern: no single-partition sort at any domain count
+    (functions/scheduling.budget_apportion)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    w = docs.select((F.col("doc_id") % 41).alias("domain"),
+                    TX.token_count(F.col("text")).cast("long")
+                    .alias("weight"))
+    return SCH.budget_apportion(w, budget=100000)
+
+
+_SCHED_URLS_SQL = """SELECT 'https://d' || (doc_id % 41)::VARCHAR
+         || '.example/p/' || doc_id::VARCHAR AS url,
+       doc_id % 41 AS domain, n_chars AS priority
+FROM documents"""
+
+
+@q("frontier_waves",
+   "WITH " + SCH.frontier_waves_sql(_SCHED_URLS_SQL, concurrency=4))
+def frontier_waves(spark, sf_dir):
+    """Per-domain politeness scheduling: each URL's fetch WAVE under a
+    4-in-flight-per-domain cap — position within the domain's
+    (priority desc, url) order, integer-divided by the cap.  One
+    domain-partitioned window; deterministic, so resumes schedule
+    identically (functions/scheduling.frontier_waves)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    urls = docs.select(
+        F.concat(F.lit("https://d"), (d % 41).cast("string"),
+                 F.lit(".example/p/"), d.cast("string")).alias("url"),
+        (d % 41).alias("domain"),
+        F.col("n_chars").alias("priority"))
+    return SCH.frontier_waves(urls, concurrency=4)

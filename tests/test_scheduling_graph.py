@@ -1,0 +1,118 @@
+"""Unit tests for HITS and the crawl-scheduling operators — hand-sized
+graphs/frontiers where the exact-integer contracts (max-normalized
+PPM scores, Σ alloc == budget, deterministic tie-breaks) can be
+checked against pencil-and-paper values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_log_analyzer_spark.functions import graph as G
+from ai_log_analyzer_spark.functions import scheduling as SCH
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_hits_two_hubs_one_authority(spark):
+    # 1→3, 2→3: nodes 1,2 are the only (equal) hubs, 3 the only
+    # authority; max-normalization pins all at exactly PPM
+    out = {r.node: (r.hub_ppm, r.auth_ppm)
+           for r in G.hits(_edges(spark, [(1, 3), (2, 3)]), iters=2).collect()}
+    assert out == {1: (G.PPM, 0), 2: (G.PPM, 0), 3: (0, G.PPM)}
+
+
+def test_hits_hub_prefers_node_linking_better_authorities(spark):
+    # 3 and 4 both get inlinks from {1,2} → equal authorities; node 1
+    # links both, node 2 links one → hub(1) = 2·hub(2) after scaling
+    out = {r.node: (r.hub_ppm, r.auth_ppm)
+           for r in G.hits(_edges(spark, [(1, 3), (1, 4), (2, 3)]),
+                           iters=2).collect()}
+    assert out[1][0] == G.PPM
+    assert out[3][1] == G.PPM          # 3 has the larger inflow
+    assert 0 < out[2][0] < out[1][0]
+    assert 0 < out[4][1] < out[3][1]
+
+
+def test_hits_matches_oracle_sql_on_random_graph(spark):
+    import duckdb
+    pairs = [((i * 37) % 23, (i * 53 + 7) % 23) for i in range(120)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = {r.node: (r.hub_ppm, r.auth_ppm)
+           for r in G.hits(_edges(spark, pairs), iters=3).collect()}
+    edges_cte = " UNION ALL ".join(
+        f"SELECT {a}::BIGINT AS src, {b}::BIGINT AS dst" for a, b in pairs)
+    want = {int(r[0]): (int(r[1]), int(r[2])) for r in duckdb.sql(
+        "WITH " + G.hits_sql(edges_cte, iters=3)).fetchall()}
+    assert got == want
+
+
+def test_hits_scale_div_parity(spark):
+    # the DECIMAL(38,0) `div` lane must floor exactly like DuckDB's
+    # HUGEINT `//` on non-negative operands (the overflow-safe scale
+    # step both engines share)
+    import duckdb
+    got = spark.sql(
+        "SELECT (CAST(7999999 AS DECIMAL(38,0)) * 1000000) div 3000000"
+    ).collect()[0][0]
+    want = duckdb.sql(
+        "SELECT (7999999::HUGEINT * 1000000) // 3000000").fetchone()[0]
+    assert int(got) == int(want) == 2666666
+
+
+def _weights(spark, rows):
+    return spark.createDataFrame(rows, "domain long, weight long")
+
+
+def test_budget_apportion_hand_case(spark):
+    # weights 5,3,2 over budget 10 → exact shares 5,3,2 (no remainder)
+    out = {r.domain: r.alloc for r in SCH.budget_apportion(
+        _weights(spark, [(1, 5), (2, 3), (3, 2)]), budget=10).collect()}
+    assert out == {1: 5, 2: 3, 3: 2}
+
+
+def test_budget_apportion_remainder_tiebreak_domain_asc(spark):
+    # equal weights, budget 10 over 3 domains: base 3 each, leftover 1
+    # goes to the LOWEST domain id (rem ties break domain asc)
+    rows = SCH.budget_apportion(
+        _weights(spark, [(7, 4), (3, 4), (5, 4)]), budget=10).collect()
+    out = {r.domain: (r.base_alloc, r.extra, r.alloc) for r in rows}
+    assert out == {3: (3, 1, 4), 5: (3, 0, 3), 7: (3, 0, 3)}
+    assert sum(r.alloc for r in rows) == 10
+
+
+def test_budget_apportion_sum_invariant_and_zero_weight_excluded(spark):
+    rows = [(d, (d * 13) % 7) for d in range(50)]     # some weights 0
+    out = SCH.budget_apportion(_weights(spark, rows), budget=12345).collect()
+    assert sum(r.alloc for r in out) == 12345
+    assert {r.domain for r in out} == {d for d, w in rows if w > 0}
+    # proportionality: alloc within 1 of the exact real share
+    tot = sum(w for _, w in rows if w > 0)
+    for r in out:
+        exact = 12345 * dict(rows)[r.domain] / tot
+        assert abs(r.alloc - exact) < 1.0
+
+
+def test_budget_apportion_duplicate_domain_rows_presum(spark):
+    # two rows for domain 1 must pre-aggregate, not apportion twice
+    out = {r.domain: r.weight for r in SCH.budget_apportion(
+        _weights(spark, [(1, 2), (1, 3), (2, 5)]), budget=10).collect()}
+    assert out == {1: 5, 2: 5}
+
+
+def test_frontier_waves_hand_case(spark):
+    urls = spark.createDataFrame(
+        [("u/a", 1, 9), ("u/b", 1, 9), ("u/c", 1, 5), ("u/d", 2, 1)],
+        "url string, domain long, priority long")
+    out = {r.url: (r.position, r.wave)
+           for r in SCH.frontier_waves(urls, concurrency=2).collect()}
+    # domain 1: priority 9 ties break url asc → a, b then c
+    assert out == {"u/a": (0, 0), "u/b": (1, 0), "u/c": (2, 1),
+                   "u/d": (0, 0)}
+
+
+def test_frontier_waves_rejects_bad_concurrency(spark):
+    urls = spark.createDataFrame(
+        [("u", 1, 1)], "url string, domain long, priority long")
+    with pytest.raises(ValueError):
+        SCH.frontier_waves(urls, concurrency=0)
