@@ -170,3 +170,21 @@ def test_topk_ranks_are_take_ordered_not_global_window(spark):
         # exchange of the full table: TakeOrderedAndProject appears
         # BELOW (after, in toString order) the Window node
         assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_boilerplate_dfq_is_window_not_self_join(spark):
+    """boilerplate_shingle_stats learns each shingle's doc frequency
+    via ONE (grp, shingle_hash)-partitioned count window — the heavy
+    distinct-occurrence table must never be self-joined on
+    shingle_hash (the pre-rewrite shape shuffled it twice).  Allowed
+    joins: the broadcast per-group doc-count table and the final
+    doc_id left join."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z x y"), (2, "a", "x y q"), (3, "b", "q r s")],
+        ["doc_id", "source", "text"])
+    plan = _plan(D.boilerplate_shingle_stats(docs))
+    assert "Window" in plan, plan
+    for line in plan.splitlines():
+        if "Join" in line and "shingle_hash" in line:
+            raise AssertionError(f"shingle_hash join survived: {line}")
