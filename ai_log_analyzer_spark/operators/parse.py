@@ -78,7 +78,7 @@ def _broadcast_for(sc, token: str, catalog_rows: pd.DataFrame):
     bc = _BC_CACHE.get(key)
     if bc is None:
         while len(_BC_CACHE) >= _MATCHER_CACHE_CAP:
-            _, old = _BC_CACHE.popitem()
+            old = _BC_CACHE.pop(next(iter(_BC_CACHE)))  # FIFO, oldest first
             try:
                 old.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — stopped context

@@ -107,3 +107,32 @@ def test_dispatch_cap_and_env_kill_switch(grammar_pages, grammar_catalog,
     plan = parse_op.parse_template_ids(
         grammar_pages, grammar_catalog)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
+
+
+def test_catalog_token_is_content_keyed(grammar_catalog):
+    """The matcher/broadcast cache key is a CONTENT fingerprint: equal
+    catalogs (even distinct objects / permuted rows) share a token, so
+    repeat parses hit the worker-side Matcher; any change to what the
+    Matcher consumes produces a fresh token."""
+    t1 = parse_op._catalog_token(grammar_catalog)
+    t2 = parse_op._catalog_token(
+        grammar_catalog.sample(frac=1.0, random_state=7))  # permuted copy
+    assert t1 == t2
+    mutated = grammar_catalog.copy()
+    mutated.loc[mutated.index[0], "template"] = "something <:NAME:> else"
+    assert parse_op._catalog_token(mutated) != t1
+
+
+def test_broadcast_cache_reuses_and_evicts(spark, grammar_catalog):
+    sc = spark.sparkContext
+    tok = parse_op._catalog_token(grammar_catalog)
+    b1 = parse_op._broadcast_for(sc, tok, grammar_catalog)
+    b2 = parse_op._broadcast_for(sc, tok, grammar_catalog)
+    assert b1 is b2
+    # overflow the LRU: the original entry is evicted and a fresh
+    # request re-broadcasts instead of returning a dead handle
+    for i in range(parse_op._MATCHER_CACHE_CAP):
+        parse_op._broadcast_for(sc, f"{tok}-fill{i}", grammar_catalog)
+    b3 = parse_op._broadcast_for(sc, tok, grammar_catalog)
+    assert b3 is not b1
+    assert (b3.value["template_id"] == grammar_catalog["template_id"]).all()
