@@ -471,6 +471,43 @@ def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
                 F.col("n_novel") / F.col("n_shingles"), 6)))
 
 
+def dup_passage_stats(df: DataFrame, n: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_pos, n_dup_pos, dup_ratio) per doc with ≥1 stride-1
+    word n-gram position: the fraction of the doc's TOKEN POSITIONS
+    whose n-gram already occurs in an earlier (lower-id) document —
+    the token-mass duplicated-passage measure of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better", ACL
+    2022; there via suffix arrays over the byte stream).  Positional
+    stride-1 windows catch duplicated passages at ANY alignment — the
+    failure mode of the fixed non-overlapping windows in
+    ``segment_dedup_stats`` — and the positional (multiplicity) count
+    estimates how much text Lee-style trimming would remove, which is
+    the quantity curation pipelines actually threshold on.  Contrast
+    ``ngram_novelty``: that scores the doc's DISTINCT shingle
+    vocabulary (a contribution/diversity signal); this scores token
+    mass (a redundancy signal).  Within-doc repeats of a self-owned
+    n-gram are NOT duplicates here — that is ``repetition_stats``.
+
+    Scale: ONE shuffle of the positional (doc, shingle_hash) stream —
+    first-owner is ``min(doc_id) over (partition by shingle_hash)``,
+    never a groupBy + join back (the measured bigram-LM /
+    boilerplate lesson) — then one uniform groupBy(doc_id).  The
+    stride-1 stream is n× the corpus token count in rows but each row
+    is two longs; hot stop-shingles are AQE's skew tail, and min is
+    safe on any key (no pair blow-up)."""
+    pos = raw_shingles(df, n=n, text_col=text_col, id_col=id_col) \
+        .select("doc_id", hash32(F.col("shingle")).alias("shingle_hash"))
+    first = F.min("doc_id").over(Window.partitionBy("shingle_hash"))
+    return (pos.withColumn("_first", first)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_pos"),
+                 F.sum((F.col("_first") < F.col("doc_id")).cast("long"))
+                 .alias("n_dup_pos"))
+            .withColumn("dup_ratio", F.round(
+                F.col("n_dup_pos") / F.col("n_pos"), 6)))
+
+
 def connected_components_star(pairs: DataFrame,
                               max_iter: int = 20) -> DataFrame:
     """(doc_id, cluster_id): connected components via alternating

@@ -1340,6 +1340,39 @@ def ngram_novelty_q(spark, sf_dir):
     return D.ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
+@q("dup_passage_ratio", f"""
+WITH pos AS (
+  SELECT doc_id, {hash32_sql("shingle")} AS shingle_hash
+  FROM (
+    SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 4, 0) + 1)) AS t(i)
+  )
+),
+owned AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY shingle_hash) AS first_doc
+  FROM pos
+)
+SELECT doc_id, count(*)::BIGINT AS n_pos,
+       sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_pos,
+       round(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_ratio
+FROM owned GROUP BY doc_id
+""")
+def dup_passage_ratio(spark, sf_dir):
+    """Token-mass duplicated-passage ratio (Lee et al. ACL 2022
+    semantics, stride-1 word 5-grams): the fraction of each doc's
+    positions whose n-gram already occurs in an earlier doc — catches
+    duplicated passages at any alignment, which fixed-window
+    segment_dedup misses.  One positional shingle_hash shuffle
+    (window min, no join-back) + one uniform doc_id groupBy
+    (functions/dedup.dup_passage_stats)."""
+    return D.dup_passage_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: multimodal columns (driver-checkable — the fake
 # decoder is a pure byte function, so DuckDB mirrors it bit-exactly)

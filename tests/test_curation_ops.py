@@ -306,3 +306,25 @@ def test_source_overlap_exact_jaccard(spark):
     # s1 = {a,b,c}, s2 = {b,c,d}: shared 2, union 4 -> 500000 ppm
     assert (r.n_a, r.n_b, r.n_shared, r.jaccard_ppm) == (3, 3, 2, 500000)
     assert ("s1", "s3") not in out  # zero-overlap pairs are absent
+
+
+def test_dup_passage_positional_semantics(spark):
+    """Stride-1 positional dup detection: a passage duplicated at a
+    DIFFERENT alignment in a later doc is caught (the fixed-window
+    segment_dedup failure mode); within-doc repeats of a self-owned
+    n-gram are not duplicates; n_pos counts positions (multiplicity)."""
+    d1 = "a b c d e f"                 # owns every 3-gram, 4 positions
+    d2 = "x b c d e y"                 # 'b c d'+'c d e' dup of d1, shifted
+    d3 = "p q r p q r p q"             # self-repeats only -> 0 dups
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.dup_passage_stats(df, n=3).collect()}
+    assert (out[1].n_pos, out[1].n_dup_pos) == (4, 0)
+    assert (out[2].n_pos, out[2].n_dup_pos) == (4, 2)   # b c d / c d e
+    assert (out[3].n_pos, out[3].n_dup_pos) == (6, 0)   # self-owned repeats
+    assert out[2].dup_ratio == 0.5
+    # a doc shorter than n has no positions and is absent
+    df2 = spark.createDataFrame([(1, "a b"), (2, "a b c")],
+                                ["doc_id", "text"])
+    out2 = {r.doc_id for r in D.dup_passage_stats(df2, n=3).collect()}
+    assert out2 == {2}
