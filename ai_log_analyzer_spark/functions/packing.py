@@ -188,3 +188,134 @@ SELECT doc_id, n_tokens, start_off, start_off + n_tokens AS end_off,
        (start_off + n_tokens - 1) // {capacity} AS last_seq
 FROM offs
 """
+
+
+def pack_pairs(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               capacity: int = DEFAULT_CAPACITY) -> DataFrame:
+    """Boundary-respecting 2-per-bin packing manifest — the padded-
+    sequence counterpart of ``pack_manifest`` (there, documents
+    concatenate across boundaries; here no document crosses one, the
+    regime of SFT / packed-attention training where cross-doc
+    attention is masked and pad tokens are pure waste; motivation:
+    Krell et al., "Efficient Sequence Packing without Cross-
+    contamination", arXiv 2107.02027).
+
+    Deterministic folded pairing: rank docs by (clamped length desc,
+    doc_id); the r-th longest is paired with the r-th shortest
+    (partner rank N+1−r).  A pair that fits in ``capacity`` shares a
+    bin; one that doesn't splits into two singletons (and the odd
+    middle doc is a singleton).  ≤2 docs per bin is the sweet spot of
+    the packing literature — on real web length distributions it
+    removes most one-doc-per-bin padding — and unlike first-fit
+    chains it is ORDER-FREE: pure rank arithmetic, so Spark and the
+    SQL oracle reproduce identical bins with no sequential fold.
+
+    Scale: the desc rank is NOT a global window — lengths clamp to
+    [1, capacity], so the length histogram (≤ capacity rows) comes
+    back to the driver, higher-length cumulative counts broadcast
+    back as the per-length rank base, and row_number runs within each
+    length class only.  Pair assembly is one uniform groupBy(pair_id)
+    over exactly-≤2-row groups.  Docs longer than ``capacity`` clamp
+    and flag ``truncated`` (they'd be chunked upstream via
+    ``chunk_spans``).
+
+    Output: (doc_id, n_tokens, n_eff, truncated, bin_id, n_in_bin,
+    bin_fill, bin_waste); bin ids are 2·pair for the pair-or-first
+    bin and 2·pair+1 for a split's smaller half."""
+    sized = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                         token_count(F.col(text_col)).alias("n_tokens"))
+             .where(F.col("n_tokens") > 0)
+             .select("doc_id", "n_tokens",
+                     F.least(F.col("n_tokens"), F.lit(capacity))
+                     .cast("long").alias("n_eff"),
+                     (F.col("n_tokens") > capacity).alias("truncated")))
+    # per-length histogram → driver cumulative base in desc order
+    hist = {int(r.n_eff): int(r.c) for r in
+            sized.groupBy("n_eff").agg(F.count("*").alias("c")).collect()}
+    if not hist:
+        return sized.select(
+            "doc_id", "n_tokens", "n_eff", "truncated",
+            F.lit(0).cast("long").alias("bin_id"),
+            F.lit(0).cast("long").alias("n_in_bin"),
+            F.lit(0).cast("long").alias("bin_fill"),
+            F.lit(0).cast("long").alias("bin_waste"))
+    n_total, base, acc = sum(hist.values()), {}, 0
+    for length in sorted(hist, reverse=True):
+        base[length] = acc
+        acc += hist[length]
+    spark = docs.sparkSession
+    base_df = spark.createDataFrame(
+        [(int(l), int(o)) for l, o in base.items()], "n_eff long, _base long")
+    rn = F.row_number().over(
+        Window.partitionBy("n_eff").orderBy("doc_id"))
+    ranked = (sized.join(F.broadcast(base_df), "n_eff")
+              .withColumn("_r", (F.col("_base") + rn).cast("long")))
+    pair = F.least(F.col("_r"), F.lit(n_total + 1) - F.col("_r"))
+    members = (ranked.withColumn("_p", pair)
+               .groupBy("_p")
+               .agg(F.sum("n_eff").alias("_fill"),
+                    F.count("*").alias("_n"),
+                    F.min_by(F.struct("doc_id", "n_tokens", "n_eff",
+                                      "truncated"), "_r").alias("_big"),
+                    F.max_by(F.struct("doc_id", "n_tokens", "n_eff",
+                                      "truncated"), "_r").alias("_small")))
+    fits = (F.col("_n") == 1) | (F.col("_fill") <= capacity)
+    # explode the ≤2 members back out with their bin assignment
+    big = F.struct(
+        F.col("_big.*"),
+        (F.col("_p") * 2).alias("bin_id"),
+        F.when(fits, F.col("_n")).otherwise(F.lit(1)).cast("long")
+        .alias("n_in_bin"),
+        F.when(fits, F.col("_fill")).otherwise(F.col("_big.n_eff"))
+        .cast("long").alias("bin_fill"))
+    small = F.struct(
+        F.col("_small.*"),
+        F.when(fits, F.col("_p") * 2).otherwise(F.col("_p") * 2 + 1)
+        .alias("bin_id"),
+        F.when(fits, F.col("_n")).otherwise(F.lit(1)).cast("long")
+        .alias("n_in_bin"),
+        F.when(fits, F.col("_fill")).otherwise(F.col("_small.n_eff"))
+        .cast("long").alias("bin_fill"))
+    rows = F.when(F.col("_n") == 1, F.array(big)) \
+        .otherwise(F.array(big, small))
+    return (members.select(F.explode(rows).alias("m"))
+            .select("m.doc_id", "m.n_tokens", "m.n_eff", "m.truncated",
+                    "m.bin_id", "m.n_in_bin", "m.bin_fill")
+            .withColumn("bin_waste",
+                        (F.lit(capacity) - F.col("bin_fill"))
+                        .cast("long")))
+
+
+def pack_pairs_sql(table: str = "documents", text_expr: str = "text",
+                   id_expr: str = "doc_id",
+                   capacity: int = DEFAULT_CAPACITY) -> str:
+    """Oracle: identical folded-pairing rule with a plain global
+    row_number (fine at oracle scale)."""
+    nt = token_count_sql(text_expr)
+    return f"""
+WITH sized AS (
+  SELECT {id_expr}::BIGINT AS doc_id, {nt}::BIGINT AS n_tokens,
+         least({nt}, {capacity})::BIGINT AS n_eff,
+         {nt} > {capacity} AS truncated
+  FROM {table} WHERE {nt} > 0
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_eff DESC, doc_id) AS r,
+         count(*) OVER () AS n_total
+  FROM sized
+), paired AS (
+  SELECT *, least(r, n_total + 1 - r) AS p FROM ranked
+), bins AS (
+  SELECT p, sum(n_eff) AS fill, count(*) AS n,
+         (count(*) = 1 OR sum(n_eff) <= {capacity}) AS fits
+  FROM paired GROUP BY p
+)
+SELECT d.doc_id, d.n_tokens, d.n_eff, d.truncated,
+       CASE WHEN b.fits OR d.r = d.p THEN d.p * 2
+            ELSE d.p * 2 + 1 END AS bin_id,
+       CASE WHEN b.fits THEN b.n ELSE 1 END::BIGINT AS n_in_bin,
+       CASE WHEN b.fits THEN b.fill ELSE d.n_eff END::BIGINT AS bin_fill,
+       ({capacity} - CASE WHEN b.fits THEN b.fill ELSE d.n_eff END)::BIGINT
+         AS bin_waste
+FROM paired d JOIN bins b USING (p)
+"""

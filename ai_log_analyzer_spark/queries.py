@@ -1552,6 +1552,24 @@ def pack_manifest(spark, sf_dir):
     return PK.pack_manifest(_t(spark, sf_dir, "documents"))
 
 
+def _pack_pairs_oracle() -> str:
+    from .functions import packing as PK
+    return PK.pack_pairs_sql("documents")
+
+
+@q("pack_pairs_manifest", _pack_pairs_oracle())
+def pack_pairs_manifest(spark, sf_dir):
+    """Boundary-respecting 2-per-bin packing (padded-sequence regime:
+    no doc crosses a bin; Krell et al. arXiv 2107.02027 motivation):
+    deterministic folded pairing — r-th longest with r-th shortest,
+    split on overflow.  The desc rank is a capacity-bounded length
+    HISTOGRAM rank (≤ capacity driver rows + per-length-class
+    windows), never a global sort; pair assembly is one uniform
+    groupBy over ≤2-row groups (functions/packing.pack_pairs)."""
+    from .functions import packing as PK
+    return PK.pack_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _temp_oracle() -> str:
     from .functions import sampling as SA
     return SA.temperature_select_sql(

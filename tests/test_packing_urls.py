@@ -238,3 +238,49 @@ def test_domain_blocked_subdomains(spark):
     got = [r.b for r in
            df.select(U.domain_blocked(F.col("url")).alias("b")).collect()]
     assert got == [True, True, False, False, True]
+
+
+def test_pack_pairs_fold_split_odd_truncate(spark):
+    """Folded pairing at capacity 10: ranks desc = [9, 8, 7, 4, 2].
+    Pair (9,2) fits (11 > 10? no — 11 > 10 → SPLITS); pair (8,4) fits
+    (12 > 10 → splits too); middle 7 is a singleton.  Use lengths that
+    exercise both outcomes and an over-capacity doc."""
+    mk = lambda n: " ".join(["w"] * n)
+    rows = [(1, mk(9)), (2, mk(8)), (3, mk(7)), (4, mk(4)), (5, mk(2)),
+            (6, mk(13))]          # 13 > 10 -> clamps to 10, truncated
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in PK.pack_pairs(df, capacity=10).collect()}
+    assert len(out) == 6
+    # desc order: d6(10,trunc) d1(9) d2(8) d3(7) d5... wait lengths:
+    # 10,9,8,7,4,2 -> ranks 1..6; folds (1,6)=(10,2) 12>10 split;
+    # (2,5)=(9,4) 13>10 split; (3,4)=(8,7) 15>10 split
+    assert out[6].truncated and out[6].n_eff == 10
+    for d in (1, 2, 3, 4, 5, 6):
+        assert out[d].n_in_bin == 1          # every fold overflows here
+        assert out[d].bin_fill == out[d].n_eff
+        assert out[d].bin_waste == 10 - out[d].n_eff
+    # distinct bins for every doc when all pairs split
+    assert len({out[d].bin_id for d in out}) == 6
+
+    # now a corpus where folds FIT: lengths 6,5,3,2 at capacity 10 ->
+    # (6,2)=8 fits, (5,3)=8 fits -> two bins of two
+    rows2 = [(1, mk(6)), (2, mk(5)), (3, mk(3)), (4, mk(2))]
+    out2 = PK.pack_pairs(spark.createDataFrame(rows2, ["doc_id", "text"]),
+                         capacity=10).collect()
+    bins = {}
+    for r in out2:
+        bins.setdefault(r.bin_id, []).append(r)
+    assert len(bins) == 2
+    for members in bins.values():
+        assert len(members) == 2
+        assert members[0].bin_fill == 8 and members[0].bin_waste == 2
+        assert all(m.n_in_bin == 2 for m in members)
+
+    # odd middle doc is a singleton: lengths 6,5,2 -> (6,2) fits, 5 alone
+    rows3 = [(1, mk(6)), (2, mk(5)), (3, mk(2))]
+    out3 = {r.doc_id: r for r in
+            PK.pack_pairs(spark.createDataFrame(rows3, ["doc_id", "text"]),
+                          capacity=10).collect()}
+    assert out3[2].n_in_bin == 1 and out3[2].bin_fill == 5
+    assert out3[1].n_in_bin == 2 and out3[1].bin_fill == 8
+    assert out3[1].bin_id == out3[3].bin_id
