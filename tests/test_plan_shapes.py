@@ -188,3 +188,20 @@ def test_boilerplate_dfq_is_window_not_self_join(spark):
     for line in plan.splitlines():
         if "Join" in line and "shingle_hash" in line:
             raise AssertionError(f"shingle_hash join survived: {line}")
+
+
+def test_new_ops_have_no_single_partition_exchange(spark):
+    """pack_pairs (histogram rank: per-length window + pair groupBy +
+    broadcast base) and dup_passage_stats (positional window-min +
+    doc_id groupBy) must never funnel the corpus through an
+    unpartitioned exchange — the global-sort scale-killer their
+    designs explicitly avoid."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    from ai_log_analyzer_spark.functions import packing as PK
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(1, 40)],
+        ["doc_id", "text"])
+    for df in (PK.pack_pairs(docs, capacity=10),
+               D.dup_passage_stats(docs, n=2)):
+        plan = _plan(df)
+        assert "Exchange SinglePartition" not in plan, plan
