@@ -1008,3 +1008,114 @@ bloomed AS (
            AS flagged_ppm
   FROM bsizes s LEFT JOIN bflag f ON s.doc_id = f.doc_id
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document aligned text-reuse spans.  Pairwise dedup signals so
+# far score OVERLAP MASS (Jaccard, MinHash, dup_passage_ratio); plagiarism
+# and quote/boilerplate mining need the ALIGNMENT STRUCTURE — how long
+# the longest contiguous shared passage is and how many distinct shared
+# passages a pair has (the "text reuse" task of Smith et al., "Detecting
+# and Modeling Local Text Reuse", JCDL 2014 — public literature,
+# reimplemented relationally).  A shared passage of L tokens appears as a
+# run of L-n+1 consecutive positional n-gram matches on ONE diagonal
+# (pos_a - pos_b constant), so maximal runs fall out of the classic
+# gaps-and-islands trick: group matches by (pair, diagonal), subtract
+# row_number from pos_a, and equal keys mark one maximal run — no
+# per-pair quadratic alignment, no Python.
+
+
+def text_reuse_spans(df: DataFrame, n: int = 3, min_run: int = 2,
+                     df_cap: int = DF_CAP, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, n_aligned, n_runs, max_run_shingles,
+    max_span_tokens) for doc pairs (doc_a < doc_b) whose longest aligned
+    run is ≥ ``min_run`` positional word n-grams; ``max_span_tokens`` =
+    max_run_shingles + n - 1 is the longest shared passage in tokens.
+
+    Scale shape: ONE positional shingle stream (stride-1, two longs per
+    row), stop-shingles above ``df_cap`` doc-frequency dropped via a
+    broadcast anti-join BEFORE the pair join (the same inverted-index
+    cap as ngram_jaccard_pairs — without it one boilerplate shingle
+    yields a corpus² pair blow-up), one hash-keyed equi-join producing
+    candidate position pairs, one window over (pair, diagonal) — a key
+    that explodes the corpus into many small groups, never a global
+    sort — and one uniform groupBy(pair).  Within-doc repeats of the
+    same shingle align on every diagonal they share; the df_cap bounds
+    that multiplicity in the same stroke."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    pos = (df.repartition(p)
+           .select(F.col(id_col).alias("doc_id"),
+                   F.posexplode(grams).alias("pos", "shingle"))
+           .select("doc_id", "pos", hash32(F.col("shingle")).alias("shingle_hash")))
+    hot = (pos.select("doc_id", "shingle_hash").distinct()
+           .groupBy("shingle_hash").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > df_cap).select("shingle_hash"))
+    idx = pos.join(F.broadcast(hot), "shingle_hash", "left_anti")
+    a = idx.select(F.col("doc_id").alias("doc_a"),
+                   F.col("pos").alias("pos_a"), "shingle_hash")
+    b = idx.select(F.col("doc_id").alias("doc_b"),
+                   F.col("pos").alias("pos_b"), "shingle_hash")
+    m = (a.join(b, "shingle_hash")
+         .filter(F.col("doc_a") < F.col("doc_b"))
+         .withColumn("diag", F.col("pos_a") - F.col("pos_b")))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (m.withColumn("run_key", F.col("pos_a") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "diag", "run_key")
+            .agg(F.count("*").alias("run_len")))
+    return (runs.groupBy("doc_a", "doc_b")
+            .agg(F.sum("run_len").cast("long").alias("n_aligned"),
+                 F.count("*").cast("long").alias("n_runs"),
+                 F.max("run_len").cast("long").alias("max_run_shingles"))
+            .withColumn("max_span_tokens",
+                        (F.col("max_run_shingles") + F.lit(n - 1)).cast("long"))
+            .filter(F.col("max_run_shingles") >= min_run))
+
+
+def text_reuse_spans_sql(table: str = "documents", text_expr: str = "text",
+                         n: int = 3, min_run: int = 2,
+                         df_cap: int = DF_CAP) -> str:
+    """DuckDB oracle: identical positional stream, stop-shingle cap,
+    diagonal gaps-and-islands; yields ``reuse_spans``."""
+    from .hashing import hash32_sql
+    return f"""rs_pos AS (
+  SELECT doc_id, i - 1 AS pos, {hash32_sql("shingle")} AS shingle_hash
+  FROM (
+    SELECT doc_id, i, array_to_string(toks[i : i + {n - 1}], ' ') AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim({text_expr}), '\\s+') AS toks
+          FROM {table}),
+         UNNEST(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS t(i)
+  )
+),
+rs_hot AS (
+  SELECT shingle_hash FROM (SELECT DISTINCT doc_id, shingle_hash FROM rs_pos)
+  GROUP BY shingle_hash HAVING count(*) > {df_cap}
+),
+rs_idx AS (SELECT * FROM rs_pos
+           WHERE shingle_hash NOT IN (SELECT shingle_hash FROM rs_hot)),
+rs_m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM rs_idx a JOIN rs_idx b USING (shingle_hash)
+  WHERE a.doc_id < b.doc_id
+),
+rs_runs AS (
+  SELECT doc_a, doc_b, count(*)::BIGINT AS run_len
+  FROM (SELECT doc_a, doc_b, diag,
+               pos_a - row_number() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run_key
+        FROM rs_m)
+  GROUP BY doc_a, doc_b, diag, run_key
+),
+reuse_spans AS (
+  SELECT doc_a, doc_b, sum(run_len)::BIGINT AS n_aligned,
+         count(*)::BIGINT AS n_runs,
+         max(run_len)::BIGINT AS max_run_shingles,
+         (max(run_len) + {n - 1})::BIGINT AS max_span_tokens
+  FROM rs_runs GROUP BY doc_a, doc_b
+  HAVING max(run_len) >= {min_run}
+)"""

@@ -324,3 +324,68 @@ h{i + 1} AS (
     return (",\n".join(sql) +
             f"\nSELECT h.node, h.hub AS hub_ppm, a.auth AS auth_ppm "
             f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS crawl depth.  Frontier schedulers and quality
+# filters both key on LINK DISTANCE FROM TRUSTED SEEDS (OPIC-style
+# crawl ordering; seed-distance is a standard trust/quality prior —
+# TrustRank, Gyöngyi et al., VLDB 2004, propagates exactly along this
+# depth).  This is DELTA-FRONTIER BFS: each round joins only the nodes
+# discovered LAST round against the edge table, so the shuffle per
+# round is frontier-sized, never corpus-sized — the property that makes
+# BFS viable on a 10^12-edge link graph where re-joining the full
+# settled set every round would be O(depth · corpus).
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame,
+               max_depth: int = 6) -> DataFrame:
+    """(node, depth) minimum hop count from the seed set, for every
+    node reachable within ``max_depth`` hops (seeds themselves at 0).
+
+    Per round: ONE equi-join of the current frontier (only) with the
+    edge table on src, one distinct on the discovered dst set, one
+    broadcast-sized anti-join against settled nodes, and a
+    localCheckpoint plan guard — the same growth bound as
+    pagerank/CC.  Rounds stop early when a frontier empties (a cheap
+    take(1) probe on the already-materialized checkpoint).  Min-depth
+    correctness needs no min() anywhere: BFS discovers each node first
+    at its minimum depth by construction."""
+    e = (edges.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+         .localCheckpoint(eager=True))
+    settled = (seeds.select(F.col("node").cast("long").alias("node"))
+               .distinct()
+               .select("node", F.lit(0).cast("long").alias("depth"))
+               .localCheckpoint(eager=True))
+    frontier = settled.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(settled.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        settled = (settled.unionAll(
+            nxt.select("node", F.lit(d).cast("long").alias("depth")))
+            .localCheckpoint(eager=True))
+        frontier = nxt.select("node")
+    return settled
+
+
+def bfs_depths_sql(edges_cte: str, seeds_cte: str,
+                   max_depth: int = 6) -> str:
+    """DuckDB oracle: recursive CTE walk with UNION dedup on
+    (node, depth), min(depth) per node; yields ``bfs_depth``."""
+    return f"""bedge AS ({edges_cte}),
+bseed AS ({seeds_cte}),
+bwalk AS (
+  SELECT node, 0::BIGINT AS depth FROM bseed
+  UNION
+  SELECT e.dst AS node, w.depth + 1
+  FROM bwalk w JOIN bedge e ON e.src = w.node
+  WHERE w.depth < {max_depth}
+),
+bfs_depth AS (
+  SELECT node, min(depth)::BIGINT AS depth FROM bwalk GROUP BY node
+)"""

@@ -1242,3 +1242,92 @@ SELECT {id_expr} AS doc_id,
        {dom} AS dominant_script
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope corpus statistics.  Natural corpora obey Zipf's law
+# (freq ∝ rank^s with s ≈ -1); machine-generated, template-spam, and
+# over-deduplicated corpora show up as slope/fit anomalies, so curation
+# dashboards track the fitted log-log slope per source/snapshot as a
+# distribution-drift alarm (a standard corpus-linguistics diagnostic —
+# e.g. Piantadosi, "Zipf's word frequency law in natural language",
+# Psychon Bull Rev 2014).  OLS on (ln rank, ln freq) over the top-N
+# vocabulary reduces to six sums — pure aggregation, no model library.
+
+
+def zipf_stats(df: DataFrame, text_col: str = "text",
+               top_n: int = 1000) -> DataFrame:
+    """Single row (n_types, n_tokens, n_fit, zipf_slope,
+    zipf_intercept, zipf_r2): exact vocabulary/token counts plus the
+    least-squares fit of ln(freq) on ln(rank) over the ``top_n``
+    most-frequent words (rank ties broken by word — deterministic).
+
+    Scale shape: one word-frequency groupBy (map-side combine), one
+    distributed TakeOrderedAndProject for the top-N (never a global
+    sort — the rank window runs over ≤ top_n survivors), and one
+    scalar aggregation for the six OLS sums.  Floats appear only in
+    the final six-sum fold over ≤ top_n doubles; both engines round
+    the fitted coefficients to 6 dp."""
+    words = (df.select(F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word"))
+        .filter(F.col("word") != ""))
+    freq = words.groupBy("word").agg(F.count("*").alias("freq"))
+    totals = freq.agg(F.count("*").cast("long").alias("n_types"),
+                      F.sum("freq").cast("long").alias("n_tokens"))
+    topk = freq.orderBy(F.desc("freq"), F.asc("word")).limit(top_n)
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = (topk.withColumn("rank", F.row_number().over(w))
+              .select(F.log(F.col("rank").cast("double")).alias("x"),
+                      F.log(F.col("freq").cast("double")).alias("y")))
+    sums = ranked.agg(F.count("*").cast("double").alias("n"),
+                      F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                      F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                      F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                      F.sum(F.col("y") * F.col("y")).alias("syy"))
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / den_x
+    return (totals.crossJoin(F.broadcast(sums))
+            .select("n_types", "n_tokens",
+                    F.col("n").cast("long").alias("n_fit"),
+                    F.round(slope, 6).alias("zipf_slope"),
+                    F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+                    .alias("zipf_intercept"),
+                    F.round(cov * cov / (den_x * den_y), 6).alias("zipf_r2")))
+
+
+def zipf_stats_sql(table: str = "documents", text_expr: str = "text",
+                   top_n: int = 1000) -> str:
+    """DuckDB oracle: identical tokenization, ranking, and OLS sums;
+    yields ``zipf``."""
+    return f"""zw AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+'))
+          AS word FROM {table})
+  WHERE word <> '' GROUP BY word
+),
+ztot AS (SELECT count(*)::BIGINT AS n_types, sum(freq)::BIGINT AS n_tokens
+         FROM zw),
+zr AS (
+  SELECT ln((row_number() OVER (ORDER BY freq DESC, word))::DOUBLE) AS x,
+         ln(freq::DOUBLE) AS y
+  FROM zw ORDER BY freq DESC, word LIMIT {top_n}
+),
+zs AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM zr
+),
+zipf AS (
+  SELECT t.n_types, t.n_tokens, s.n::BIGINT AS n_fit,
+         round((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx), 6)
+           AS zipf_slope,
+         round((s.sy - ((s.n * s.sxy - s.sx * s.sy) /
+                        (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n, 6)
+           AS zipf_intercept,
+         round(((s.n * s.sxy - s.sx * s.sy) * (s.n * s.sxy - s.sx * s.sy)) /
+               ((s.n * s.sxx - s.sx * s.sx) * (s.n * s.syy - s.sy * s.sy)), 6)
+           AS zipf_r2
+  FROM ztot t, zs s
+)"""

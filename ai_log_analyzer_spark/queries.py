@@ -3419,3 +3419,80 @@ def frontier_waves(spark, sf_dir):
         (d % 41).alias("domain"),
         F.col("n_chars").alias("priority"))
     return SCH.frontier_waves(urls, concurrency=4)
+
+
+# --- round-5 additions: BFS seed depth, text-reuse spans, Zipf slope --------
+
+_BFS_EDGES_SQL = f"""SELECT src, dst FROM (
+    SELECT doc_id AS src,
+           ({hash32_sql("doc_id::VARCHAR || '|bfs0'")} % 2048) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS src,
+           ({hash32_sql("doc_id::VARCHAR || '|bfs1'")} % 2048) AS dst
+    FROM documents
+  ) WHERE src <> dst"""
+
+_BFS_SEEDS_SQL = "SELECT doc_id AS node FROM documents WHERE doc_id % 509 = 0"
+
+
+@q("crawl_depth_bfs", f"""
+WITH RECURSIVE {G.bfs_depths_sql(_BFS_EDGES_SQL, _BFS_SEEDS_SQL, max_depth=6)}
+SELECT node, depth FROM bfs_depth
+""")
+def crawl_depth_bfs(spark, sf_dir):
+    """Minimum link distance from trusted seed pages (TrustRank-style
+    depth prior / OPIC crawl ordering) via delta-frontier BFS: each
+    round shuffles only the newly discovered frontier against the edge
+    table — never the settled set, never the corpus — so round cost
+    tracks the frontier, the property that keeps BFS viable on a
+    10^12-edge graph.  Fixture: 2 hash-derived out-links per doc into a
+    2048-node hub range, every 509th doc a seed; depths 0..6 and
+    unreachable nodes (absent rows) both occur at every SF
+    (functions/graph.bfs_depths; oracle = recursive walk with UNION
+    dedup + min(depth))."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|bfs{k}"))), F.lit(2048))
+        for k in range(2)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    seeds = (docs.filter(F.col("doc_id") % 509 == 0)
+             .select(F.col("doc_id").alias("node")))
+    return G.bfs_depths(edges, seeds, max_depth=6)
+
+
+@q("text_reuse_spans", f"""
+WITH {D.text_reuse_spans_sql("documents", "text", n=3, min_run=2)}
+SELECT doc_a, doc_b, n_aligned, n_runs, max_run_shingles, max_span_tokens
+FROM reuse_spans
+""")
+def text_reuse_spans_q(spark, sf_dir):
+    """Cross-document aligned text-reuse spans: for every doc pair
+    sharing a contiguous passage of ≥ 4 tokens (2 consecutive word
+    3-grams on one alignment diagonal), the longest shared passage
+    length, run count, and total aligned positions — the alignment-
+    structure signal Jaccard/MinHash mass scores cannot see.  One
+    stop-shingle-capped inverted-index join + one (pair, diagonal)
+    window (gaps-and-islands) + one uniform pair groupBy
+    (functions/dedup.text_reuse_spans)."""
+    return D.text_reuse_spans(_t(spark, sf_dir, "documents"),
+                              n=3, min_run=2)
+
+
+@q("zipf_slope", f"""
+WITH {TX.zipf_stats_sql("documents", "text", top_n=1000)}
+SELECT n_types, n_tokens, n_fit, zipf_slope, zipf_intercept, zipf_r2
+FROM zipf
+""")
+def zipf_slope(spark, sf_dir):
+    """Corpus Zipf diagnostics: exact type/token counts plus the OLS
+    fit of ln(freq) on ln(rank) over the top-1000 vocabulary — the
+    distribution-drift alarm curation dashboards track per
+    source/snapshot (template spam and over-dedup bend the slope).
+    One word groupBy, one distributed TakeOrdered (rank window over
+    ≤ 1000 survivors — never a global sort), one six-sum scalar agg
+    (functions/text.zipf_stats)."""
+    return TX.zipf_stats(_t(spark, sf_dir, "documents"), top_n=1000)

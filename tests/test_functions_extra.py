@@ -859,3 +859,85 @@ def test_ngram_novelty_one_shuffle_no_join(spark):
     plan = D2.ngram_novelty(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in plan
+
+
+# --- text_reuse_spans (functions/dedup.py) ----------------------------------
+
+
+def test_text_reuse_spans_hand_passage(spark):
+    # docs 0/1 share the contiguous 6-token passage "a b c d e f"
+    # (4 aligned 3-grams on one diagonal); doc 2 shares nothing long
+    rows = [
+        (0, "a b c d e f x1 y1 z1 w1"),
+        (1, "p q a b c d e f r s"),
+        (2, "a b zz c d zz e f zz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_a, r.doc_b): r
+           for r in D.text_reuse_spans(df, n=3, min_run=2).collect()}
+    assert (0, 1) in out
+    r = out[(0, 1)]
+    assert r.max_run_shingles == 4 and r.max_span_tokens == 6
+    assert r.n_runs == 1 and r.n_aligned == 4
+    # doc 2 shares only isolated single 3-grams (none) with 0/1
+    assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_text_reuse_spans_two_separate_runs(spark):
+    # shared passages "a b c d" (2 shingles) and "u v w x" (2 shingles)
+    # at DIFFERENT alignment offsets -> two runs, max_run 2
+    rows = [
+        (0, "a b c d m1 m2 m3 u v w x"),
+        (1, "a b c d k1 u v w x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    [r] = D.text_reuse_spans(df, n=3, min_run=2).collect()
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.n_runs == 2 and r.max_run_shingles == 2 and r.n_aligned == 4
+    assert r.max_span_tokens == 4
+
+
+def test_text_reuse_spans_df_cap_drops_boilerplate(spark):
+    # the same 4-token passage in EVERY doc is boilerplate: with
+    # df_cap=2 the shingles exceed doc-frequency 2 and no pair survives
+    rows = [(i, f"a b c d tail{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert D.text_reuse_spans(df, n=3, min_run=2, df_cap=2).count() == 0
+    # raising the cap restores the pairs
+    assert D.text_reuse_spans(df, n=3, min_run=2, df_cap=10).count() == 6
+
+
+# --- zipf_stats (functions/text.py) ------------------------------------------
+
+
+def test_zipf_stats_exact_counts_and_perfect_fit(spark):
+    # frequencies 8,4,2,1 over ranks 1..4: ln(freq) = ln(8) - ln(2)*?? no -
+    # freq = 8 * rank^(-s) only holds approximately; instead pin a corpus
+    # where freq(rank) = 2^(4-rank): y = ln(16) - ln(2)*... not linear in
+    # ln(rank) -> just pin counts exactly and fit coefficients to numpy
+    import math
+
+    words = ["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"]
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    [r] = TX.zipf_stats(df, top_n=1000).collect()
+    assert r.n_types == 4 and r.n_tokens == 15 and r.n_fit == 4
+    xs = [math.log(k) for k in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (8, 4, 2, 1)]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r.zipf_slope - round(slope, 6)) < 1e-9
+    inter = (sy - slope * sx) / n
+    assert abs(r.zipf_intercept - round(inter, 6)) < 1e-9
+    assert 0.9 < r.zipf_r2 <= 1.0
+
+
+def test_zipf_stats_top_n_caps_fit_not_totals(spark):
+    # 5 distinct words; top_n=2 fits only the 2 most frequent but the
+    # type/token totals still cover the whole vocabulary
+    text = "a a a b b c d e"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    [r] = TX.zipf_stats(df, top_n=2).collect()
+    assert r.n_types == 5 and r.n_tokens == 8 and r.n_fit == 2

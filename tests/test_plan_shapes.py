@@ -205,3 +205,45 @@ def test_new_ops_have_no_single_partition_exchange(spark):
                D.dup_passage_stats(docs, n=2)):
         plan = _plan(df)
         assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_reuse_spans_window_is_pair_partitioned(spark):
+    """text_reuse_spans' gaps-and-islands window is partitioned by
+    (doc_a, doc_b, diag) — the corpus-sized match table must never
+    cross an unpartitioned exchange, and the stop-shingle filter must
+    be a broadcast anti-join (never a shuffled one)."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(6)], ["doc_id", "text"])
+    plan = _plan(D.text_reuse_spans(docs, df_cap=10))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_zipf_fit_window_is_take_ordered(spark):
+    """zipf_stats ranks via TakeOrderedAndProject; the row_number
+    window must consume the ≤ top_n survivors, never a raw exchange of
+    the full vocabulary (same contract as bm25/bpe ranks)."""
+    from ai_log_analyzer_spark.functions import text as TX
+    docs = spark.createDataFrame(
+        [(1, "spark rules the web"), (2, "spark spark web")],
+        ["doc_id", "text"])
+    plan = _plan(TX.zipf_stats(docs, top_n=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_bfs_joins_frontier_not_settled(spark):
+    """bfs_depths per-round join is frontier ⨝ edges: after the run,
+    the returned plan is a checkpoint scan union — no residual joins
+    of the full settled set (delta-frontier BFS, the property that
+    keeps round cost frontier-sized at 10^12 edges)."""
+    from ai_log_analyzer_spark.functions import graph as G
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    out = G.bfs_depths(edges, seeds, max_depth=3)
+    plan = _plan(out)
+    # localCheckpoint per round bounds the plan: the final DataFrame
+    # reads checkpointed RDDs, no join/exchange chain survives
+    assert "Join" not in plan, plan

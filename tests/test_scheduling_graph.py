@@ -116,3 +116,38 @@ def test_frontier_waves_rejects_bad_concurrency(spark):
         [("u", 1, 1)], "url string, domain long, priority long")
     with pytest.raises(ValueError):
         SCH.frontier_waves(urls, concurrency=0)
+
+
+# --- bfs_depths (functions/graph.py) ----------------------------------------
+
+
+def test_bfs_depths_hand_graph(spark):
+    # 0 -> 1 -> 2 -> 3 (chain), 0 -> 2 (shortcut), 9 isolated source
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (9, 8)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.depth for r in G.bfs_depths(edges, seeds).collect()}
+    # shortcut wins: 2 is depth 1, not 2; 8/9 unreachable -> absent
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_depths_multi_seed_min_and_cap(spark):
+    # two seeds, chain 0->1->2->3->4->5->6->7; cap at 3 hops
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (5,)], ["node"])
+    got = {r.node: r.depth
+           for r in G.bfs_depths(edges, seeds, max_depth=3).collect()}
+    # 4 is unreachable within the cap going 0->..., but NOT seeded;
+    # 6/7 take their depth from the nearer seed 5
+    assert got == {0: 0, 5: 0, 1: 1, 6: 1, 2: 2, 7: 2, 3: 3}
+
+
+def test_bfs_depths_early_stop_on_empty_frontier(spark):
+    # frontier empties after round 1; rounds 2..6 must not run any jobs
+    # that change the result, and seeds-only graphs settle at depth 0
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (1,)], ["node"])
+    got = {r.node: r.depth
+           for r in G.bfs_depths(edges, seeds, max_depth=6).collect()}
+    assert got == {0: 0, 1: 0}
