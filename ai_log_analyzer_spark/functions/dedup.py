@@ -1119,3 +1119,68 @@ reuse_spans AS (
   FROM rs_runs GROUP BY doc_a, doc_b
   HAVING max(run_len) >= {min_run}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup: NEW crawl vs FROZEN corpus.  Production
+# pipelines never re-dedup the whole corpus per snapshot — they keep
+# the existing corpus' LSH band index and probe it with the new docs
+# only (the shape CCNet/RefinedWeb describe for cross-snapshot dedup).
+# Candidates are new⨝old band collisions ONLY — new×new and old×old
+# pairs never form — and exact Jaccard verifies candidates only, so
+# the per-snapshot cost tracks the snapshot, not the corpus.
+
+
+def banded_signatures(df: DataFrame, n_hashes: int = 8, bands: int = 4,
+                      n: int = 3) -> DataFrame:
+    """(doc_id, band, sig) LSH band keys — the probe/index rows.  In
+    production the OLD side of ``incremental_lsh_pairs`` persists this
+    table (plus per-doc shingle sets) as the dedup index; here both
+    sides recompute it from text, which only adds map-side work."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    p = df.sparkSession.sparkContext.defaultParallelism
+    sig = minhash_signatures(n_hashes=n_hashes,
+                             sh=raw_shingles(df.repartition(p), n=n))
+    band_cols = []
+    for bidx in range(bands):
+        cols = [F.col(f"h{bidx * rows + r}").cast("string")
+                for r in range(rows)]
+        band_cols.append(F.struct(F.lit(bidx).alias("band"),
+                                  F.md5(F.concat_ws("_", *cols)).alias("sig")))
+    return (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+            .select("doc_id", F.col("b.band").alias("band"),
+                    F.col("b.sig").alias("sig")))
+
+
+def incremental_lsh_pairs(old: DataFrame, new: DataFrame,
+                          n_hashes: int = 8, bands: int = 4, n: int = 3,
+                          threshold: float = 0.5) -> DataFrame:
+    """(new_id, old_id, jaccard) for every NEW doc near-duplicating an
+    OLD doc (exact word-n-gram Jaccard ≥ threshold among band-collision
+    candidates).  Same 4×2 S-curve banding as ``minhash_lsh_pairs``;
+    the candidate join is new-bands ⨝ old-bands — never a self-join —
+    so candidate volume is output-sensitive in the snapshot size."""
+    ba = banded_signatures(new, n_hashes=n_hashes, bands=bands, n=n) \
+        .select(F.col("doc_id").alias("new_id"), "band", "sig")
+    bo = banded_signatures(old, n_hashes=n_hashes, bands=bands, n=n) \
+        .select(F.col("doc_id").alias("old_id"), "band", "sig")
+    cand = ba.join(bo, ["band", "sig"]).select("new_id", "old_id").distinct()
+    sh_new = shingles(new, n=n).select(F.col("doc_id").alias("new_id"),
+                                       F.col("shingle_hash").alias("sh_a"))
+    sh_old = shingles(old, n=n).select(F.col("doc_id").alias("_old_id"),
+                                       F.col("shingle_hash").alias("sh_b"))
+    sz_new = sh_new.groupBy("new_id").agg(F.count("*").alias("sz_a"))
+    sz_old = sh_old.groupBy("_old_id").agg(F.count("*").alias("sz_b"))
+    inter = (cand.join(sh_new, "new_id")
+             .join(sh_old, (F.col("old_id") == F.col("_old_id")) &
+                           (F.col("sh_a") == F.col("sh_b")))
+             .groupBy("new_id", "old_id")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter.join(sz_new, "new_id")
+            .join(sz_old.withColumnRenamed("_old_id", "old_id"), "old_id")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter") /
+                (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "old_id", "jaccard"))

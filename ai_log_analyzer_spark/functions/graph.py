@@ -389,3 +389,143 @@ bwalk AS (
 bfs_depth AS (
   SELECT node, min(depth)::BIGINT AS depth FROM bwalk GROUP BY node
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (Raghavan et al., Phys. Rev. E 2007 —
+# public algorithm, reimplemented relationally).  Connectivity (the CC
+# operators) answers "same near-dup cluster?"; community structure
+# answers "same densely-linked neighborhood?" — the host/domain
+# community signal behind link-farm discovery and topical crawl
+# scheduling.  Synchronous LPA with a deterministic mode rule: each
+# round every node adopts the most frequent label among its neighbors,
+# ties broken by the SMALLEST label, so every engine converges to
+# bit-identical assignments (textbook LPA breaks ties randomly, which
+# no oracle could reproduce).
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, community) after ``iters`` synchronous LPA rounds over
+    the UNDIRECTED simple graph (edges are symmetrized + deduped);
+    labels start as the node id; isolated directions keep their label.
+
+    Per round: ONE edge⨝label equi-join on src (the edge table rides
+    pre-partitioned via localCheckpoint), one (node, label) groupBy
+    with map-side partials, one partial-aggregable max_by — the mode
+    rule never sorts neighbor lists — and one left join back to carry
+    unchanged labels.  Hub nodes are AQE's skew case; plan growth is
+    checkpoint-bounded exactly like pagerank/CC."""
+    fwd = edges.select(F.col("src").cast("long").alias("src"),
+                       F.col("dst").cast("long").alias("dst"))
+    e = (fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    lab = (nodes.select("node", F.col("node").alias("label"))
+           .localCheckpoint(eager=True))
+    for _ in range(iters):
+        nb = (e.join(lab, e["src"] == lab["node"])
+              .select(F.col("dst").alias("node"), "label"))
+        cnt = nb.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        # mode with smallest-label ties: max over (cnt, -label)
+        upd = cnt.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("cnt").alias("c"),
+                                       (-F.col("label")).alias("nl")))
+            .alias("_new"))
+        lab = (lab.join(upd, "node", "left")
+               .select("node", F.coalesce("_new", "label").alias("label"))
+               .localCheckpoint(eager=True))
+    return lab.select("node", F.col("label").alias("community"))
+
+
+def label_propagation_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB oracle: the same symmetrize + deterministic-mode rounds,
+    unrolled; mode via row_number (cnt desc, label asc) = Spark's
+    max_by(label, (cnt, -label)).  Final SELECT from lp{iters}."""
+    sql = [f"lpe0 AS ({edges_cte})",
+           "lpe AS (SELECT DISTINCT src, dst FROM ("
+           "SELECT src, dst FROM lpe0 UNION ALL "
+           "SELECT dst AS src, src AS dst FROM lpe0) WHERE src <> dst)",
+           "lpn AS (SELECT DISTINCT src AS node FROM lpe)",
+           "lp0 AS (SELECT node, node AS label FROM lpn)"]
+    for i in range(iters):
+        sql.append(f"""lpc{i} AS (
+  SELECT e.dst AS node, l.label, count(*) AS cnt
+  FROM lpe e JOIN lp{i} l ON l.node = e.src GROUP BY 1, 2),
+lp{i + 1} AS (
+  SELECT l.node, coalesce(u.label, l.label) AS label
+  FROM lp{i} l LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT node, label, row_number() OVER (
+        PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+      FROM lpc{i}) WHERE rn = 1) u ON u.node = l.node)""")
+    return (",\n".join(sql) +
+            f"\nSELECT node, label AS community FROM lp{iters}")
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (Seidman 1983; distributed peel after Montresor et al.,
+# "Distributed k-Core Decomposition", PODC 2011 — public literature,
+# reimplemented relationally).  The k-core — the maximal subgraph where
+# every node keeps degree ≥ k — is the dense-subgraph signal behind
+# web-spam farms and seed-quality cores (TrustRank seeds are picked
+# from high cores).  Deterministic FIXED-ROUND peel: both engines run
+# exactly ``max_rounds`` delete-below-k rounds (a converged round is a
+# no-op, so early-stopping Spark at the fixpoint cannot diverge from
+# the oracle's unrolled rounds).
+
+
+def kcore_peel(edges: DataFrame, k: int = 4,
+               max_rounds: int = 8) -> DataFrame:
+    """(node, degree) over the subgraph surviving ``max_rounds`` peel
+    rounds of the symmetrized simple graph (= the exact k-core whenever
+    peeling converges within the budget, which one extra no-op round
+    detects).  Per round: one degree groupBy (map-side partials) + two
+    LEFT SEMI joins of the shrinking edge table against the keep set +
+    a localCheckpoint; an edge-count probe on the fresh checkpoint
+    early-stops converged graphs.  The edge table only ever SHRINKS —
+    round cost is monotonically decreasing, the property that makes
+    peeling viable where per-node iteration is not."""
+    fwd = edges.select(F.col("src").cast("long").alias("src"),
+                       F.col("dst").cast("long").alias("dst"))
+    e = (fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint(eager=True))
+    cnt = e.count()
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("_k"))
+        e = (e.join(keep, e["src"] == keep["_k"], "left_semi")
+             .join(keep, e["dst"] == keep["_k"], "left_semi")
+             .localCheckpoint(eager=True))
+        c2 = e.count()
+        if c2 == cnt:
+            break
+        cnt = c2
+    return (e.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("long").alias("degree")))
+
+
+def kcore_sql(edges_cte: str, k: int = 4, max_rounds: int = 8) -> str:
+    """DuckDB oracle: the same symmetrize + fixed peel rounds,
+    unrolled; yields ``kcore``."""
+    # every kc{i} is referenced 3× per round (degree CTE + both semi
+    # sides) — without AS MATERIALIZED DuckDB inlines each reference
+    # and the plan explodes 3^rounds (observed: "too many open files"
+    # from thousands of re-expanded parquet scans)
+    sql = [f"kce0 AS MATERIALIZED ({edges_cte})",
+           "kce AS (SELECT DISTINCT src, dst FROM ("
+           "SELECT src, dst FROM kce0 UNION ALL "
+           "SELECT dst AS src, src AS dst FROM kce0) WHERE src <> dst)",
+           "kc0 AS MATERIALIZED (SELECT src, dst FROM kce)"]
+    for i in range(max_rounds):
+        sql.append(f"""kk{i} AS MATERIALIZED (
+  SELECT src AS node FROM kc{i} GROUP BY src HAVING count(*) >= {k}),
+kc{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM kc{i} e
+  JOIN kk{i} a ON a.node = e.src JOIN kk{i} b ON b.node = e.dst)""")
+    sql.append(f"kcore AS (SELECT src AS node, count(*)::BIGINT AS degree "
+               f"FROM kc{max_rounds} GROUP BY src)")
+    return ",\n".join(sql)

@@ -405,3 +405,73 @@ def semdedup(emb: DataFrame, centroids: list[list[float]],
             .select("vec_id", "cell",
                     F.when(F.col("_d").isNull(), 1).otherwise(0)
                     .cast("int").alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid cosine matrix.  Embedding-space health check for
+# semantic dedup / mixture analysis: the pairwise cosine between
+# per-cluster (label) MEAN vectors measures cluster separation —
+# collapsed embedding spaces (all centroids cosine ≈ 1) make SemDeDup
+# and ANN pruning meaningless, so curation dashboards track exactly
+# this matrix per snapshot.
+
+
+def label_centroid_cosine(emb: DataFrame, vec_col: str = "embedding",
+                          label_col: str = "label") -> DataFrame:
+    """(label_a, label_b, cosine) for every unordered label pair
+    (label_a < label_b), cosine between the labels' mean embeddings,
+    rounded 6 dp.
+
+    Scale shape: the ONLY corpus-sized stage is one (label, dim)
+    partial-agg mean — corpus rows die map-side into ≤ labels×dims
+    partials.  Norms, the dim-keyed centroid self-join, and the pair
+    agg all run over the centroid table (labels×dims rows — bounded by
+    the label vocabulary at ANY corpus size)."""
+    x = emb.select(F.col(label_col).alias("label"),
+                   F.posexplode(F.col(vec_col).cast("array<double>"))
+                   .alias("dim", "v"))
+    cent = x.groupBy("label", "dim").agg(F.avg("v").alias("m"))
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).alias("n2"))
+    a = cent.select(F.col("label").alias("label_a"), "dim",
+                    F.col("m").alias("ma"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("dim").alias("_dim"), F.col("m").alias("mb"))
+    dots = (a.join(b, (F.col("dim") == F.col("_dim")) &
+                   (F.col("label_a") < F.col("label_b")))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot")))
+    na = norms.select(F.col("label").alias("label_a"),
+                      F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("label").alias("label_b"),
+                      F.col("n2").alias("n2b"))
+    return (dots.join(na, "label_a").join(nb, "label_b")
+            .select("label_a", "label_b",
+                    F.round(F.col("dot") /
+                            F.sqrt(F.col("n2a") * F.col("n2b")), 6)
+                    .alias("cosine")))
+
+
+def label_centroid_cosine_sql(table: str = "embeddings",
+                              vec_expr: str = "embedding",
+                              label_expr: str = "label") -> str:
+    """DuckDB oracle: identical (label, dim) mean + dim-join cosine;
+    yields ``centroid_cos``."""
+    return f"""cc_x AS (
+  SELECT {label_expr} AS label, i AS dim, emb[i] AS v
+  FROM (SELECT {label_expr}, {vec_expr}::DOUBLE[] AS emb FROM {table}),
+       unnest(generate_series(1, len(emb))) AS t(i)
+),
+cc_cent AS (SELECT label, dim, avg(v) AS m FROM cc_x GROUP BY 1, 2),
+cc_norm AS (SELECT label, sum(m * m) AS n2 FROM cc_cent GROUP BY 1),
+cc_dot AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+  FROM cc_cent a JOIN cc_cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+),
+centroid_cos AS (
+  SELECT d.label_a, d.label_b,
+         round(d.dot / sqrt(na.n2 * nb.n2), 6) AS cosine
+  FROM cc_dot d JOIN cc_norm na ON na.label = d.label_a
+                JOIN cc_norm nb ON nb.label = d.label_b
+)"""

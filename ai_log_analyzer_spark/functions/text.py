@@ -1331,3 +1331,203 @@ zipf AS (
            AS zipf_r2
   FROM ztot t, zs s
 )"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction.  Corpus curation tags every document with
+# its most-distinctive terms (topic bucketing, mixture audits, search
+# facets); the classic extractor is top-k terms by tf·idf (Spärck
+# Jones 1972).  Pure relational: one (doc, word) count, one vocab-sized
+# doc-frequency agg, one doc-partitioned window over the doc's own
+# vocabulary — never a global sort.
+
+
+def tfidf_keywords(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
+    """(doc_id, rank, word, tf, score): the ``top_k`` highest-tf·idf
+    terms per non-empty document; score = tf · ln(n_docs/df), rounded
+    6 dp, rank ties broken by word (deterministic).
+
+    Scale shape: tf is one (doc, word) groupBy with map-side combine;
+    df is a vocab-sized agg OF tf (no second corpus scan); the join
+    back to tf is word-keyed (stop words are the skew tail — AQE
+    skew-split case); the rank window partitions by doc_id — millions
+    of tiny groups.  The ordering key is the ROUNDED score on both
+    engines, so 1-ulp libm differences in ln cannot reorder ranks."""
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    words = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    totals = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (tf.join(dfreq, "word")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(F.col("n_docs").cast("double") /
+                                      F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top_k)
+            .select("doc_id", "rank", "word",
+                    F.col("tf").cast("long").alias("tf"), "score"))
+
+
+def tfidf_keywords_sql(table: str = "documents", text_expr: str = "text",
+                       top_k: int = 3) -> str:
+    """DuckDB oracle: identical tf/df/score and rank ordering; yields
+    ``tfidf_kw``."""
+    return f"""kw_words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower({text_expr})), '\\s+'))
+           AS word
+  FROM {table} WHERE trim({text_expr}) <> ''
+),
+kw_tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+          FROM kw_words GROUP BY 1, 2),
+kw_df AS (SELECT word, count(*)::BIGINT AS df FROM kw_tf GROUP BY 1),
+kw_nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM kw_tf),
+kw_scored AS (
+  SELECT t.doc_id, t.word, t.tf,
+         round(t.tf * ln(n.n_docs::DOUBLE / d.df), 6) AS score
+  FROM kw_tf t JOIN kw_df d USING (word), kw_nd n
+),
+tfidf_kw AS (
+  SELECT doc_id, rank, word, tf, score FROM (
+    SELECT doc_id, word, tf, score,
+           (row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word))::INT AS rank
+    FROM kw_scored
+  ) WHERE rank <= {top_k}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility.  The standard tokenizer-evaluation statistic
+# (e.g. the XLM-R / multilingual-tokenizer literature): subword tokens
+# emitted PER WHITESPACE WORD ("fertility") and characters per subword
+# token, aggregated per language.  High-fertility languages are
+# under-served by the merge table and over-billed in training compute —
+# mixture planners reweight on exactly this number.  Reuses the frozen
+# BPE merge chain of ``bpe_encode_counts`` — a pure codegen projection,
+# one lang groupBy, zero Python.
+
+
+def bpe_fertility(df: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, n_words, n_bpe_tokens, n_chars, fertility,
+    chars_per_token) per language over non-empty docs: fertility =
+    n_bpe_tokens/n_words, chars_per_token = n_chars/n_bpe_tokens
+    (both rounded 6 dp; n_chars counts non-whitespace chars)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def enc_len(w):
+        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in BPE_MERGES:
+            s = F.replace(s, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+        return F.size(F.split(s, " "))
+
+    per = (df.filter(F.trim(F.col(text_col)) != "")
+           .select(F.col(lang_col).alias("lang"),
+                   F.size(toks).cast("long").alias("_w"),
+                   F.aggregate(F.transform(toks, enc_len), F.lit(0),
+                               lambda acc, x: acc + x)
+                   .cast("long").alias("_b"),
+                   F.aggregate(F.transform(toks, F.length), F.lit(0),
+                               lambda acc, x: acc + x)
+                   .cast("long").alias("_c")))
+    return (per.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_w").cast("long").alias("n_words"),
+                 F.sum("_b").cast("long").alias("n_bpe_tokens"),
+                 F.sum("_c").cast("long").alias("n_chars"))
+            .withColumn("fertility", F.round(
+                F.col("n_bpe_tokens") / F.col("n_words"), 6))
+            .withColumn("chars_per_token", F.round(
+                F.col("n_chars") / F.col("n_bpe_tokens"), 6)))
+
+
+def bpe_fertility_sql(table: str = "documents", text_expr: str = "text",
+                      lang_expr: str = "lang") -> str:
+    """DuckDB oracle: the same merge chain and per-lang sums; yields
+    ``fertility``."""
+    enc = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for a, b in BPE_MERGES:
+        enc = f"replace({enc}, '{a} {b}', '{a}{b}')"
+    return f"""fert_per AS (
+  SELECT {lang_expr} AS lang,
+         len(toks)::BIGINT AS _w,
+         list_sum(list_transform(toks,
+             w -> len(string_split({enc}, ' '))))::BIGINT AS _b,
+         list_sum(list_transform(toks, w -> len(w)))::BIGINT AS _c
+  FROM (SELECT {lang_expr}, {text_expr},
+               regexp_split_to_array(trim({text_expr}), '\\s+') AS toks
+        FROM {table} WHERE trim({text_expr}) <> '')
+),
+fertility AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(_w)::BIGINT AS n_words,
+         sum(_b)::BIGINT AS n_bpe_tokens, sum(_c)::BIGINT AS n_chars,
+         round(sum(_b) / sum(_w), 6) AS fertility,
+         round(sum(_c) / sum(_b), 6) AS chars_per_token
+  FROM fert_per GROUP BY lang
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report.  The dataset-card rollup every curation run
+# publishes per source: volume (docs/tokens), language spread, and the
+# exact-duplicate rate against the WHOLE corpus (a source whose docs
+# are mostly owned by earlier sources is contributing nothing new —
+# the first-screen signal in mixture planning).
+
+
+def source_report(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", source_col: str = "source",
+                  lang_col: str = "lang") -> DataFrame:
+    """(source, n_docs, n_tokens, n_langs, n_dup_docs, dup_ppm) per
+    source; a doc is a duplicate iff its normalized-content fingerprint
+    is owned (min doc_id, corpus-wide) by an EARLIER doc — cross-source
+    duplicates count against the later source, same first-owner rule as
+    the dedup operators.
+
+    Scale shape: one fingerprint projection (codegen), one window-min
+    shuffle on fingerprint (never a groupBy + join-back), one uniform
+    source groupBy."""
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(source_col).alias("source"),
+                     F.col(lang_col).alias("lang"),
+                     token_count(F.col(text_col)).cast("long").alias("_t"),
+                     fingerprint(F.col(text_col)).alias("_fp"))
+    first = F.min("doc_id").over(Window.partitionBy("_fp"))
+    return (base.withColumn("_dup", (F.col("doc_id") > first).cast("long"))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_t").cast("long").alias("n_tokens"),
+                 F.countDistinct("lang").cast("long").alias("n_langs"),
+                 F.sum("_dup").cast("long").alias("n_dup_docs"))
+            .withColumn("dup_ppm",
+                        F.expr("(n_dup_docs * 1000000L) div n_docs")
+                        .cast("long")))
+
+
+def source_report_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB oracle: same fingerprint first-owner + per-source sums;
+    yields ``srcrep``."""
+    return f"""sr_base AS (
+  SELECT doc_id, source, lang,
+         ({token_count_sql(text_expr)})::BIGINT AS t,
+         {fingerprint_sql(text_expr)} AS fp
+  FROM {table}
+),
+sr_own AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS first_doc
+           FROM sr_base),
+srcrep AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_docs,
+         ((sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END) * 1000000)
+          // count(*))::BIGINT AS dup_ppm
+  FROM sr_own GROUP BY source
+)"""

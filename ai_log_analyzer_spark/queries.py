@@ -3496,3 +3496,166 @@ def zipf_slope(spark, sf_dir):
     ≤ 1000 survivors — never a global sort), one six-sum scalar agg
     (functions/text.zipf_stats)."""
     return TX.zipf_stats(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
+# --- round-5 batch 2: keywords, fertility, communities, incremental dedup ---
+
+@q("tfidf_keywords", f"""
+WITH {TX.tfidf_keywords_sql("documents", "text", top_k=3)}
+SELECT doc_id, rank, word, tf, score FROM tfidf_kw
+""")
+def tfidf_keywords(spark, sf_dir):
+    """Top-3 tf·idf keyword terms per doc (Spärck Jones weighting) —
+    the topic-tagging/mixture-audit extractor.  One (doc, word)
+    groupBy, one vocab-sized df agg OF tf (no second corpus scan), one
+    word-keyed join back, one doc-partitioned rank window ordered by
+    the ROUNDED score (libm-drift-proof)
+    (functions/text.tfidf_keywords)."""
+    return TX.tfidf_keywords(_t(spark, sf_dir, "documents"), top_k=3)
+
+
+@q("bpe_fertility", f"""
+WITH {TX.bpe_fertility_sql("documents", "text", "lang")}
+SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars, fertility,
+       chars_per_token
+FROM fertility
+""")
+def bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (subword tokens per word) and
+    chars-per-token under the frozen 5-merge BPE — the multilingual-
+    tokenizer-equity statistic mixture planners reweight on.  Pure
+    codegen projection + one lang groupBy
+    (functions/text.bpe_fertility)."""
+    return TX.bpe_fertility(_t(spark, sf_dir, "documents"))
+
+
+_LP_EDGES_SQL = f"""SELECT doc_id AS src,
+       ({hash32_sql("doc_id::VARCHAR || '|lp0'")} % 512) AS dst
+FROM documents
+UNION ALL
+SELECT doc_id AS src,
+       ({hash32_sql("doc_id::VARCHAR || '|lp1'")} % 512) AS dst
+FROM documents"""
+
+
+@q("lp_communities",
+   "WITH " + G.label_propagation_sql(_LP_EDGES_SQL, iters=3))
+def lp_communities(spark, sf_dir):
+    """Label-propagation communities (Raghavan et al. 2007, synchronous
+    rounds, deterministic smallest-label tie-break) over the symmetrized
+    synthetic link graph — the densely-linked-neighborhood signal behind
+    link-farm discovery, complementing connectivity (CC) and centrality
+    (PageRank/HITS).  Per round: one edge⨝label join + one (node,label)
+    groupBy + one partial-aggregable max_by mode — neighbor lists are
+    never sorted (functions/graph.label_propagation)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|lp{k}"))), F.lit(512))
+        for k in range(2)])
+    edges = docs.select(F.col("doc_id").alias("src"),
+                        F.explode(lanes).alias("dst"))
+    return G.label_propagation(edges, iters=3)
+
+
+_ILSH_CTES = f"""ish AS ({_SHINGLE_CTE}),
+ishh AS (SELECT DISTINCT doc_id, {hash32_sql('shingle')} AS shingle_hash
+         FROM ish),
+idigs AS (SELECT doc_id, {_MINHASH_DIGS} FROM ish),
+isig AS (SELECT doc_id, {_MINHASH_LANES} FROM idigs GROUP BY doc_id),
+ibands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, md5(h{2 * b}::VARCHAR || '_' || h{2 * b + 1}::VARCHAR) AS sig FROM isig" for b in range(4))}
+),
+icand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM ibands a JOIN ibands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+isizes AS (SELECT doc_id, count(*) AS n_sh FROM ishh GROUP BY 1),
+iinter AS (
+  SELECT new_id, old_id, count(*) AS n_inter
+  FROM icand JOIN ishh sa ON sa.doc_id = icand.new_id
+             JOIN ishh sb ON sb.doc_id = icand.old_id
+                         AND sa.shingle_hash = sb.shingle_hash
+  GROUP BY 1, 2)"""
+
+
+@q("incremental_lsh_dedup", f"""
+WITH {_ILSH_CTES}
+SELECT new_id, old_id,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM iinter JOIN isizes sa ON sa.doc_id = new_id
+            JOIN isizes sb ON sb.doc_id = old_id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+""")
+def incremental_lsh_dedup(spark, sf_dir):
+    """Incremental cross-snapshot near-dup dedup: NEW docs (doc_id %
+    5 = 0, the fresh crawl) probe the FROZEN corpus' LSH band index —
+    candidates are new⨝old band collisions only (never a self-join),
+    exact Jaccard verifies candidates only, so per-snapshot cost tracks
+    the snapshot, not the corpus
+    (functions/dedup.incremental_lsh_pairs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_lsh_pairs(old, new, n_hashes=8, bands=4, n=3,
+                                   threshold=0.5)
+
+
+# --- round-5 batch 3: k-core, centroid separation, source report ------------
+
+_KCORE_EDGES_SQL = f"""SELECT src, dst FROM (
+    {' UNION ALL '.join(
+        f"SELECT doc_id AS src, ({hash32_sql(f'''doc_id::VARCHAR || '|pr{k}' ''')} % 256) AS dst FROM documents"
+        for k in range(3))}
+  ) WHERE src <> dst"""
+
+
+@q("kcore_nodes", f"""
+WITH {G.kcore_sql(_KCORE_EDGES_SQL, k=4, max_rounds=8)}
+SELECT node, degree FROM kcore
+""")
+def kcore_nodes(spark, sf_dir):
+    """4-core of the synthetic link graph (Seidman k-core via
+    distributed peeling, Montresor et al. PODC 2011): the dense-
+    subgraph signal behind web-spam farms and TrustRank seed cores.
+    Fixed 8-round peel (identical in the oracle; Spark early-stops at
+    the fixpoint, provably a no-op divergence).  Per round one degree
+    groupBy + two LEFT SEMI joins of a monotonically SHRINKING edge
+    table (functions/graph.kcore_peel)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|pr{k}"))), F.lit(256))
+        for k in range(3)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return G.kcore_peel(edges, k=4, max_rounds=8)
+
+
+@q("centroid_cosine_matrix", f"""
+WITH {S.label_centroid_cosine_sql("embeddings", "embedding", "label")}
+SELECT label_a, label_b, cosine FROM centroid_cos
+""")
+def centroid_cosine_matrix(spark, sf_dir):
+    """Pairwise cosine between per-label mean embeddings — the
+    embedding-space separation diagnostic SemDeDup/ANN pruning quality
+    depends on (collapsed spaces → all centroids cosine ≈ 1).  The only
+    corpus-sized stage is ONE (label, dim) partial-agg mean; everything
+    downstream runs over the labels×dims centroid table
+    (functions/similarity.label_centroid_cosine)."""
+    return S.label_centroid_cosine(_t(spark, sf_dir, "embeddings"))
+
+
+@q("source_report", f"""
+WITH {TX.source_report_sql("documents", "text")}
+SELECT source, n_docs, n_tokens, n_langs, n_dup_docs, dup_ppm
+FROM srcrep
+""")
+def source_report_q(spark, sf_dir):
+    """Per-source dataset-card rollup: volume, language spread, and the
+    corpus-wide exact-duplicate rate (first-owner fingerprint rule —
+    cross-source dups bill the LATER source).  One fingerprint
+    window-min shuffle + one uniform source groupBy
+    (functions/text.source_report)."""
+    return TX.source_report(_t(spark, sf_dir, "documents"))

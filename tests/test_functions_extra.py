@@ -941,3 +941,134 @@ def test_zipf_stats_top_n_caps_fit_not_totals(spark):
     df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
     [r] = TX.zipf_stats(df, top_n=2).collect()
     assert r.n_types == 5 and r.n_tokens == 8 and r.n_fit == 2
+
+
+# --- tfidf_keywords / bpe_fertility (functions/text.py) ----------------------
+
+
+def test_tfidf_keywords_hand_corpus(spark):
+    import math
+    rows = [
+        (0, "apple apple banana shared"),
+        (1, "cherry shared shared"),
+        (2, "banana date shared"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = TX.tfidf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in kw:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5);
+    # shared df=3 -> idf 0.  Top-2 = apple, banana.
+    d0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert [r.word for r in d0] == ["apple", "banana"]
+    assert d0[0].tf == 2
+    assert abs(d0[0].score - round(2 * math.log(3), 6)) < 1e-9
+    # doc 1: cherry beats shared (idf 0); shared still ranks 2nd of 2
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.word for r in d1] == ["cherry", "shared"]
+    assert d1[1].score == 0.0
+
+
+def test_tfidf_rank_tie_breaks_by_word(spark):
+    # two words, same tf, same df -> identical score; rank by word asc
+    df = spark.createDataFrame([(0, "zeta alpha"), (1, "other words")],
+                               ["doc_id", "text"])
+    d0 = sorted((r for r in TX.tfidf_keywords(df, top_k=2).collect()
+                 if r.doc_id == 0), key=lambda r: r.rank)
+    assert [r.word for r in d0] == ["alpha", "zeta"]
+
+
+def test_bpe_fertility_hand_values(spark):
+    # "er" merges to ONE token (1 word -> 1 subword, 2 chars);
+    # "xy" never merges (1 word -> 2 subwords, 2 chars)
+    rows = [(0, "er er", "en"), (1, "xy", "de"), (2, "  ", "fr")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.lang: r for r in TX.bpe_fertility(df).collect()}
+    assert "fr" not in out                       # blank doc filtered
+    en = out["en"]
+    assert (en.n_docs, en.n_words, en.n_bpe_tokens, en.n_chars) == (1, 2, 2, 4)
+    assert en.fertility == 1.0 and en.chars_per_token == 2.0
+    de = out["de"]
+    assert (de.n_words, de.n_bpe_tokens) == (1, 2)
+    assert de.fertility == 2.0 and de.chars_per_token == 1.0
+
+
+# --- incremental_lsh_pairs (functions/dedup.py) -------------------------------
+
+
+def test_incremental_lsh_finds_cross_side_dups_only(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally unrelated words here today")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, base), (11, "nothing in common with anything at all whatsoever")],
+        ["doc_id", "text"])
+    out = {(r.new_id, r.old_id): r.jaccard
+           for r in D.incremental_lsh_pairs(old, new, threshold=0.5).collect()}
+    assert (10, 1) in out and out[(10, 1)] == 1.0       # exact cross dup
+    assert (10, 2) in out and 0.5 <= out[(10, 2)] < 1.0  # near cross dup
+    assert all(k[0] == 10 for k in out)                  # 11 matches nothing
+    # old×old (1,2) and new×new pairs never appear by construction
+    assert (1, 2) not in out and (2, 1) not in out
+
+
+def test_incremental_lsh_matches_full_lsh_restricted(spark):
+    # on a corpus where ALL near-dup pairs straddle the old/new split,
+    # incremental output == full minhash_lsh_pairs restricted to
+    # cross-side pairs (same banding, same verify)
+    texts = ["alpha beta gamma delta epsilon zeta eta theta " + t
+             for t in ("", "iota", "", "kappa lambda mu nu xi")]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    old = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = {(r.new_id, r.old_id): r.jaccard
+           for r in D.incremental_lsh_pairs(old, new, threshold=0.5).collect()}
+    full = D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    cross = {}
+    for r in full:
+        a, b = r.doc_a, r.doc_b
+        if a % 2 == 0 and b % 2 == 1:
+            cross[(a, b)] = r.jaccard
+        elif b % 2 == 0 and a % 2 == 1:
+            cross[(b, a)] = r.jaccard
+    assert inc == cross
+
+
+# --- label_centroid_cosine (functions/similarity.py) --------------------------
+
+
+def test_centroid_cosine_hand_vectors(spark):
+    # label 0 mean = (1,0); label 1 mean = (0,1); label 2 mean = (1,0)
+    rows = [
+        (0, [2.0, 0.0], 0), (1, [0.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [3.0, 0.0], 2), (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {(r.label_a, r.label_b): r.cosine
+           for r in S.label_centroid_cosine(df).collect()}
+    assert out[(0, 1)] == 0.0          # orthogonal centroids
+    assert out[(0, 2)] == 1.0          # parallel centroids
+    assert out[(1, 2)] == 0.0
+    assert len(out) == 3               # all unordered pairs, a < b
+
+
+# --- source_report (functions/text.py) ----------------------------------------
+
+
+def test_source_report_cross_source_dup_bills_later_source(spark):
+    rows = [
+        (0, "the same exact page", "en", "cc"),
+        (1, "unique content alpha", "en", "cc"),
+        (2, "The  same EXACT page", "de", "wiki"),   # dup of 0 (normalized)
+        (3, "another unique page here", "en", "wiki"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {r.source: r for r in TX.source_report(df).collect()}
+    cc, wiki = out["cc"], out["wiki"]
+    assert (cc.n_docs, cc.n_dup_docs, cc.dup_ppm) == (2, 0, 0)
+    assert (wiki.n_docs, wiki.n_dup_docs, wiki.dup_ppm) == (2, 1, 500000)
+    assert cc.n_langs == 1 and wiki.n_langs == 2
+    assert cc.n_tokens == 4 + 3 and wiki.n_tokens == 4 + 4

@@ -247,3 +247,73 @@ def test_bfs_joins_frontier_not_settled(spark):
     # localCheckpoint per round bounds the plan: the final DataFrame
     # reads checkpointed RDDs, no join/exchange chain survives
     assert "Join" not in plan, plan
+
+
+def test_batch2_ops_no_single_partition_no_python(spark):
+    """tfidf_keywords (doc-partitioned rank window), bpe_fertility
+    (codegen projection + lang groupBy), incremental_lsh_pairs
+    (new⨝old band probe): none may funnel the corpus through an
+    unpartitioned exchange, fall back to a cartesian product, or touch
+    a Python worker."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    from ai_log_analyzer_spark.functions import text as TX
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} delta", "en") for i in range(8)],
+        ["doc_id", "text", "lang"])
+    plans = [
+        _plan(TX.bpe_fertility(docs)),
+        _plan(D.incremental_lsh_pairs(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"))),
+    ]
+    for plan in plans:
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # tfidf's scalar n_docs agg legitimately finalizes on one partition
+    # (input = one pre-reduced row per upstream partition); the guard
+    # here is the RANK window, which must partition by doc_id — the
+    # corpus-sized (doc, word) table never crosses an unpartitioned sort
+    tp = _plan(TX.tfidf_keywords(docs, top_k=2))
+    assert "CartesianProduct" not in tp, tp
+    assert "BatchEvalPython" not in tp and "ArrowEval" not in tp, tp
+    win = [ln for ln in tp.splitlines() if "Window [" in ln]
+    assert win and all("doc_id" in ln.split("], [")[1] for ln in win), tp
+
+
+def test_lpa_plan_is_checkpoint_bounded(spark):
+    """label_propagation localCheckpoints every round: the returned
+    plan must be a checkpoint scan, not an iters-deep join chain."""
+    from ai_log_analyzer_spark.functions import graph as G
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    plan = _plan(G.label_propagation(edges, iters=3))
+    assert "Join" not in plan, plan
+
+
+def test_batch3_ops_no_single_partition_no_python(spark):
+    """source_report (fingerprint window-min + source groupBy) and
+    label_centroid_cosine ((label,dim) partial-agg mean; downstream
+    over the centroid table only): no unpartitioned exchange, no
+    cartesian, no Python workers."""
+    from ai_log_analyzer_spark.functions import similarity as S
+    from ai_log_analyzer_spark.functions import text as TX
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text", "en", f"s{i % 2}") for i in range(6)],
+        ["doc_id", "text", "lang", "source"])
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(9)],
+        ["vec_id", "embedding", "label"])
+    for df in (TX.source_report(docs), S.label_centroid_cosine(emb)):
+        plan = _plan(df)
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_kcore_plan_is_checkpoint_bounded(spark):
+    """kcore_peel localCheckpoints per round: the returned plan is one
+    aggregate over the final checkpointed edge set — no residual
+    join/peel chain."""
+    from ai_log_analyzer_spark.functions import graph as G
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["src", "dst"])
+    plan = _plan(G.kcore_peel(edges, k=2, max_rounds=4))
+    assert "Join" not in plan, plan

@@ -151,3 +151,68 @@ def test_bfs_depths_early_stop_on_empty_frontier(spark):
     got = {r.node: r.depth
            for r in G.bfs_depths(edges, seeds, max_depth=6).collect()}
     assert got == {0: 0, 1: 0}
+
+
+# --- label_propagation (functions/graph.py) ----------------------------------
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # cliques {0,1,2} and {10,11,12} joined by one bridge 2-10:
+    # 3 rounds settle each clique on its min label
+    cl = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    edges = spark.createDataFrame(cl, ["src", "dst"])
+    got = {r.node: r.community
+           for r in G.label_propagation(edges, iters=3).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[0]
+
+
+def test_lpa_mode_tie_breaks_to_smallest_label(spark):
+    # node 5's neighbors 1 and 2 each contribute one label -> tie ->
+    # smallest label wins in round 1
+    edges = spark.createDataFrame([(1, 5), (2, 5)], ["src", "dst"])
+    got = {r.node: r.community
+           for r in G.label_propagation(edges, iters=1).collect()}
+    assert got[5] == 1
+
+
+def test_lpa_symmetrizes_and_dedups_edges(spark):
+    # duplicated directed edges must not double-weight the mode:
+    # node 5 sees {1 (x3 duplicated), 2, 2'} -> labels 1:1 vote, 2:1 vote
+    # after dedup? No: neighbors are 1 and 2 -> tie -> 1.  With multi-
+    # edge counting, 1 would win 3:1 — same answer; so pin the reverse
+    # direction instead: 5 also propagates INTO 1 and 2
+    edges = spark.createDataFrame([(1, 5), (1, 5), (1, 5), (2, 5)],
+                                  ["src", "dst"])
+    got = {r.node: r.community
+           for r in G.label_propagation(edges, iters=1).collect()}
+    assert got[5] == 1
+    assert got[1] == 5 and got[2] == 5  # their only neighbor is 5
+
+
+# --- kcore_peel (functions/graph.py) -----------------------------------------
+
+
+def test_kcore_triangle_survives_pendants_peel(spark):
+    # triangle {0,1,2} (2-core) with pendant chain 2-3-4: k=2 peels 4,
+    # then 3; the triangle keeps degree 2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], ["src", "dst"])
+    got = {r.node: r.degree for r in G.kcore_peel(edges, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_cascading_peel_needs_multiple_rounds(spark):
+    # chain 0-1-2-3 + triangle on 3,4,5: each chain node peels one
+    # round after its neighbor — 3 rounds to reach the fixpoint
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (3, 5)], ["src", "dst"])
+    got = {r.node: r.degree for r in G.kcore_peel(edges, k=2).collect()}
+    assert set(got) == {3, 4, 5} and all(v == 2 for v in got.values())
+
+
+def test_kcore_empty_result_when_no_core(spark):
+    # a tree has no 2-core at all
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    assert G.kcore_peel(edges, k=2).count() == 0
