@@ -477,7 +477,7 @@ lp{i + 1} AS (
 
 
 def kcore_peel(edges: DataFrame, k: int = 4,
-               max_rounds: int = 8) -> DataFrame:
+               max_rounds: int = 12) -> DataFrame:
     """(node, degree) over the subgraph surviving ``max_rounds`` peel
     rounds of the symmetrized simple graph (= the exact k-core whenever
     peeling converges within the budget, which one extra no-op round
@@ -508,7 +508,7 @@ def kcore_peel(edges: DataFrame, k: int = 4,
             .agg(F.count("*").cast("long").alias("degree")))
 
 
-def kcore_sql(edges_cte: str, k: int = 4, max_rounds: int = 8) -> str:
+def kcore_sql(edges_cte: str, k: int = 4, max_rounds: int = 12) -> str:
     """DuckDB oracle: the same symmetrize + fixed peel rounds,
     unrolled; yields ``kcore``."""
     # every kc{i} is referenced 3× per round (degree CTE + both semi
@@ -529,3 +529,95 @@ kc{i + 1} AS MATERIALIZED (
     sql.append(f"kcore AS (SELECT src AS node, count(*)::BIGINT AS degree "
                f"FROM kc{max_rounds} GROUP BY src)")
     return ",\n".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient via degree orientation
+# (Cohen, "Graph Twiddling in a MapReduce World", CiSE 2009; Suri &
+# Vassilvitskii, WWW 2011 — public algorithms, reimplemented
+# relationally).  Local clustering separates organic neighborhoods
+# (high) from spam farms and hub spokes (low) and is the classic
+# "needs orientation or it explodes" workload: joining raw adjacency
+# on shared endpoints fans out quadratically on hubs, while orienting
+# every edge from the (degree, id)-SMALLER endpoint to the larger
+# bounds each node's out-degree by O(sqrt(edges)) — wedge volume drops
+# from Σ deg² to Σ outdeg², the arboricity bound.
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """(node, degree, n_triangles, clustering_ppm) over the symmetrized
+    simple graph: per-node triangle participation and the local
+    clustering coefficient 2·T/(deg·(deg−1)) in exact integer ppm
+    (0 for degree < 2).
+
+    Scale shape: ONE distinct on the symmetrized edges, one degree
+    groupBy, two node-keyed joins to attach endpoint order keys, one
+    wedge self-join of the ORIENTED edge list on the apex (out-degree
+    bounded by orientation — the hub-proof step), one closing-edge
+    equi-join, one explode+groupBy for per-node counts."""
+    fwd = edges.select(F.col("src").cast("long").alias("src"),
+                       F.col("dst").cast("long").alias("dst"))
+    e = (fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint(eager=True))
+    deg = e.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("degree"))
+    da = deg.select(F.col("node").alias("src"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("degree").alias("_db"))
+    od = (e.join(da, "src").join(db, "dst")
+          .filter(F.struct(F.col("_da"), F.col("src")) <
+                  F.struct(F.col("_db"), F.col("dst")))
+          .select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                  F.col("_db").alias("_dv")))
+    w1 = od.select("u", F.col("v").alias("v1"), F.col("_dv").alias("_d1"))
+    w2 = od.select("u", F.col("v").alias("v2"), F.col("_dv").alias("_d2"))
+    wed = (w1.join(w2, "u")
+           .filter(F.struct(F.col("_d1"), F.col("v1")) <
+                   F.struct(F.col("_d2"), F.col("v2"))))
+    closing = od.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wed.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    cnt = (tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("n_triangles")))
+    return (deg.join(cnt, "node", "left")
+            .select("node", F.col("degree").cast("long").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("long")
+                    .alias("n_triangles"))
+            .withColumn("clustering_ppm", F.when(
+                F.col("degree") >= 2,
+                F.expr("(n_triangles * 2000000L) div "
+                       "(degree * (degree - 1))")).otherwise(F.lit(0))
+                .cast("long")))
+
+
+def triangle_stats_sql(edges_cte: str) -> str:
+    """DuckDB oracle: identical symmetrize + degree orientation + wedge
+    close; yields ``triangles``.  Oriented list is MATERIALIZED (it is
+    referenced three times — inlining re-expands the whole chain)."""
+    return f"""tre0 AS MATERIALIZED ({edges_cte}),
+tre AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM tre0 UNION ALL
+  SELECT dst AS src, src AS dst FROM tre0) WHERE src <> dst),
+tdeg AS MATERIALIZED (SELECT src AS node, count(*) AS degree
+                      FROM tre GROUP BY 1),
+tod AS MATERIALIZED (
+  SELECT e.src AS u, e.dst AS v, db.degree AS dv
+  FROM tre e JOIN tdeg da ON da.node = e.src
+             JOIN tdeg db ON db.node = e.dst
+  WHERE row(da.degree, e.src) < row(db.degree, e.dst)),
+ttri AS (
+  SELECT a.u, a.v AS v1, b.v AS v2
+  FROM tod a JOIN tod b ON a.u = b.u AND row(a.dv, a.v) < row(b.dv, b.v)
+             JOIN tod c ON c.u = a.v AND c.v = b.v),
+tcnt AS (
+  SELECT node, count(*)::BIGINT AS n_triangles FROM (
+    SELECT u AS node FROM ttri UNION ALL SELECT v1 FROM ttri
+    UNION ALL SELECT v2 FROM ttri) GROUP BY 1),
+triangles AS (
+  SELECT d.node, d.degree::BIGINT AS degree,
+         coalesce(c.n_triangles, 0)::BIGINT AS n_triangles,
+         (CASE WHEN d.degree >= 2 THEN
+            (coalesce(c.n_triangles, 0) * 2000000) //
+            (d.degree * (d.degree - 1)) ELSE 0 END)::BIGINT
+           AS clustering_ppm
+  FROM tdeg d LEFT JOIN tcnt c ON c.node = d.node)"""

@@ -3611,14 +3611,14 @@ _KCORE_EDGES_SQL = f"""SELECT src, dst FROM (
 
 
 @q("kcore_nodes", f"""
-WITH {G.kcore_sql(_KCORE_EDGES_SQL, k=4, max_rounds=8)}
+WITH {G.kcore_sql(_KCORE_EDGES_SQL, k=4, max_rounds=12)}
 SELECT node, degree FROM kcore
 """)
 def kcore_nodes(spark, sf_dir):
     """4-core of the synthetic link graph (Seidman k-core via
     distributed peeling, Montresor et al. PODC 2011): the dense-
     subgraph signal behind web-spam farms and TrustRank seed cores.
-    Fixed 8-round peel (identical in the oracle; Spark early-stops at
+    Fixed 12-round peel (identical in the oracle; Spark early-stops at
     the fixpoint, provably a no-op divergence).  Per round one degree
     groupBy + two LEFT SEMI joins of a monotonically SHRINKING edge
     table (functions/graph.kcore_peel)."""
@@ -3630,7 +3630,7 @@ def kcore_nodes(spark, sf_dir):
     edges = (docs.select(F.col("doc_id").alias("src"),
                          F.explode(lanes).alias("dst"))
              .filter(F.col("src") != F.col("dst")))
-    return G.kcore_peel(edges, k=4, max_rounds=8)
+    return G.kcore_peel(edges, k=4, max_rounds=12)
 
 
 @q("centroid_cosine_matrix", f"""
@@ -3659,3 +3659,104 @@ def source_report_q(spark, sf_dir):
     window-min shuffle + one uniform source groupBy
     (functions/text.source_report)."""
     return TX.source_report(_t(spark, sf_dir, "documents"))
+
+
+# --- capstone: raw pages -> packed, sharded training manifest ---------------
+
+_TE_H = hash32_sql("doc_id::VARCHAR || '|shuffle-v1'")
+
+@q("training_export", f"""
+WITH te_base AS (
+  SELECT doc_id, text, lang,
+         ({TX.token_count_sql('text')})::BIGINT AS n_toks
+  FROM documents
+),
+te_q AS (
+  SELECT doc_id, n_toks, {TX.fingerprint_sql('text')} AS fp
+  FROM te_base WHERE n_toks BETWEEN 5 AND 1000 AND lang = 'en'
+),
+te_s AS (
+  SELECT doc_id, n_toks AS n_tokens FROM (
+    SELECT doc_id, n_toks, min(doc_id) OVER (PARTITION BY fp) AS fd
+    FROM te_q) WHERE doc_id = fd
+),
+te_off AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_off
+  FROM te_s
+),
+te_shard AS (
+  SELECT doc_id, ({_TE_H} % 8)::INT AS shard,
+         (row_number() OVER (PARTITION BY ({_TE_H} % 8)
+                             ORDER BY {_TE_H}, doc_id) - 1)::BIGINT AS pos
+  FROM te_s
+)
+SELECT o.doc_id, o.n_tokens, o.start_off,
+       (o.start_off + o.n_tokens)::BIGINT AS end_off,
+       (o.start_off // 256)::BIGINT AS first_seq,
+       ((o.start_off + o.n_tokens - 1) // 256)::BIGINT AS last_seq,
+       s.shard, s.pos
+FROM te_off o JOIN te_shard s USING (doc_id)
+""")
+def training_export(spark, sf_dir):
+    """CAPSTONE: raw docs → trainable shard manifest in ONE declarative
+    DAG — quality gate (5-1000 tokens, en) → corpus-wide exact-dedup
+    survivors (first-owner fingerprint) → concatenation-packing global
+    token offsets + training-sequence indices (capacity 256) →
+    reproducible shard/position permutation (hash-bucketed prefix-sum
+    shuffle).  This is the artifact a training job actually consumes;
+    every stage is the already-tested operator (curation gate,
+    dedup first-owner, packing.pack_manifest, sampling.shard_assign)
+    composed as plain DataFrame calls — no orchestration layer, no
+    intermediate materialization, Catalyst fuses the gates into the
+    scan.  Scale shape: one fingerprint window-min shuffle, the
+    pack/shard distributed prefix sums (never a corpus-wide
+    single-task sort), one final doc_id equi-join."""
+    from .functions import packing as PK
+    from .functions.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    gated = (docs.withColumn("n_toks",
+                             token_count(F.col("text")).cast("long"))
+             .filter(F.col("n_toks").between(5, 1000) &
+                     (F.col("lang") == "en")))
+    first = F.min("doc_id").over(Window.partitionBy("fp"))
+    surv = (gated.withColumn("fp", fingerprint(F.col("text")))
+            .withColumn("_fd", first)
+            .filter(F.col("doc_id") == F.col("_fd"))
+            .select("doc_id", "text"))
+    pk = PK.pack_manifest(surv, capacity=256)
+    sh = SA.shard_assign(surv.select("doc_id"), n_shards=8)
+    return pk.join(sh, "doc_id")
+
+
+_TRI_EDGES_SQL = f"""SELECT src, dst FROM (
+    {' UNION ALL '.join(
+        f"SELECT doc_id AS src, ({hash32_sql(f'''doc_id::VARCHAR || '|pr{k}' ''')} % 256) AS dst FROM documents"
+        for k in range(3))}
+  ) WHERE src <> dst"""
+
+
+@q("triangle_clustering", f"""
+WITH {G.triangle_stats_sql(_TRI_EDGES_SQL)}
+SELECT node, degree, n_triangles, clustering_ppm FROM triangles
+""")
+def triangle_clustering(spark, sf_dir):
+    """Per-node triangle participation + local clustering coefficient
+    (exact integer ppm) via degree-oriented wedge counting (Cohen 2009 /
+    Suri-Vassilvitskii WWW 2011): orientation from the (degree,id)-
+    smaller endpoint bounds wedge volume by Σ outdeg² — the arboricity
+    bound that makes triangle counting feasible on hub-heavy web
+    graphs where raw adjacency self-joins explode
+    (functions/graph.triangle_stats)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|pr{k}"))), F.lit(256))
+        for k in range(3)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return G.triangle_stats(edges)

@@ -1072,3 +1072,27 @@ def test_source_report_cross_source_dup_bills_later_source(spark):
     assert (wiki.n_docs, wiki.n_dup_docs, wiki.dup_ppm) == (2, 1, 500000)
     assert cc.n_langs == 1 and wiki.n_langs == 2
     assert cc.n_tokens == 4 + 3 and wiki.n_tokens == 4 + 4
+
+
+def test_round5_batch_ops_partition_invariant(spark):
+    """text_reuse_spans, tfidf_keywords, source_report, and
+    incremental_lsh_pairs must produce identical rows at 1 and 16 input
+    partitions (content-keyed shuffles + deterministic tie-breaks — no
+    partition-count leakage)."""
+    rows = [(i, f"alpha beta gamma delta w{i % 4} epsilon zeta", "en",
+             f"s{i % 3}") for i in range(24)]
+    base = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    for parts in (1, 16):
+        df = base.repartition(parts)
+        snap = [
+            sorted(map(tuple, D.text_reuse_spans(df, df_cap=30).collect())),
+            sorted(map(tuple, TX.tfidf_keywords(df, top_k=2).collect())),
+            sorted(map(tuple, TX.source_report(df).collect())),
+            sorted(map(tuple, D.incremental_lsh_pairs(
+                df.filter("doc_id % 2 = 1"),
+                df.filter("doc_id % 2 = 0"), threshold=0.3).collect())),
+        ]
+        if parts == 1:
+            ref = snap
+        else:
+            assert snap == ref

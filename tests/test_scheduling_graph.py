@@ -216,3 +216,130 @@ def test_kcore_empty_result_when_no_core(spark):
     # a tree has no 2-core at all
     edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
     assert G.kcore_peel(edges, k=2).count() == 0
+
+
+# --- randomized invariants for the round-5 graph additions -------------------
+
+
+def _random_edges(seed, n_nodes=40, n_edges=70):
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)]
+
+
+def test_bfs_matches_networkx_free_reference(spark):
+    """BFS depths must equal a driver-side Dijkstra-free reference
+    (plain BFS over the adjacency dict) on a random graph."""
+    edges = _random_edges(11)
+    seeds = [0, 7]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    from collections import deque
+    ref, q = {s: 0 for s in seeds}, deque(seeds)
+    while q:
+        u = q.popleft()
+        if ref[u] >= 6:
+            continue
+        for v in adj.get(u, ()):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    got = {r.node: r.depth for r in G.bfs_depths(
+        spark.createDataFrame(edges, ["src", "dst"]),
+        spark.createDataFrame([(s,) for s in seeds], ["node"]),
+        max_depth=6).collect()}
+    assert got == ref
+
+
+def _ref_peel(edges, k, max_rounds):
+    """Driver-side reference: symmetrize, then round-limited peel."""
+    E = {(s, d) for s, d in edges if s != d} \
+        | {(d, s) for s, d in edges if s != d}
+    for _ in range(max_rounds):
+        deg = {}
+        for s, _d in E:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        E2 = {(s, d) for s, d in E if s in keep and d in keep}
+        if E2 == E:
+            break
+        E = E2
+    out = {}
+    for s, _d in E:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+def test_kcore_matches_reference_peel(spark):
+    """The fixed-round peel must match a driver-side reference at the
+    SAME round budget (seed 23 needs 9 waves — the graph that exposed
+    the old 8-round default), and a converged run is the true k-core:
+    every survivor keeps degree ≥ k."""
+    edges = _random_edges(23)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    # tight budget: unconverged, but bit-identical to the reference
+    got8 = {r.node: r.degree
+            for r in G.kcore_peel(df, k=3, max_rounds=8).collect()}
+    assert got8 == _ref_peel(edges, 3, 8)
+    # generous budget: fixpoint — all degrees ≥ k (empty 3-core here)
+    got = {r.node: r.degree for r in G.kcore_peel(df, k=3).collect()}
+    assert got == _ref_peel(edges, 3, 40)
+    assert all(v >= 3 for v in got.values())
+
+
+def test_lpa_communities_are_member_node_ids(spark):
+    """Every LPA community id is itself a node id of the graph, and
+    every node of the symmetrized graph gets exactly one row."""
+    edges = _random_edges(31)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = G.label_propagation(df, iters=3).collect()
+    nodes = {s for s, d in edges if s != d} | {d for s, d in edges if s != d}
+    got = {r.node for r in rows}
+    assert got == nodes and len(rows) == len(nodes)
+    assert {r.community for r in rows} <= nodes
+
+
+# --- triangle_stats (functions/graph.py) --------------------------------------
+
+
+def test_triangles_k4_all_fully_clustered(spark):
+    # K4: every node has degree 3, sits in 3 triangles, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r.node: r for r in G.triangle_stats(
+        spark.createDataFrame(k4, ["src", "dst"])).collect()}
+    assert len(got) == 4
+    for r in got.values():
+        assert (r.degree, r.n_triangles, r.clustering_ppm) == (3, 3, 1000000)
+
+
+def test_triangles_pendant_and_star(spark):
+    # triangle {0,1,2} with pendant 3 off node 2; star 10-{11,12,13}
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3),
+             (10, 11), (10, 12), (10, 13)]
+    got = {r.node: r for r in G.triangle_stats(
+        spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got[0].n_triangles == got[1].n_triangles == got[2].n_triangles == 1
+    assert got[0].clustering_ppm == 1000000          # deg 2: 2·1/(2·1)
+    assert got[2].clustering_ppm == 333333           # deg 3: 2·1/(3·2)
+    assert got[3].n_triangles == 0 and got[3].clustering_ppm == 0
+    for star_node in (10, 11, 12, 13):
+        assert got[star_node].n_triangles == 0
+
+
+def test_triangles_match_brute_force_on_random_graph(spark):
+    edges = _random_edges(43)
+    sym = {(s, d) for s, d in edges if s != d} \
+        | {(d, s) for s, d in edges if s != d}
+    adj = {}
+    for s, d in sym:
+        adj.setdefault(s, set()).add(d)
+    ref = {}
+    for n, nbrs in adj.items():
+        t = sum(1 for a in nbrs for b in nbrs
+                if a < b and b in adj.get(a, ()))
+        ref[n] = (len(nbrs), t)
+    got = {r.node: (r.degree, r.n_triangles) for r in G.triangle_stats(
+        spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got == ref
