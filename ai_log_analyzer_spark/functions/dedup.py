@@ -1184,3 +1184,109 @@ def incremental_lsh_pairs(old: DataFrame, new: DataFrame,
                 (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("new_id", "old_id", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003 — public
+# algorithm, reimplemented relationally).  From every window of ``w``
+# consecutive k-gram hashes select the minimum (ties -> RIGHTMOST
+# occurrence); the selected set is the document's fingerprint sketch
+# with guaranteed density ~2/(w+1) and the property that any shared
+# run of >= w + k - 1 tokens between two documents shares at least one
+# fingerprint — the locality guarantee MinHash lacks.
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(df: DataFrame, n: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_kgrams, n_fp, density_ppm, fp_sum) per doc with >= 1
+    word ``n``-gram; ``fp_sum`` is the exact integer sum of the
+    selected 32-bit fingerprint hashes (an order-free set signature),
+    ``density_ppm`` = n_fp·10⁶ div n_kgrams (expected ≈ 2/(w+1)).
+
+    Selection without enumerating windows: position ``p`` is the
+    rightmost argmin of SOME length-``w`` window iff its maximal
+    tie-tolerant run of >=-neighbors to the LEFT plus its strict
+    >-run to the RIGHT spans a full window:
+    ``left_run + right_run >= min(w, n_kgrams) - 1`` (runs clamped at
+    ``w-1``; the ``min`` term makes a short doc one whole window, so
+    every non-empty doc keeps >= 1 fingerprint).  That turns winnowing
+    into ``w-1`` lag/lead indicator products inside ONE doc-keyed
+    window — per doc-partition sort, no window explosion, no
+    self-join; the final groupBy(doc_id) reuses the same hash
+    partitioning, so the whole operator costs a single exchange."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    pos = (df.select(F.col(id_col).alias("doc_id"),
+                     F.posexplode(grams).alias("pos", "gram"))
+           .select("doc_id", "pos", hash32(F.col("gram")).alias("h")))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    wall = Window.partitionBy("doc_id")
+    left_run = F.lit(0)
+    right_run = F.lit(0)
+    lprod = F.lit(1)
+    rprod = F.lit(1)
+    for j in range(1, w):
+        lprod = lprod * F.when(F.lag("h", j).over(wd) >= F.col("h"),
+                               F.lit(1)).otherwise(F.lit(0))
+        rprod = rprod * F.when(F.lead("h", j).over(wd) > F.col("h"),
+                               F.lit(1)).otherwise(F.lit(0))
+        left_run = left_run + lprod
+        right_run = right_run + rprod
+    sel = (left_run + right_run >=
+           F.least(F.lit(w), F.count("*").over(wall)) - 1)
+    return (pos.withColumn("_sel", sel)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_kgrams"),
+                 F.sum(F.when(F.col("_sel"), 1).otherwise(0))
+                 .cast("long").alias("n_fp"),
+                 F.sum(F.when(F.col("_sel"), F.col("h")).otherwise(0))
+                 .cast("long").alias("fp_sum"))
+            .withColumn("density_ppm",
+                        F.expr("(n_fp * 1000000L) div n_kgrams")
+                        .cast("long"))
+            .select("doc_id", "n_kgrams", "n_fp", "density_ppm", "fp_sum"))
+
+
+def winnow_sql(table: str = "documents", text_expr: str = "text",
+               n: int = 3, w: int = 4) -> str:
+    """DuckDB oracle: identical positional k-gram stream + lag/lead
+    indicator-product runs; yields ``winnow``."""
+    from .hashing import hash32_sql
+    lterms, rterms = [], []
+    for j in range(1, w):
+        lterms.append(" * ".join(
+            f"(CASE WHEN lag(h, {i}) OVER dw >= h THEN 1 ELSE 0 END)"
+            for i in range(1, j + 1)))
+        rterms.append(" * ".join(
+            f"(CASE WHEN lead(h, {i}) OVER dw > h THEN 1 ELSE 0 END)"
+            for i in range(1, j + 1)))
+    runs = " + ".join(lterms + rterms)
+    return f"""wn_pos AS (
+  SELECT doc_id, i - 1 AS pos, {hash32_sql("gram")} AS h
+  FROM (
+    SELECT doc_id, i, array_to_string(toks[i : i + {n - 1}], ' ') AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim({text_expr}), '\\s+') AS toks
+          FROM {table}),
+         UNNEST(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS t(i)
+  )
+),
+wn_sel AS (
+  SELECT doc_id, h,
+         ({runs}) >= least({w}, count(*) OVER (PARTITION BY doc_id)) - 1
+           AS sel
+  FROM wn_pos
+  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+winnow AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kgrams,
+         sum(CASE WHEN sel THEN 1 ELSE 0 END)::BIGINT AS n_fp,
+         ((sum(CASE WHEN sel THEN 1 ELSE 0 END) * 1000000) //
+          count(*))::BIGINT AS density_ppm,
+         sum(CASE WHEN sel THEN h ELSE 0 END)::BIGINT AS fp_sum
+  FROM wn_sel GROUP BY doc_id
+)"""

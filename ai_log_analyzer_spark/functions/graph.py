@@ -621,3 +621,84 @@ triangles AS (
             (d.degree * (d.degree - 1)) ELSE 0 END)::BIGINT
            AS clustering_ppm
   FROM tdeg d LEFT JOIN tcnt c ON c.node = d.node)"""
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (Gyöngyi, Garcia-Molina & Pedersen, "Combating Web Spam
+# with TrustRank", VLDB 2004 — public algorithm): PageRank whose
+# teleport mass lands ONLY on a curated seed set, so trust decays with
+# link distance from the seeds and spam farms that inflate plain
+# PageRank via dense self-linking receive (almost) none.  Same exact-
+# integer update contract as ``pagerank`` above; with seeds = all
+# nodes it degenerates to pagerank exactly (pinned by test).
+# ---------------------------------------------------------------------------
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, trust_ppb) after ``iters`` synchronous rounds from a
+    start of PPB per SEED (0 elsewhere), teleport mass (1-d)·PPB per
+    round to seeds only:
+
+        trust'(v) = [v∈S]·(1-d)·PPB + (d_num · Σ contrib(u→v)) div d_den
+
+    Scale shape = pagerank's: outdeg rides with the checkpointed edge
+    table, each round is one src-keyed equi-join + one dst-keyed
+    partial-agg shuffle; the seed flag rides with the checkpointed
+    node table so the per-round base term is a projection, never a
+    join.  ``seeds`` rows not present in the graph are ignored."""
+    edges = edges.select(F.col("src").cast("long").alias("src"),
+                         F.col("dst").cast("long").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionAll(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    base = (nodes.join(seeds.select(F.col("node").cast("long").alias("node"))
+                       .distinct().withColumn("_s", F.lit(1)),
+                       "node", "left")
+            .select("node", F.coalesce("_s", F.lit(0)).alias("is_seed"))
+            .localCheckpoint(eager=True))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    ranks = base.select(
+        "node", (F.col("is_seed") * F.lit(PPB)).cast("long").alias("trust_ppb"))
+    floor_ppb = (PPB * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    for _ in range(iters):
+        contrib = (ed.join(ranks, ed.src == ranks.node)
+                   .select(F.col("dst").alias("node"),
+                           F.expr("trust_ppb div outdeg").alias("c")))
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (base.join(inflow, "node", "left")
+                 .select("node",
+                         (F.col("is_seed") * F.lit(floor_ppb) +
+                          F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}"))
+                         .cast("long").alias("trust_ppb"))
+                 .localCheckpoint(eager=True))
+    return ranks
+
+
+def trustrank_sql(edges_cte: str, seeds_cte: str, iters: int = 3) -> str:
+    """DuckDB oracle: the same integer update rule, unrolled; yields
+    ``t{iters}`` over (node, trust_ppb)."""
+    floor_ppb = (PPB * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    sql = [f"tedges AS ({edges_cte})",
+           f"tseeds AS (SELECT DISTINCT node FROM ({seeds_cte}))",
+           "tnodes AS (SELECT DISTINCT node FROM (SELECT src AS node "
+           "FROM tedges UNION ALL SELECT dst FROM tedges))",
+           "tbase AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 "
+           "ELSE 1 END AS is_seed FROM tnodes n LEFT JOIN tseeds s "
+           "ON s.node = n.node)",
+           "tdeg AS (SELECT src, count(*) AS outdeg FROM tedges GROUP BY src)",
+           f"t0 AS (SELECT node, (is_seed * {PPB})::BIGINT AS trust_ppb "
+           "FROM tbase)"]
+    for i in range(iters):
+        sql.append(f"""t{i + 1} AS (
+  SELECT b.node,
+         (b.is_seed * {floor_ppb} +
+          ({DAMP_NUM} * coalesce(sum(r.trust_ppb // d.outdeg), 0)) //
+          {DAMP_DEN})::BIGINT AS trust_ppb
+  FROM tbase b
+  LEFT JOIN tedges e ON e.dst = b.node
+  LEFT JOIN tdeg d ON d.src = e.src
+  LEFT JOIN t{i} r ON r.node = e.src
+  GROUP BY b.node, b.is_seed)""")
+    return ",\n".join(sql)

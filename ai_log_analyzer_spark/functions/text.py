@@ -1531,3 +1531,239 @@ srcrep AS (
           // count(*))::BIGINT AS dup_ppm
   FROM sr_own GROUP BY source
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Trigram stupid-backoff LM scoring (Brants et al., "Large Language
+# Models in Machine Translation", EMNLP 2007 — public algorithm): the
+# score S is a relative frequency with a fixed α=0.4 penalty per
+# backoff level, no normalization — THE web-scale LM-quality filter
+# (it is literally the paper's "cheap to train on trillions of
+# tokens" model).  The corpus is hash-split into train/held-out so
+# backoff genuinely fires (scoring the training corpus with itself
+# never backs off — every observed trigram has count >= 1).
+# ---------------------------------------------------------------------------
+
+# round(ln(0.4)·10⁶): the per-level backoff penalty as a FROZEN integer
+# constant — adding integers sidesteps cross-engine ln(0.4·x) vs
+# ln(0.4)+ln(x) float-association drift entirely.
+LN_ALPHA_MICRO = -916291
+
+
+def stupid_backoff_score(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", held_pct: int = 20,
+                         salt: str = "sb-v1") -> DataFrame:
+    """(doc_id, n_trigrams, backed_off_ppm, sb_score) for every
+    HELD-OUT doc (hash32(id|salt) % 100 < held_pct) with >= 3 tokens;
+    counts come from the train split only.
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if trigram seen
+                   = 0.4 · c(w2w3)/c(w2)          elif bigram seen
+                   = 0.4² · (c(w3)+1)/(N+V)       else (add-one floor)
+
+    sb_score = mean ln S in integer micro-nats (per-position round,
+    order-free integer sum — the bigram_lm determinism contract);
+    backed_off_ppm = share of positions that left level 1.
+
+    Scale shape: the trigram and bigram count tables are corpus-keyed
+    (NEVER broadcast) — the held stream shuffle-joins them on the gram
+    string, partial-aggregated map-side; unigram counts and (N, V) are
+    vocabulary-sized / scalar → broadcast.  Stop-gram keys ("of the")
+    are the one skew tail — AQE's case."""
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    h = hash32(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    base = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("doc_id"), toks.alias("a"),
+                    (F.pmod(h, F.lit(100)) < held_pct).alias("_held")))
+    tri = F.when(F.size("a") >= 3, F.zip_with(
+        F.slice("a", 1, F.size("a") - 2),
+        F.zip_with(F.slice("a", 2, F.size("a") - 2),
+                   F.slice("a", 3, F.size("a") - 2),
+                   lambda b, c: F.concat_ws(" ", b, c)),
+        lambda w1, bc: F.struct(
+            F.concat_ws(" ", w1, bc).alias("tg"),
+            F.concat_ws(" ", w1, F.split(bc, " ").getItem(0)).alias("ctx"),
+            bc.alias("bg"),
+            F.split(bc, " ").getItem(0).alias("w2"),
+            F.split(bc, " ").getItem(1).alias("w3"))))
+    train = base.filter(~F.col("_held"))
+    held = (base.filter(F.col("_held"))
+            .select("doc_id", F.explode(F.coalesce(tri, F.array().cast(
+                "array<struct<tg:string,ctx:string,bg:string,"
+                "w2:string,w3:string>>"))).alias("t"))
+            .select("doc_id", "t.tg", "t.ctx", "t.bg", "t.w2", "t.w3"))
+    tr_toks = train.select("doc_id", F.explode("a").alias("w"))
+    c1 = tr_toks.groupBy("w").agg(F.count("*").alias("c1"))
+    nv = tr_toks.agg(F.count("*").alias("n_total"),
+                     F.countDistinct("w").alias("v"))
+    bg_pairs = F.when(F.size("a") >= 2, F.zip_with(
+        F.slice("a", 1, F.size("a") - 1), F.slice("a", 2, F.size("a") - 1),
+        lambda x, y: F.concat_ws(" ", x, y)))
+    c2 = (train.select(F.explode(F.coalesce(bg_pairs, F.array().cast(
+        "array<string>"))).alias("bg"))
+          .groupBy("bg").agg(F.count("*").alias("c2")))
+    c3 = (train.select(F.explode(F.coalesce(tri, F.array().cast(
+        "array<struct<tg:string,ctx:string,bg:string,"
+        "w2:string,w3:string>>"))).alias("t"))
+          .groupBy(F.col("t.tg").alias("tg")).agg(F.count("*").alias("c3")))
+    j = (held
+         .join(c3, "tg", "left")
+         .join(c2.select(F.col("bg").alias("ctx"), F.col("c2").alias("cctx")),
+               "ctx", "left")
+         .join(c2, "bg", "left")
+         .join(F.broadcast(c1.select(F.col("w").alias("w2"),
+                                     F.col("c1").alias("c1w2"))), "w2", "left")
+         .join(F.broadcast(c1.select(F.col("w").alias("w3"),
+                                     F.col("c1").alias("c1w3"))), "w3", "left")
+         .crossJoin(F.broadcast(nv)))
+    lvl1 = F.round(F.log(F.col("c3") / F.col("cctx")) * 1e6, 0)
+    lvl2 = F.round(F.log(F.col("c2") / F.col("c1w2")) * 1e6, 0) + \
+        F.lit(LN_ALPHA_MICRO)
+    lvl3 = F.round(F.log((F.coalesce("c1w3", F.lit(0)) + 1) /
+                         (F.col("n_total") + F.col("v"))) * 1e6, 0) + \
+        F.lit(2 * LN_ALPHA_MICRO)
+    m = F.when(F.col("c3").isNotNull(), lvl1) \
+        .when(F.col("c2").isNotNull(), lvl2).otherwise(lvl3).cast("long")
+    backed = F.when(F.col("c3").isNotNull(), 0).otherwise(1)
+    return (j.select("doc_id", m.alias("m"), backed.alias("b"))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_trigrams"),
+                 F.sum("b").alias("_nb"), F.sum("m").alias("_sm"))
+            .select("doc_id", "n_trigrams",
+                    F.expr("(_nb * 1000000L) div n_trigrams").cast("long")
+                    .alias("backed_off_ppm"),
+                    F.round(F.col("_sm") / (F.col("n_trigrams") * F.lit(1e6)),
+                            6).alias("sb_score")))
+
+
+def stupid_backoff_sql(table: str = "documents", text_expr: str = "text",
+                       id_expr: str = "doc_id", held_pct: int = 20,
+                       salt: str = "sb-v1") -> str:
+    """Oracle: identical split, streams, counts, CASE ladder and
+    micro-nat rounding in DuckDB."""
+    from .hashing import hash32_sql
+    h = hash32_sql(f"{id_expr}::VARCHAR || '|{salt}'")
+    return f"""
+WITH sb_base AS (
+  SELECT {id_expr} AS doc_id,
+         regexp_split_to_array(trim({text_expr}), '\\s+') AS a,
+         ({h} % 100) < {held_pct} AS held
+  FROM {table} WHERE trim({text_expr}) <> ''
+), sb_held AS (
+  SELECT doc_id,
+         a[i + 1] || ' ' || a[i + 2] || ' ' || a[i + 3] AS tg,
+         a[i + 1] || ' ' || a[i + 2] AS ctx,
+         a[i + 2] || ' ' || a[i + 3] AS bg,
+         a[i + 2] AS w2, a[i + 3] AS w3
+  FROM sb_base, unnest(generate_series(0, len(a) - 3)) AS u(i)
+  WHERE held AND len(a) >= 3
+), sb_c3 AS (
+  SELECT a[i + 1] || ' ' || a[i + 2] || ' ' || a[i + 3] AS tg,
+         count(*)::BIGINT AS c3
+  FROM sb_base, unnest(generate_series(0, len(a) - 3)) AS u(i)
+  WHERE NOT held AND len(a) >= 3 GROUP BY 1
+), sb_c2 AS (
+  SELECT a[i + 1] || ' ' || a[i + 2] AS bg, count(*)::BIGINT AS c2
+  FROM sb_base, unnest(generate_series(0, len(a) - 2)) AS u(i)
+  WHERE NOT held AND len(a) >= 2 GROUP BY 1
+), sb_c1 AS (
+  SELECT w, count(*)::BIGINT AS c1 FROM (
+    SELECT unnest(a) AS w FROM sb_base WHERE NOT held) GROUP BY 1
+), sb_nv AS (
+  SELECT count(*)::BIGINT AS n_total, count(DISTINCT w)::BIGINT AS v
+  FROM (SELECT unnest(a) AS w FROM sb_base WHERE NOT held)
+), sb_terms AS (
+  SELECT s.doc_id,
+         (CASE WHEN c3.c3 IS NOT NULL THEN
+            round(ln(c3.c3::DOUBLE / cx.c2) * 1e6)
+          WHEN b2.c2 IS NOT NULL THEN
+            round(ln(b2.c2::DOUBLE / u2.c1) * 1e6) + ({LN_ALPHA_MICRO})
+          ELSE
+            round(ln((coalesce(u3.c1, 0) + 1)::DOUBLE /
+                     (nv.n_total + nv.v)) * 1e6) + ({2 * LN_ALPHA_MICRO})
+          END)::BIGINT AS m,
+         (CASE WHEN c3.c3 IS NOT NULL THEN 0 ELSE 1 END) AS b
+  FROM sb_held s
+  LEFT JOIN sb_c3 c3 USING (tg)
+  LEFT JOIN sb_c2 cx ON cx.bg = s.ctx
+  LEFT JOIN sb_c2 b2 ON b2.bg = s.bg
+  LEFT JOIN sb_c1 u2 ON u2.w = s.w2
+  LEFT JOIN sb_c1 u3 ON u3.w = s.w3
+  CROSS JOIN sb_nv nv
+)
+SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+       ((sum(b) * 1000000) // count(*))::BIGINT AS backed_off_ppm,
+       round(sum(m) / (count(*) * 1e6), 6) AS sb_score
+FROM sb_terms GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot token-distribution drift: the corpus-monitoring stage
+# that catches a crawl whose content shifted (spam wave, encoding
+# regression, seasonal topic swing) BEFORE it trains a model.  Per
+# token, the add-one-smoothed log-odds ratio between two snapshots in
+# integer micro-nats; the output is vocabulary-sized at any corpus
+# size.
+# ---------------------------------------------------------------------------
+
+
+def token_drift(df_a: DataFrame, df_b: DataFrame, text_col: str = "text") \
+        -> DataFrame:
+    """(token, cnt_a, cnt_b, lr_micro) over the union vocabulary:
+    lr_micro = round(10⁶ · ln(p_a/p_b)) with p_x = (cnt_x+1)/(N_x+V),
+    V the union vocabulary size — one ln of a ratio of exact integers
+    (identical IEEE in Spark and DuckDB).
+
+    Scale shape: one explode per side, ONE token-keyed groupBy with
+    side-conditional sums (never two count tables joined), the (N_a,
+    N_b, V) totals a broadcast 1-row crossJoin off the same aggregate
+    tree."""
+    def _stream(d: DataFrame, side: int) -> DataFrame:
+        return (d.filter(F.trim(F.col(text_col)) != "")
+                .select(F.explode(F.split(F.trim(F.col(text_col)), WS))
+                        .alias("token"), F.lit(side).alias("side")))
+    s = _stream(df_a, 0).unionAll(_stream(df_b, 1))
+    counts = (s.groupBy("token")
+              .agg(F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+                   .cast("long").alias("cnt_a"),
+                   F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+                   .cast("long").alias("cnt_b")))
+    tot = counts.agg(F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b"),
+                     F.count("*").alias("v"))
+    # products in DOUBLE: (cnt+1)·(N+V) exceeds int64 at 10¹²-token
+    # scale (ANSI overflow); double mul/div is IEEE-identical in both
+    # engines so the ln argument still matches the oracle bit-for-bit
+    lr = F.round(F.log(((F.col("cnt_a") + 1).cast("double") *
+                        (F.col("n_b") + F.col("v"))) /
+                       ((F.col("cnt_b") + 1).cast("double") *
+                        (F.col("n_a") + F.col("v")))) * 1e6, 0).cast("long")
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("token", "cnt_a", "cnt_b", lr.alias("lr_micro")))
+
+
+def token_drift_sql(table_a: str, table_b: str, text_expr: str = "text") -> str:
+    """Oracle: identical union stream, conditional counts, smoothing."""
+    return f"""
+WITH td_s AS (
+  SELECT unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS token,
+         0 AS side
+  FROM {table_a} WHERE trim({text_expr}) <> ''
+  UNION ALL
+  SELECT unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS token,
+         1 AS side
+  FROM {table_b} WHERE trim({text_expr}) <> ''
+), td_c AS (
+  SELECT token,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+  FROM td_s GROUP BY token
+), td_t AS (
+  SELECT sum(cnt_a)::BIGINT AS n_a, sum(cnt_b)::BIGINT AS n_b,
+         count(*)::BIGINT AS v FROM td_c
+)
+SELECT token, cnt_a, cnt_b,
+       round(ln(((cnt_a + 1)::DOUBLE * (n_b + v)) /
+                ((cnt_b + 1)::DOUBLE * (n_a + v))) * 1e6)::BIGINT AS lr_micro
+FROM td_c, td_t
+"""

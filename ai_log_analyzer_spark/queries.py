@@ -3760,3 +3760,82 @@ def triangle_clustering(spark, sf_dir):
                          F.explode(lanes).alias("dst"))
              .filter(F.col("src") != F.col("dst")))
     return G.triangle_stats(edges)
+
+
+@q("winnow_fingerprints", f"""
+WITH {D.winnow_sql('documents', 'text', n=3, w=4)}
+SELECT doc_id, n_kgrams, n_fp, density_ppm, fp_sum FROM winnow
+""")
+def winnow_fingerprints_q(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken
+    SIGMOD 2003): rightmost-min selection over every w=4 window of
+    word-3-gram hashes, with the locality guarantee (any shared run of
+    >= w+k-1 tokens shares a fingerprint) that MinHash mass estimates
+    lack.  Selection = w-1 lag/lead indicator products inside ONE
+    doc-keyed window; the groupBy(doc_id) reuses that partitioning —
+    a single exchange end to end (functions/dedup.winnow_fingerprints)."""
+    return D.winnow_fingerprints(_t(spark, sf_dir, "documents"), n=3, w=4)
+
+
+_TR_EDGES_SQL = f"""SELECT src, dst FROM (
+    {' UNION ALL '.join(
+        f"SELECT doc_id AS src, ({hash32_sql(f'''doc_id::VARCHAR || '|pr{k}' ''')} % 256) AS dst FROM documents"
+        for k in range(3))}
+  ) WHERE src <> dst"""
+
+
+@q("trustrank_scores", f"""
+WITH {G.trustrank_sql(_TR_EDGES_SQL,
+                      "SELECT doc_id AS node FROM documents WHERE doc_id % 16 = 0",
+                      iters=3)}
+SELECT node, trust_ppb FROM t3
+""")
+def trustrank_scores(spark, sf_dir):
+    """TrustRank (Gyöngyi et al. VLDB 2004) over the synthetic link
+    graph: teleport mass lands only on the curated seed set (doc_id %
+    16 = 0), so trust decays with link distance and densely self-
+    linked spam farms stay cold — the seed-propagation half of the
+    classic web-spam defense (linkgraph_pagerank is the unpersonalized
+    other half).  Exact integer ppb, same per-round join shape as
+    pagerank (functions/graph.trustrank); oracle = the update rule
+    unrolled."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|pr{k}"))), F.lit(256))
+        for k in range(3)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    seeds = docs.filter(F.col("doc_id") % 16 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    return G.trustrank(edges, seeds, iters=3)
+
+
+@q("stupid_backoff_lm", TX.stupid_backoff_sql("documents"))
+def stupid_backoff_lm(spark, sf_dir):
+    """Trigram stupid-backoff LM scoring (Brants et al. EMNLP 2007 —
+    the web-scale 'cheap on trillions of tokens' LM): held-out docs
+    (20% hash split) scored against train-split counts with the fixed
+    α=0.4 per-level penalty frozen as an integer micro-nat constant,
+    so backoff genuinely fires and the score is an order-free integer
+    sum.  Trigram/bigram count tables stay corpus-keyed shuffle joins
+    (never broadcast); unigrams + (N,V) broadcast
+    (functions/text.stupid_backoff_score)."""
+    return TX.stupid_backoff_score(_t(spark, sf_dir, "documents"))
+
+
+@q("token_drift", TX.token_drift_sql(
+    "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    "(SELECT * FROM documents WHERE doc_id % 2 = 1)"))
+def token_drift_q(spark, sf_dir):
+    """Cross-snapshot token-distribution drift: per-token add-one-
+    smoothed log-odds between two crawl snapshots (deterministic
+    halves here) in integer micro-nats — the corpus-monitoring gate
+    that catches a spam wave or encoding regression before it trains
+    a model.  One union explode + ONE token-keyed conditional-sum
+    groupBy (never two count tables joined); output is vocabulary-
+    sized at any corpus size (functions/text.token_drift)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.token_drift(docs.filter(F.col("doc_id") % 2 == 0),
+                          docs.filter(F.col("doc_id") % 2 == 1))

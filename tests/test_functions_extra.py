@@ -1096,3 +1096,153 @@ def test_round5_batch_ops_partition_invariant(spark):
             ref = snap
         else:
             assert snap == ref
+
+
+# --- winnowing fingerprints (functions/dedup.py) ------------------------------
+
+
+def _winnow_ref(tokens, n=3, w=4):
+    """Direct SIGMOD-2003 definition: hash every word n-gram, slide a
+    w-window, select the RIGHTMOST minimum per window."""
+    import hashlib
+    grams = [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    if not hs:
+        return None
+    sel = set()
+    eff_w = min(w, len(hs))
+    for s in range(len(hs) - eff_w + 1):
+        win = hs[s:s + eff_w]
+        m = min(win)
+        # rightmost occurrence of the min
+        p = s + max(i for i, v in enumerate(win) if v == m)
+        sel.add(p)
+    return (len(hs), len(sel), sum(hs[p] for p in sel))
+
+
+def test_winnow_matches_direct_definition(spark):
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]   # small vocab => hash ties occur
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 40))))
+            for i in range(60)]
+    ref = {i: _winnow_ref(t.split()) for i, t in rows}
+    ref = {i: v for i, v in ref.items() if v is not None}
+    got = {r.doc_id: (r.n_kgrams, r.n_fp, r.fp_sum)
+           for r in D.winnow_fingerprints(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert got == ref
+
+
+def test_winnow_locality_guarantee(spark):
+    # two docs sharing a run of >= w + n - 1 = 6 tokens MUST share a
+    # fingerprint hash (the guarantee MinHash lacks); density ~2/(w+1)
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [(0, "xx yy " + shared + " qq rr"),
+            (1, "aa bb cc " + shared + " dd")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.winnow_fingerprints(df).collect()}
+    assert out[0].n_fp >= 1 and out[1].n_fp >= 1
+    ref0, ref1 = (_winnow_ref(t.split()) for _, t in rows)
+    # library counts equal the direct definition on both docs
+    assert (out[0].n_kgrams, out[0].n_fp, out[0].fp_sum) == ref0
+    assert (out[1].n_kgrams, out[1].n_fp, out[1].fp_sum) == ref1
+    # guarantee: selected-hash sets intersect
+    import hashlib
+
+    def _sel_hashes(tokens, n=3, w=4):
+        grams = [" ".join(tokens[i:i + n])
+                 for i in range(len(tokens) - n + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+        eff_w = min(w, len(hs))
+        sel = set()
+        for s in range(len(hs) - eff_w + 1):
+            m = min(hs[s:s + eff_w])
+            sel.add(s + max(i for i, v in enumerate(hs[s:s + eff_w])
+                            if v == m))
+        return {hs[p] for p in sel}
+    assert _sel_hashes(rows[0][1].split()) & _sel_hashes(rows[1][1].split())
+
+
+# --- stupid-backoff LM (functions/text.py) ------------------------------------
+
+
+def test_stupid_backoff_levels_and_reference(spark):
+    """Corpus engineered so held-out positions hit all three levels;
+    scores must equal a driver-side reference to the micro-nat."""
+    import math
+    # hash32(doc_id|sb-v1) % 100 < 20 decides held-out — probe which
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    ids = list(range(40))
+    held = [i for i in ids if h32(f"{i}|sb-v1") % 100 < 20]
+    train = [i for i in ids if i not in held]
+    assert held and train
+    # train docs all share one sentence; held docs mix seen trigrams,
+    # seen-bigram-only tails, and unseen words
+    t_text = "a b c d e"
+    h_text = "a b c zz qq"       # "a b c": level 1; "b c zz"/"c zz qq": 2/3
+    rows = [(i, t_text if i in train else h_text) for i in ids]
+    out = {r.doc_id: r for r in TX.stupid_backoff_score(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert set(out) == set(held)
+    # reference model from train counts
+    toks = t_text.split()
+    N = len(toks) * len(train)
+    V = len(set(toks))
+    c1 = {w: len(train) for w in toks}
+    c2 = {" ".join(toks[i:i + 2]): len(train) for i in range(len(toks) - 1)}
+    c3 = {" ".join(toks[i:i + 3]): len(train) for i in range(len(toks) - 2)}
+    LNA = -916291
+    ms = []
+    hw = h_text.split()
+    for i in range(len(hw) - 2):
+        tg, ctx, bg = (" ".join(hw[i:i + 3]), " ".join(hw[i:i + 2]),
+                       " ".join(hw[i + 1:i + 3]))
+        if tg in c3:
+            ms.append(round(math.log(c3[tg] / c2[ctx]) * 1e6))
+        elif bg in c2:
+            ms.append(round(math.log(c2[bg] / c1[hw[i + 1]]) * 1e6) + LNA)
+        else:
+            ms.append(round(math.log((c1.get(hw[i + 2], 0) + 1) / (N + V))
+                            * 1e6) + 2 * LNA)
+    n = len(hw) - 2
+    exp_score = round(sum(ms) / (n * 1e6), 6)
+    lvl_counts = {1: 0, 2: 0, 3: 0}
+    for i in range(len(hw) - 2):
+        tg = " ".join(hw[i:i + 3])
+        bg = " ".join(hw[i + 1:i + 3])
+        lvl_counts[1 if tg in c3 else (2 if bg in c2 else 3)] += 1
+    assert lvl_counts[1] >= 1 and lvl_counts[3] >= 1  # levels exercised
+    for i in held:
+        r = out[i]
+        assert r.n_trigrams == n
+        assert r.backed_off_ppm == (lvl_counts[2] + lvl_counts[3]) * 10**6 // n
+        assert abs(r.sb_score - exp_score) < 1e-9
+
+
+# --- token drift (functions/text.py) ------------------------------------------
+
+
+def test_token_drift_reference_and_signs(spark):
+    import math
+    a = spark.createDataFrame(
+        [(0, "x x x y common"), (1, "x common common")], ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(2, "y y z common"), (3, "common z y")], ["doc_id", "text"])
+    out = {r.token: r for r in TX.token_drift(a, b).collect()}
+    na, nb = 8, 7
+    v = 4  # x y z common
+    assert set(out) == {"x", "y", "z", "common"}
+    for tok, ca, cb in [("x", 4, 0), ("y", 1, 3), ("z", 0, 2),
+                        ("common", 3, 2)]:
+        r = out[tok]
+        assert (r.cnt_a, r.cnt_b) == (ca, cb)
+        exp = round(math.log(((ca + 1) * (nb + v)) /
+                             ((cb + 1) * (na + v))) * 1e6)
+        assert r.lr_micro == exp
+    assert out["x"].lr_micro > 0 and out["z"].lr_micro < 0

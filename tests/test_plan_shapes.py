@@ -317,3 +317,50 @@ def test_kcore_plan_is_checkpoint_bounded(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["src", "dst"])
     plan = _plan(G.kcore_peel(edges, k=2, max_rounds=4))
     assert "Join" not in plan, plan
+
+
+def test_winnow_single_exchange(spark):
+    """winnow_fingerprints costs ONE exchange total: the ordered
+    lag/lead window, the unordered count-over-doc window, and the
+    final groupBy(doc_id) all reuse the same hashpartitioning — and
+    nothing touches a Python worker."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    docs = spark.createDataFrame(
+        [(i, f"a b c w{i} d e") for i in range(8)], ["doc_id", "text"])
+    plan = _plan(D.winnow_fingerprints(docs))
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln
+          and "Reused" not in ln]
+    assert len(ex) == 1 and "hashpartitioning(doc_id" in ex[0], plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_backoff_and_drift_plans(spark):
+    """stupid_backoff_score: trigram/bigram count joins stay SHUFFLE
+    joins (corpus-keyed — never broadcast), unigram/(N,V) sides are
+    broadcast, no cartesian, no Python.  token_drift: one conditional-
+    sum groupBy, broadcast 1-row totals, no SinglePartition funnel
+    ahead of the final scalar agg."""
+    from ai_log_analyzer_spark.functions import text as TX
+    docs = spark.createDataFrame(
+        [(i, f"a b c w{i % 3} d") for i in range(12)], ["doc_id", "text"])
+    sb = _plan(TX.stupid_backoff_score(docs))
+    assert "CartesianProduct" not in sb, sb
+    assert "BatchEvalPython" not in sb and "ArrowEval" not in sb, sb
+    assert "SortMergeJoin" in sb or "ShuffledHashJoin" in sb, sb
+    td = _plan(TX.token_drift(docs.filter("doc_id % 2 = 0"),
+                              docs.filter("doc_id % 2 = 1")))
+    assert "CartesianProduct" not in td, td
+    assert "BatchEvalPython" not in td and "ArrowEval" not in td, td
+    # the only SinglePartition exchange allowed is the 1-row totals agg
+    sp = [ln for ln in td.splitlines() if "Exchange SinglePartition" in ln]
+    assert len(sp) <= 1, td
+
+
+def test_trustrank_plan_is_checkpoint_bounded(spark):
+    """trustrank localCheckpoints every round: the returned plan is a
+    checkpoint scan join'd once against nothing — no iters-deep chain."""
+    from ai_log_analyzer_spark.functions import graph as G
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    plan = _plan(G.trustrank(edges, seeds, iters=2))
+    assert "Join" not in plan, plan

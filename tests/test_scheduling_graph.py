@@ -343,3 +343,59 @@ def test_triangles_match_brute_force_on_random_graph(spark):
     got = {r.node: (r.degree, r.n_triangles) for r in G.triangle_stats(
         spark.createDataFrame(edges, ["src", "dst"])).collect()}
     assert got == ref
+
+
+# --- trustrank (functions/graph.py) -------------------------------------------
+
+
+def _trustrank_ref(edges, seeds, iters=3):
+    PPB, NUM, DEN = 10**9, 850, 1000
+    nodes = {s for s, d in edges} | {d for s, d in edges}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: (PPB if n in seeds else 0) for n in nodes}
+    floor = PPB * (DEN - NUM) // DEN
+    for _ in range(iters):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // outdeg[s]
+        r = {n: (floor if n in seeds else 0) + NUM * inflow[n] // DEN
+             for n in nodes}
+    return r
+
+
+def test_trustrank_matches_reference_on_random_graph(spark):
+    import random
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(60)]
+    seeds = [0, 3, 9]
+    got = {r.node: r.trust_ppb for r in G.trustrank(
+        _edges(spark, edges),
+        spark.createDataFrame([(s,) for s in seeds], "node long")).collect()}
+    assert got == _trustrank_ref(edges, set(seeds))
+
+
+def test_trustrank_all_seeds_equals_pagerank(spark):
+    import random
+    rng = random.Random(6)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(40)]
+    df = _edges(spark, edges)
+    nodes = df.select(F.col("src").alias("node")).unionAll(
+        df.select(F.col("dst").alias("node"))).distinct()
+    tr = {r.node: r.trust_ppb for r in G.trustrank(df, nodes).collect()}
+    pr = {r.node: r.rank_ppb for r in G.pagerank(df).collect()}
+    assert tr == pr
+
+
+def test_trustrank_spam_farm_stays_cold(spark):
+    # seed 0 -> 1 -> 2 chain; spam farm {10,11,12} densely self-linked
+    # with NO path from the seed: farm trust must be exactly the 0 base
+    edges = [(0, 1), (1, 2),
+             (10, 11), (11, 12), (12, 10), (10, 12), (12, 11), (11, 10)]
+    got = {r.node: r.trust_ppb for r in G.trustrank(
+        _edges(spark, edges),
+        spark.createDataFrame([(0,)], "node long"), iters=3).collect()}
+    assert got[1] > got[2] > 0
+    assert got[10] == got[11] == got[12] == 0
+    assert got[0] > got[1]   # seed keeps the teleport floor
