@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import hash32
+
 PPB = 1_000_000_000          # rank unit: parts-per-billion of 1.0/node
 DAMP_NUM, DAMP_DEN = 850, 1000   # 0.85 damping as an exact rational
 
@@ -701,4 +703,222 @@ def trustrank_sql(edges_cte: str, seeds_cte: str, iters: int = 3) -> str:
   LEFT JOIN tdeg d ON d.src = e.src
   LEFT JOIN t{i} r ON r.node = e.src
   GROUP BY b.node, b.is_seed)""")
+    return ",\n".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall / HyperANF (Boldi, Rosa & Vigna, "HyperANF: Approximating
+# the Neighbourhood Function of Very Large Graphs on a Budget", WWW
+# 2011 — the public algorithm behind the Facebook "four degrees of
+# separation" measurement): every node keeps an HLL counter of its
+# out-ball; one round max-merges each node's counter with its
+# out-neighbors', so after t rounds the counter sketches
+# |{u : dist(v,u) <= t}| — reachability/diameter structure at sizes
+# where per-node BFS is unthinkable.  Registers live as M integer
+# COLUMNS (not rows): a round is one dst-keyed join + one node-keyed
+# partial-agg max — the pagerank shuffle shape, with no M-fold row
+# blow-up and every max folding map-side.
+# ---------------------------------------------------------------------------
+
+HB_M = 16                      # registers per node (p = 4)
+HB_WBITS = 32 - 4              # rank field width of the 32-bit hash
+HB_ALPHA = 0.673               # standard HLL bias constant for m = 16
+_HB_RCOLS = [f"r{i}" for i in range(HB_M)]
+
+
+def _hb_est_raw():
+    """(zeros, est) raw expressions over r0..r{M-1}: exact integer
+    harmonic sum (register 0 contributes 2^32) before the one
+    double-valued estimate, linear counting below 2.5m — the
+    hll_estimate contract from functions/sketches.py at m=16.  ``est``
+    is UNROUNDED so callers can difference consecutive levels
+    (harmonic_centrality) before the single terminal round()."""
+    s = None
+    zeros = None
+    for c in _HB_RCOLS:
+        t = F.expr(f"cast(pow(2, 32 - {c}) as bigint)")
+        z = F.when(F.col(c) == 0, 1).otherwise(0)
+        s = t if s is None else s + t
+        zeros = z if zeros is None else zeros + z
+    raw = F.lit(HB_ALPHA * HB_M * HB_M * float(1 << 32)) / s
+    lc = F.lit(float(HB_M)) * F.log(F.lit(float(HB_M)) / zeros)
+    est = F.when((raw < 2.5 * HB_M) & (zeros > 0), lc).otherwise(raw)
+    return zeros, est
+
+
+def _hb_estimate_cols():
+    zeros, est = _hb_est_raw()
+    return (F.lit(HB_M) - zeros).cast("long").alias("n_reg_set"), \
+        F.round(est, 4).alias("ball_estimate")
+
+
+def _hb_init(edges: DataFrame) -> DataFrame:
+    """One HLL register row per distinct node: node's own 32-bit hash
+    split into bucket j = h mod m and rank rho over the remaining 28
+    bits, stored as m integer columns (all but r_j zero)."""
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionAll(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    h = hash32(F.concat(F.col("node").cast("string"), F.lit("|hb")))
+    j = F.pmod(h, F.lit(HB_M))
+    w = (h / HB_M).cast("long")
+    rho = F.when(w == 0, F.lit(HB_WBITS + 1)) \
+        .otherwise(F.lit(HB_WBITS + 1) - F.length(F.bin(w)))
+    return nodes.select(
+        "node", *[F.when(j == i, rho).otherwise(F.lit(0)).cast("int")
+                  .alias(c) for i, c in enumerate(_HB_RCOLS)]) \
+        .localCheckpoint(eager=True)
+
+
+def _hb_round(edges: DataFrame, state: DataFrame,
+              incoming: bool) -> DataFrame:
+    """One max-merge round.  ``incoming=False`` grows out-balls (node
+    absorbs its out-neighbors' counters); ``incoming=True`` grows
+    in-balls (node absorbs its in-neighbors': anything reaching u
+    reaches v one hop later for u->v)."""
+    if incoming:
+        neigh = (edges.join(state, edges.src == state.node)
+                 .select(F.col("dst").alias("node"), *_HB_RCOLS))
+    else:
+        neigh = (edges.join(state, edges.dst == state.node)
+                 .select(F.col("src").alias("node"), *_HB_RCOLS))
+    return (state.unionAll(neigh)
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in _HB_RCOLS])
+            .localCheckpoint(eager=True))
+
+
+def hyperball(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, n_reg_set, ball_estimate) after ``iters`` max-merge
+    rounds: ball_estimate ≈ |{u : dist(node, u) <= iters}| along edge
+    direction (node itself included), m=16 registers (~26% rms error —
+    the budget knob is HB_M).
+
+    Scale shape: state is one row per node with M register columns;
+    each round shuffles the edge list keyed by dst against the state
+    and max-aggregates per node — partial maxes fold map-side, and
+    localCheckpoint bounds the plan exactly as pagerank/kcore do."""
+    edges = edges.select(F.col("src").cast("long").alias("src"),
+                         F.col("dst").cast("long").alias("dst"))
+    state = _hb_init(edges)
+    for _ in range(iters):
+        state = _hb_round(edges, state, incoming=False)
+    n_set, est = _hb_estimate_cols()
+    return state.select("node", n_set, est)
+
+
+def harmonic_centrality(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, harmonic_est, reach_estimate): truncated harmonic
+    centrality H_T(v) = sum_{t=1..T} (|B_in(v,t)| - |B_in(v,t-1)|) / t
+    with in-ball sizes read from HyperBall counters — the HyperANF
+    payoff metric, and exactly the host-centrality family Common Crawl
+    publishes for domain-level corpus filtering (harmonic centrality
+    rewards being reachable from many places in few hops and is robust
+    to the dangling-mass issues PageRank must patch).
+
+    Scale shape: ``iters`` max-merge rounds (one edge-keyed join + one
+    map-side-folding max agg each, plan bounded by localCheckpoint),
+    then the T+1 per-level snapshots — all already hash-partitioned on
+    node by their groupBys — join back on node and fold into ONE
+    fixed-order arithmetic expression, so the double-valued result is
+    deterministic and engine-portable (no order-dependent float sum).
+    ``reach_estimate`` is the final in-ball size, rounded like
+    hyperball's."""
+    edges = edges.select(F.col("src").cast("long").alias("src"),
+                         F.col("dst").cast("long").alias("dst"))
+    state = _hb_init(edges)
+    _, raw = _hb_est_raw()
+    snaps = [state.select("node", raw.alias("e0"))]
+    for t in range(1, iters + 1):
+        state = _hb_round(edges, state, incoming=True)
+        snaps.append(state.select("node", raw.alias(f"e{t}")))
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.join(s, "node")
+    harm = (F.col("e1") - F.col("e0")) / F.lit(1.0)
+    for t in range(2, iters + 1):
+        harm = harm + (F.col(f"e{t}") - F.col(f"e{t - 1}")) / F.lit(float(t))
+    return out.select("node", F.round(harm, 4).alias("harmonic_est"),
+                      F.round(F.col(f"e{iters}"), 4).alias("reach_estimate"))
+
+
+def _hb_init_sql() -> str:
+    from .hashing import hash32_sql
+    h = hash32_sql("node::VARCHAR || '|hb'")
+    return ", ".join(
+        f"(CASE WHEN ({h}) % {HB_M} = {i} THEN "
+        f"(CASE WHEN ({h}) // {HB_M} = 0 THEN {HB_WBITS + 1} "
+        f"ELSE {HB_WBITS + 1} - length(format('{{:b}}', ({h}) // {HB_M})) "
+        f"END) ELSE 0 END)::INT AS {c}"
+        for i, c in enumerate(_HB_RCOLS))
+
+
+_HB_EST_RAW_SQL = f"(CASE WHEN ({HB_ALPHA * HB_M * HB_M}::DOUBLE * " \
+    f"4294967296.0) / s < {2.5 * HB_M} AND z > 0 " \
+    f"THEN {float(HB_M)} * ln({float(HB_M)} / z) " \
+    f"ELSE ({HB_ALPHA * HB_M * HB_M}::DOUBLE * 4294967296.0) / s END)"
+
+_HB_SZ_SQL = "(" + " + ".join(f"power(2, 32 - {c})::BIGINT"
+                              for c in _HB_RCOLS) + ")::BIGINT AS s, (" + \
+    " + ".join(f"(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)"
+               for c in _HB_RCOLS) + ") AS z"
+
+
+def _hb_round_sql(i: int, incoming: bool) -> str:
+    maxes = ", ".join(f"max({c})::INT AS {c}" for c in _HB_RCOLS)
+    rlist = ", ".join(_HB_RCOLS)
+    side = ("e.dst AS node", "s.node = e.src") if incoming \
+        else ("e.src AS node", "s.node = e.dst")
+    return f"""hb{i + 1} AS (
+  SELECT node, {maxes} FROM (
+    SELECT node, {rlist} FROM hb{i}
+    UNION ALL
+    SELECT {side[0]}, {rlist}
+    FROM hedges e JOIN hb{i} s ON {side[1]}
+  ) GROUP BY node)"""
+
+
+def hyperball_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB oracle: identical init, unrolled max-merge rounds, and
+    exact-integer harmonic estimate; yields ``hyperball``."""
+    sql = [f"hedges AS ({edges_cte})",
+           "hnodes AS (SELECT DISTINCT node FROM (SELECT src AS node "
+           "FROM hedges UNION ALL SELECT dst FROM hedges))",
+           f"hb0 AS (SELECT node, {_hb_init_sql()} FROM hnodes)"]
+    for i in range(iters):
+        sql.append(_hb_round_sql(i, incoming=False))
+    sql.append(f"""hbs AS (
+  SELECT node, {_HB_SZ_SQL} FROM hb{iters}),
+hyperball AS (
+  SELECT node, ({HB_M} - z)::BIGINT AS n_reg_set,
+         round({_HB_EST_RAW_SQL}, 4) AS ball_estimate
+  FROM hbs)""")
+    return ",\n".join(sql)
+
+
+def harmonic_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB oracle for ``harmonic_centrality``: the same unrolled
+    in-direction max-merge chain, one raw estimate per level, and the
+    IDENTICAL fixed-order difference expression (parenthesised
+    left-to-right like the Spark side, so the IEEE doubles agree
+    bit-for-bit before the terminal round).  Yields ``harmonic``."""
+    sql = [f"hedges AS ({edges_cte})",
+           "hnodes AS (SELECT DISTINCT node FROM (SELECT src AS node "
+           "FROM hedges UNION ALL SELECT dst FROM hedges))",
+           f"hb0 AS (SELECT node, {_hb_init_sql()} FROM hnodes)"]
+    for i in range(iters):
+        sql.append(_hb_round_sql(i, incoming=True))
+    for t in range(iters + 1):
+        sql.append(f"""he{t} AS (
+  SELECT node, {_HB_EST_RAW_SQL} AS e{t}
+  FROM (SELECT node, {_HB_SZ_SQL} FROM hb{t}))""")
+    joins = " ".join(f"JOIN he{t} USING (node)"
+                     for t in range(1, iters + 1))
+    harm = "((e1 - e0) / 1.0)"
+    for t in range(2, iters + 1):
+        harm = f"({harm} + ((e{t} - e{t - 1}) / {float(t)}))"
+    sql.append(f"""harmonic AS (
+  SELECT node, round({harm}, 4) AS harmonic_est,
+         round(e{iters}, 4) AS reach_estimate
+  FROM he0 {joins})""")
     return ",\n".join(sql)

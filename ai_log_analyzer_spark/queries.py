@@ -3812,6 +3812,57 @@ def trustrank_scores(spark, sf_dir):
     return G.trustrank(edges, seeds, iters=3)
 
 
+@q("hyperball_reach", f"""
+WITH {G.hyperball_sql(_TR_EDGES_SQL, iters=3)}
+SELECT node, n_reg_set, ball_estimate FROM hyperball
+""")
+def hyperball_reach(spark, sf_dir):
+    """HyperBall / HyperANF (Boldi-Rosa-Vigna WWW 2011) 3-hop
+    reachability sketches over the synthetic link graph: every node
+    carries an m=16 HLL counter of its out-ball, one round max-merges
+    each counter with its out-neighbors' — the neighbourhood-function
+    / effective-diameter workload behind crawl-frontier triage, where
+    per-node BFS is unthinkable.  Registers are m integer COLUMNS, so
+    a round is one dst-keyed join + one map-side-folding max agg (the
+    pagerank shuffle shape, no m-fold row blow-up); oracle = identical
+    init + unrolled max-merge + exact-integer harmonic estimate
+    (functions/graph.hyperball)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|pr{k}"))), F.lit(256))
+        for k in range(3)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return G.hyperball(edges, iters=3)
+
+
+@q("harmonic_centrality", f"""
+WITH {G.harmonic_sql(_TR_EDGES_SQL, iters=3)}
+SELECT node, harmonic_est, reach_estimate FROM harmonic
+""")
+def harmonic_centrality_hosts(spark, sf_dir):
+    """Truncated harmonic centrality from HyperBall in-ball sketches
+    (Boldi-Vigna "Axioms for Centrality" + HyperANF): H_3(v) =
+    sum_t (|B_in(v,t)|-|B_in(v,t-1)|)/t — the actual centrality family
+    Common Crawl publishes for host-level corpus filtering, robust to
+    PageRank's dangling-mass pathologies.  Per-level raw HLL estimates
+    fold into ONE fixed-order arithmetic expression after node-keyed
+    snapshot joins (all pre-partitioned by the round groupBys), so the
+    double result is engine-portable with no order-dependent float sum
+    (functions/graph.harmonic_centrality)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|pr{k}"))), F.lit(256))
+        for k in range(3)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return G.harmonic_centrality(edges, iters=3)
+
+
 @q("stupid_backoff_lm", TX.stupid_backoff_sql("documents"))
 def stupid_backoff_lm(spark, sf_dir):
     """Trigram stupid-backoff LM scoring (Brants et al. EMNLP 2007 —

@@ -399,3 +399,145 @@ def test_trustrank_spam_farm_stays_cold(spark):
     assert got[1] > got[2] > 0
     assert got[10] == got[11] == got[12] == 0
     assert got[0] > got[1]   # seed keeps the teleport floor
+
+
+# --- hyperball / HyperANF (functions/graph.py) ---------------------------------
+
+
+def _hb_ref(members):
+    """HLL m=16 insert + estimate mirror of graph.hyperball's contract:
+    returns (n_reg_set, ball_estimate) for an exact ball member set."""
+    import hashlib
+    import math
+    regs = [0] * G.HB_M
+    for n in members:
+        h = int(hashlib.md5(f"{n}|hb".encode()).hexdigest()[:8], 16)
+        j, w = h % G.HB_M, h // G.HB_M
+        rho = (G.HB_WBITS + 1) if w == 0 else \
+            (G.HB_WBITS + 1) - len(format(w, "b"))
+        regs[j] = max(regs[j], rho)
+    z = regs.count(0)
+    s = sum(2 ** (32 - r) for r in regs)
+    raw = G.HB_ALPHA * G.HB_M * G.HB_M * float(1 << 32) / s
+    est = G.HB_M * math.log(G.HB_M / z) if (raw < 2.5 * G.HB_M and z > 0) \
+        else raw
+    return G.HB_M - z, est
+
+
+def _ball(adj, n, t):
+    cur, seen = {n}, {n}
+    for _ in range(t):
+        nxt = set()
+        for v in cur:
+            nxt |= adj.get(v, set())
+        nxt -= seen
+        seen |= nxt
+        cur = nxt
+    return seen
+
+
+def test_hyperball_registers_equal_exact_ball_inserts(spark):
+    # after t max-merge rounds every node's counter must equal the HLL
+    # of its EXACT t-ball (max-merge is lossless for HLL) — an exact
+    # equality test of the distributed merge, not a tolerance test
+    import random
+    rng = random.Random(11)
+    edges = list({(rng.randrange(25), rng.randrange(25))
+                  for _ in range(50)})
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    got = {r.node: (r.n_reg_set, r.ball_estimate)
+           for r in G.hyperball(_edges(spark, edges), iters=2).collect()}
+    assert set(got) == nodes
+    for n in nodes:
+        n_set, est = _hb_ref(_ball(adj, n, 2))
+        assert got[n][0] == n_set
+        assert got[n][1] == pytest.approx(est, abs=1e-4)
+
+
+def test_hyperball_chain_tail_sees_only_itself(spark):
+    # 0 -> 1 -> 2 -> 3: after any rounds, node 3's ball is {3}; node 0
+    # after 3 rounds holds all 4 nodes, so its estimate is >= node 3's
+    got = {r.node: (r.n_reg_set, r.ball_estimate) for r in G.hyperball(
+        _edges(spark, [(0, 1), (1, 2), (2, 3)]), iters=3).collect()}
+    assert got[3] == (1, pytest.approx(_hb_ref({3})[1], abs=1e-4))
+    assert got[0][1] >= got[3][1]
+    assert got[0][0] == _hb_ref({0, 1, 2, 3})[0]
+
+
+def test_hyperball_estimates_monotone_in_iters(spark):
+    import random
+    rng = random.Random(12)
+    edges = list({(rng.randrange(15), rng.randrange(15))
+                  for _ in range(30)})
+    df = _edges(spark, edges)
+    e1 = {r.node: r.ball_estimate for r in G.hyperball(df, iters=1).collect()}
+    e3 = {r.node: r.ball_estimate for r in G.hyperball(df, iters=3).collect()}
+    assert all(e3[n] >= e1[n] - 1e-9 for n in e1)
+
+
+# --- harmonic centrality (functions/graph.py) -----------------------------------
+
+
+def _inball(radj, n, t):
+    cur, seen = {n}, {n}
+    for _ in range(t):
+        nxt = set()
+        for v in cur:
+            nxt |= radj.get(v, set())
+        nxt -= seen
+        seen |= nxt
+        cur = nxt
+    return seen
+
+
+def _hb_raw(members):
+    import hashlib
+    import math
+    regs = [0] * G.HB_M
+    for n in members:
+        h = int(hashlib.md5(f"{n}|hb".encode()).hexdigest()[:8], 16)
+        j, w = h % G.HB_M, h // G.HB_M
+        rho = (G.HB_WBITS + 1) if w == 0 else \
+            (G.HB_WBITS + 1) - len(format(w, "b"))
+        regs[j] = max(regs[j], rho)
+    z = regs.count(0)
+    s = sum(2 ** (32 - r) for r in regs)
+    raw = G.HB_ALPHA * G.HB_M * G.HB_M * float(1 << 32) / s
+    return G.HB_M * math.log(G.HB_M / z) if (raw < 2.5 * G.HB_M and z > 0) \
+        else raw
+
+
+def test_harmonic_matches_exact_inball_mirror(spark):
+    import random
+    rng = random.Random(13)
+    edges = list({(rng.randrange(25), rng.randrange(25))
+                  for _ in range(50)})
+    radj = {}
+    for s, d in edges:
+        radj.setdefault(d, set()).add(s)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    got = {r.node: (r.harmonic_est, r.reach_estimate)
+           for r in G.harmonic_centrality(
+               _edges(spark, edges), iters=3).collect()}
+    assert set(got) == nodes
+    for n in nodes:
+        e = [_hb_raw(_inball(radj, n, t)) for t in range(4)]
+        harm = ((e[1] - e[0]) / 1.0 + (e[2] - e[1]) / 2.0) \
+            + (e[3] - e[2]) / 3.0
+        assert got[n][0] == pytest.approx(harm, abs=1e-4)
+        assert got[n][1] == pytest.approx(e[3], abs=1e-4)
+
+
+def test_harmonic_isolated_sink_outranks_source(spark):
+    # star INTO node 0 (1..6 -> 0): node 0 is reachable from all six in
+    # one hop (high harmonic); the leaves are reached by nobody, so
+    # their in-ball never grows and their centrality is ~0
+    edges = [(i, 0) for i in range(1, 7)]
+    got = {r.node: r.harmonic_est for r in G.harmonic_centrality(
+        _edges(spark, edges), iters=2).collect()}
+    assert got[0] > 3.0
+    for i in range(1, 7):
+        assert abs(got[i]) < 1e-6
