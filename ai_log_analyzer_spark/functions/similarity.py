@@ -475,3 +475,600 @@ centroid_cos AS (
   FROM cc_dot d JOIN cc_norm na ON na.label = d.label_a
                 JOIN cc_norm nb ON nb.label = d.label_b
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011 — the compression scheme
+# behind Faiss's IVF-PQ indexes): unit-normalize, split each vector
+# into PQ_M subvectors, and quantize each subspace against its own
+# k-entry codebook, so a 64-dim float vector becomes PQ_M small codes
+# (24 bits at m=8, k=8 — a ~85x memory cut, THE knob that lets a
+# 100 TB embedding corpus fit an ANN index).  Codebooks are fit like
+# the IVF quantizer: deterministic md5-ordered sample, fixed-iteration
+# numpy Lloyd's (L2 this time — PQ quantizes residual geometry, not
+# direction), shared verbatim with the no-Spark oracle builder.
+# Encoding is a ZERO-JOIN projection over codebook literals; ADC
+# search precomputes the per-query lookup table driver-side (the Faiss
+# ADC scan) so scoring a database row is PQ_M literal-array lookups —
+# no floats from the corpus ever touch the distance loop.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                 # subspaces
+PQ_K = 8                 # codebook entries per subspace (3-bit codes)
+
+
+def _lloyd_l2(sample, k: int, iters: int):
+    """Fixed-iteration L2 Lloyd's over an (n, d) float64 array: assign
+    by min squared-L2 (tie -> lowest cell), update = mean of assigned
+    rows (empty cell keeps its centroid); init = first k rows.  The
+    L2 twin of _lloyd_fit, shared by the Spark fit and the DuckDB
+    oracle builder."""
+    import numpy as np
+
+    sample = np.asarray(sample, dtype=np.float64)
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)           # ties -> lowest cell
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
+
+
+def _pq_fit(sample_vecs, m: int, k: int, iters: int):
+    """codebooks[s][c] = centroid c of subspace s, fit on the
+    unit-normalized float64 sample split into m contiguous slices."""
+    import numpy as np
+
+    x = np.asarray(sample_vecs, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    u = x / norms
+    d = u.shape[1] // m
+    return [_lloyd_l2(u[:, s * d:(s + 1) * d], k, iters)
+            for s in range(m)]
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                 iters: int = 5, sample_n: int = 4096,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Offline PQ codebook fit: the same deterministic md5-smallest
+    sample as kmeans_centroids (distributed TakeOrdered, ~MBs at any
+    corpus size), then the shared numpy fit — same corpus, same
+    codebooks, on every engine."""
+    rows = (emb.select(F.col(id_col).alias("vec_id"),
+                       F.transform(vec_col,
+                                   lambda x: x.cast("double")).alias("v"))
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(sample_n)
+            .collect())
+    sample = [list(r["v"]) for r in sorted(rows, key=lambda r: r["vec_id"])]
+    return _pq_fit(sample, m, k, iters)
+
+
+def pq_codebooks_local(ids, vecs, m: int = PQ_M, k: int = PQ_K,
+                       iters: int = 5, sample_n: int = 4096):
+    """No-Spark twin for the DuckDB-oracle builder (pyarrow in,
+    codebook literals out) — selection and fit are the same code."""
+    by_id = dict(zip(ids, vecs))
+    picked = kmeans_sample_ids(list(ids), sample_n)
+    return _pq_fit([[float(x) for x in by_id[i]] for i in picked],
+                   m, k, iters)
+
+
+def _pq_unit(vec_col: str):
+    """Unit-normalized float64 copy of ``vec_col`` (zero vector kept
+    as-is via the norm->1 guard)."""
+    e = F.transform(vec_col, lambda x: x.cast("double"))
+    n = _norm(e)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(e, lambda x: x / safe)
+
+
+def _pq_dist_cols(codebooks, col: str = "u"):
+    """dict {(s, c): squared-L2 Column} between ``col``'s subspace-s
+    slice and codebook entry c — each an explicit fixed-order sum of
+    (element - literal)^2 terms over element_at positions, so the
+    doubles agree bit-for-bit with the textual SQL mirror."""
+    out = {}
+    d = len(codebooks[0][0])
+    for s, book in enumerate(codebooks):
+        for c, cent in enumerate(book):
+            acc = None
+            for i, cv in enumerate(cent):
+                el = F.element_at(col, s * d + i + 1) - F.lit(cv)
+                term = el * el
+                acc = term if acc is None else acc + term
+            out[(s, c)] = F.round(acc, 9)
+    return out
+
+
+def _pq_code_exprs(codebooks):
+    """(code_cols, min_cols): per-subspace argmin code (tie -> lowest
+    c) and min distance, both over the d_{s}_{c} columns a prior
+    select must provide."""
+    k = len(codebooks[0])
+    codes, mins = [], []
+    for s in range(len(codebooks)):
+        m_s = F.least(*[F.col(f"d_{s}_{c}") for c in range(k)])
+        # CASE branches in ascending c order: tie -> lowest cell, the
+        # same contract as _lloyd_l2's argmin
+        code = None
+        for c in range(k):
+            br = F.when(F.col(f"d_{s}_{c}") == F.col(f"m_{s}"), c)
+            code = br if code is None else code.when(
+                F.col(f"d_{s}_{c}") == F.col(f"m_{s}"), c)
+        codes.append(code.cast("int").alias(f"c_{s}"))
+        mins.append(m_s.alias(f"m_{s}"))
+    return codes, mins
+
+
+def pq_encode(emb: DataFrame, codebooks,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, code_str, recon_err): PQ codes joined '-' plus the
+    total squared quantization error — a pure three-select projection
+    over codebook literals (zero joins, zero shuffles; Catalyst CSEs
+    the shared distance terms)."""
+    m = len(codebooks)
+    dists = _pq_dist_cols(codebooks)
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _pq_unit(vec_col).alias("u"))
+    dd = base.select("vec_id", "u",
+                     *[v.alias(f"d_{s}_{c}") for (s, c), v in dists.items()])
+    codes, mins = _pq_code_exprs(codebooks)
+    cc = dd.select("vec_id", *[m_.alias(f"m_{s}")
+                               for s, m_ in enumerate(mins)],
+                   *codes)
+    recon = None
+    for s in range(m):
+        t = F.col(f"m_{s}")
+        recon = t if recon is None else recon + t
+    return cc.select(
+        "vec_id",
+        F.concat_ws("-", *[F.col(f"c_{s}").cast("string")
+                           for s in range(m)]).alias("code_str"),
+        F.round(recon, 6).alias("recon_err"))
+
+
+def pq_adc_topk(emb: DataFrame, query_ids: list[int], codebooks,
+                k: int = 5, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, adc_dist, rnk): asymmetric-distance top-k —
+    database rows are scored through their PQ codes against a
+    driver-precomputed per-query lookup table (LUT[s][c] = squared L2
+    between the query's subspace-s slice and codebook entry c), so the
+    scan is PQ_M literal-array lookups per row: no corpus floats in
+    the distance loop, the Faiss ADC contract.  Rank tie-break is
+    (dist asc, vec_id asc) after the shared 6-dp rounding."""
+    m = len(codebooks)
+    dists = _pq_dist_cols(codebooks)
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _pq_unit(vec_col).alias("u"))
+    dd = (base.filter(~F.col("vec_id").isin(query_ids))
+          .select("vec_id", *[v.alias(f"d_{s}_{c}")
+                              for (s, c), v in dists.items()]))
+    codes, mins = _pq_code_exprs(codebooks)
+    # materialized once (see ivfpq_topk): the per-query ADC branches
+    # scan the compact codes table, not n_queries copies of the
+    # 64-distance encode plan
+    coded = dd.select("vec_id", *[m_.alias(f"m_{s}")
+                                  for s, m_ in enumerate(mins)],
+                      *codes).select("vec_id",
+                                     *[f"c_{s}" for s in range(m)]) \
+        .localCheckpoint(eager=True)
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("qid"),
+                     F.transform(vec_col,
+                                 lambda x: x.cast("double")).alias("v"))
+             .collect())
+    luts = {r["qid"]: pq_query_lut(list(r["v"]), codebooks) for r in qrows}
+    parts = []
+    for qid in sorted(luts):
+        adc = None
+        for s in range(m):
+            t = F.element_at(F.array(*[F.lit(x) for x in luts[qid][s]]),
+                             F.col(f"c_{s}") + 1)
+            adc = t if adc is None else adc + t
+        parts.append(coded.select(
+            F.lit(qid).cast("long").alias("query_id"), "vec_id",
+            F.round(adc, 6).alias("adc_dist")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("vec_id"))
+    return (out.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "adc_dist", "rnk"))
+
+
+def pq_query_lut(vec, codebooks):
+    """LUT[s][c]: squared L2 between the unit-normalized query's
+    subspace-s slice and codebook entry c, rounded 9 like the encode
+    distances — plain Python float64, embedded as literals in BOTH
+    engines so it can never disagree with itself."""
+    import math
+
+    n = math.sqrt(sum(x * x for x in vec)) or 1.0
+    u = [x / n for x in vec]
+    d = len(codebooks[0][0])
+    return [[round(sum((u[s * d + i] - cv) ** 2
+                       for i, cv in enumerate(cent)), 9)
+             for cent in book] for s, book in enumerate(codebooks)]
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (Jégou et al. TPAMI 2011 §V; the Faiss `IVFx,PQy` index —
+# THE structure that serves web-scale ANN): coarse-quantize each
+# vector to its nearest k-means centroid (the IVF cell), PQ-encode the
+# RESIDUAL u - centroid (residuals are far more compressible than raw
+# vectors: the coarse quantizer absorbs the corpus-level geometry, the
+# codebooks only carry the intra-cell spread), and at query time probe
+# the ``nprobe`` closest cells with a PER-CELL ADC lookup table built
+# from the query's own residual against that cell.  Search cost =
+# (nprobe/n_cells) of the corpus × m array lookups per row — the full
+# 100 TB scale path, with both index structures (centroids, codebooks)
+# shipping as literals.
+# ---------------------------------------------------------------------------
+
+
+def _unit_local(vec):
+    import math
+    n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+    return [float(x) / n for x in vec]
+
+
+def _assign_cell_local(u, cents):
+    """argmax cosine(u, cent) with ties -> lowest cell — the same rule
+    as _lloyd_fit's assignment (numpy argmax) on plain floats."""
+    best, best_cos = 0, None
+    for c, cent in enumerate(cents):
+        cn = sum(x * x for x in cent) ** 0.5 or 1.0
+        cs = sum(a * b for a, b in zip(u, cent)) / cn
+        if best_cos is None or cs > best_cos:
+            best, best_cos = c, cs
+    return best
+
+
+def ivfpq_fit(emb: DataFrame, n_cells: int = 8, m: int = PQ_M,
+              k: int = PQ_K, iters: int = 5, sample_n: int = 256,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(centroids, codebooks): the coarse quantizer is the existing
+    deterministic kmeans fit; the PQ codebooks are fit on the SAMPLE'S
+    RESIDUALS u - centroid[assigned cell] (the Faiss residual recipe).
+    Both ship as literals; both are reproducible without Spark
+    (ivfpq_fit_local) so the DuckDB oracle embeds identical values."""
+    rows = (emb.select(F.col(id_col).alias("vec_id"),
+                       F.transform(vec_col,
+                                   lambda x: x.cast("double")).alias("v"))
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(sample_n)
+            .collect())
+    sample = [list(r["v"]) for r in sorted(rows, key=lambda r: r["vec_id"])]
+    return _ivfpq_fit_sample(sample, n_cells, m, k, iters)
+
+
+def ivfpq_fit_local(ids, vecs, n_cells: int = 8, m: int = PQ_M,
+                    k: int = PQ_K, iters: int = 5, sample_n: int = 256):
+    """No-Spark twin for the oracle builder (same selection, same
+    fit)."""
+    by_id = dict(zip(ids, vecs))
+    picked = kmeans_sample_ids(list(ids), sample_n)
+    sample = [[float(x) for x in by_id[i]] for i in picked]
+    return _ivfpq_fit_sample(sample, n_cells, m, k, iters)
+
+
+def _ivfpq_fit_sample(sample, n_cells: int, m: int, k: int, iters: int):
+    cents = _lloyd_fit(sample, n_cells, iters)
+    resids = []
+    for v in sample:
+        u = _unit_local(v)
+        c = _assign_cell_local(u, cents)
+        resids.append([a - b for a, b in zip(u, cents[c])])
+    d = len(resids[0]) // m
+    import numpy as np
+    r = np.asarray(resids, dtype=np.float64)
+    books = [_lloyd_l2(r[:, s * d:(s + 1) * d], k, iters)
+             for s in range(m)]
+    return cents, books
+
+
+def _cell_assign_cols(cents):
+    """(cs_cols, cell_expr): per-cell rounded-9 cosine columns over "u"
+    and the argmax CASE (tie -> lowest cell), mirroring the textual
+    SQL."""
+    cs_cols = []
+    for c, cent in enumerate(cents):
+        cn = sum(x * x for x in cent) ** 0.5 or 1.0
+        cs_cols.append(F.round(_dot_lit(F.col("u"), cent) / F.lit(cn), 9)
+                       .alias(f"cs_{c}"))
+    best = F.greatest(*[F.col(f"cs_{c}") for c in range(len(cents))])
+    cell = None
+    for c in range(len(cents)):
+        br = F.when(F.col(f"cs_{c}") == best, c)
+        cell = br if cell is None else cell.when(F.col(f"cs_{c}") == best, c)
+    return cs_cols, cell.cast("int").alias("cell")
+
+
+def _residual_col(cents):
+    """r = u - centroids[cell] via one array-of-array-literals lookup —
+    element-wise exact, no join."""
+    cell_lit = F.array(*[F.array(*[F.lit(v) for v in cent])
+                         for cent in cents])
+    cc = F.element_at(cell_lit, F.col("cell") + 1)
+    return F.zip_with(F.col("u"), cc, lambda a, b: a - b).alias("r")
+
+
+def ivfpq_codes(emb: DataFrame, cents, books,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, c_0..c_{m-1}): the IVF-PQ index table — cell
+    assignment (argmax over centroid literals) + residual PQ codes.
+    Pure chained projections: zero joins, zero shuffles."""
+    m = len(books)
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _pq_unit(vec_col).alias("u"))
+    cs_cols, cell = _cell_assign_cols(cents)
+    assigned = base.select("vec_id", "u", *cs_cols).select(
+        "vec_id", "u", cell)
+    withr = assigned.select("vec_id", "cell", _residual_col(cents))
+    dists = _pq_dist_cols(books, col="r")
+    dd = withr.select("vec_id", "cell",
+                      *[v.alias(f"d_{s}_{c}") for (s, c), v in dists.items()])
+    codes, mins = _pq_code_exprs(books)
+    return dd.select("vec_id", "cell",
+                     *[m_.alias(f"m_{s}") for s, m_ in enumerate(mins)],
+                     *codes).select("vec_id", "cell",
+                                    *[f"c_{s}" for s in range(m)])
+
+
+def ivfpq_query_lut(vec, cents, cell: int, books):
+    """Per-(query, probed cell) ADC LUT: LUT[s][c] = squared L2 between
+    the QUERY'S residual against that cell and codebook entry c —
+    rounded 9, plain Python floats, shared verbatim by both engines."""
+    u = _unit_local(vec)
+    qr = [a - b for a, b in zip(u, cents[cell])]
+    d = len(books[0][0])
+    return [[round(sum((qr[s * d + i] - cv) ** 2
+                       for i, cv in enumerate(cent)), 9)
+             for cent in book] for s, book in enumerate(books)]
+
+
+def ivfpq_probe_cells(vec, cents, nprobe: int):
+    """The query's ``nprobe`` closest cells by cosine (desc, tie ->
+    lowest cell) — plain Python on the collected query vector, shared
+    by both engines so the probe sets can never diverge."""
+    u = _unit_local(vec)
+    scored = []
+    for c, cent in enumerate(cents):
+        cn = sum(x * x for x in cent) ** 0.5 or 1.0
+        scored.append((-sum(a * b for a, b in zip(u, cent)) / cn, c))
+    return [c for _, c in sorted(scored)[:nprobe]]
+
+
+def ivfpq_topk(emb: DataFrame, query_ids: list[int], cents, books,
+               nprobe: int = 2, k: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, adc_dist, rnk): Faiss-style IVF-PQ search —
+    probe the query's ``nprobe`` nearest cells, score ONLY rows in
+    probed cells through their residual PQ codes against the per-cell
+    query LUT (m literal-array lookups/row), rank (adc asc, vec_id
+    asc).  The cell filter is the 100-TB win: with the index table
+    partitioned by cell, non-probed cells are never read."""
+    m = len(books)
+    # materialize the index ONCE: every (query, probed-cell) branch
+    # below scans the compact (vec_id, cell, codes) table instead of
+    # re-expanding the whole encode plan — without this the unioned
+    # codegen of n_queries×nprobe copies of the 64-distance projection
+    # blows the JVM heap.  At cluster scale this table is the
+    # cell-partitioned parquet index; localCheckpoint is its
+    # in-session stand-in.
+    coded = ivfpq_codes(emb.filter(~F.col(id_col).isin(query_ids)),
+                        cents, books, id_col=id_col, vec_col=vec_col) \
+        .localCheckpoint(eager=True)
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("qid"),
+                     F.transform(vec_col,
+                                 lambda x: x.cast("double")).alias("v"))
+             .collect())
+    qvecs = {r["qid"]: list(r["v"]) for r in qrows}
+    parts = []
+    for qid in sorted(qvecs):
+        for cell in ivfpq_probe_cells(qvecs[qid], cents, nprobe):
+            lut = ivfpq_query_lut(qvecs[qid], cents, cell, books)
+            adc = None
+            for s in range(m):
+                t = F.element_at(F.array(*[F.lit(x) for x in lut[s]]),
+                                 F.col(f"c_{s}") + 1)
+                adc = t if adc is None else adc + t
+            parts.append(coded.filter(F.col("cell") == cell).select(
+                F.lit(qid).cast("long").alias("query_id"), "vec_id",
+                F.round(adc, 6).alias("adc_dist")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("vec_id"))
+    return (out.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "adc_dist", "rnk"))
+
+
+def _ivfpq_codes_sql(cents, books, table: str = "embeddings",
+                     id_expr: str = "vec_id",
+                     vec_expr: str = "embedding") -> str:
+    """CTE chain yielding ``ivfpq_codes`` (vec_id, cell, c_0..c_{m-1})
+    — the exact textual mirror of ``ivfpq_codes``: fixed-order dot
+    products for cell assignment, explicit residual list, fixed-order
+    residual distances, ascending-c CASE argmins."""
+    m, k = len(books), len(books[0])
+    d = len(books[0][0])
+    dim = m * d
+    norm = " + ".join(f"e[{i}] * e[{i}]" for i in range(1, dim + 1))
+    cs, cases = [], []
+    for c, cent in enumerate(cents):
+        cn = sum(x * x for x in cent) ** 0.5 or 1.0
+        dot = " + ".join(f"u[{i + 1}] * {v!r}" for i, v in enumerate(cent))
+        cs.append(f"round(({dot}) / {cn!r}, 9) AS cs_{c}")
+        cases.append(f"WHEN cs_{c} = _best THEN {c}")
+    best = "greatest(" + ", ".join(f"cs_{c}" for c in range(len(cents))) + ")"
+    cells_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in cent) + "]" for cent in cents) + "]"
+    resid = "[" + ", ".join(f"u[{i}] - _cc[{i}]"
+                            for i in range(1, dim + 1)) + "]"
+    dists, mins, codes = [], [], []
+    for s, book in enumerate(books):
+        for c, cent in enumerate(book):
+            terms = " + ".join(
+                f"(r[{s * d + i + 1}] - {cv!r}) * (r[{s * d + i + 1}] - {cv!r})"
+                for i, cv in enumerate(cent))
+            dists.append(f"round({terms}, 9) AS d_{s}_{c}")
+        mins.append("least(" + ", ".join(f"d_{s}_{c}" for c in range(k)) +
+                    f") AS m_{s}")
+        br = " ".join(f"WHEN d_{s}_{c} = m_{s} THEN {c}" for c in range(k))
+        codes.append(f"(CASE {br} END)::INT AS c_{s}")
+    dlist = ", ".join(f"d_{s}_{c}" for s in range(m) for c in range(k))
+    return f"""ipe AS MATERIALIZED (
+  SELECT {id_expr} AS vec_id, {vec_expr}::DOUBLE[] AS e FROM {table}),
+ipu AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x /
+    (CASE WHEN sqrt({norm}) = 0 THEN 1.0 ELSE sqrt({norm}) END)) AS u
+  FROM ipe),
+ipcs AS MATERIALIZED (
+  SELECT vec_id, u, {", ".join(cs)} FROM ipu),
+ipcell AS MATERIALIZED (
+  SELECT vec_id, u,
+         (CASE {" ".join(cases)} END)::INT AS cell
+  FROM (SELECT *, {best} AS _best FROM ipcs)),
+ipr AS MATERIALIZED (
+  SELECT vec_id, cell, {resid} AS r
+  FROM (SELECT *, ({cells_lit})[cell + 1] AS _cc FROM ipcell)),
+ipd AS MATERIALIZED (
+  SELECT vec_id, cell, {", ".join(dists)} FROM ipr),
+ipm AS MATERIALIZED (
+  SELECT vec_id, cell, {dlist}, {", ".join(mins)} FROM ipd),
+ivfpq_codes AS MATERIALIZED (
+  SELECT vec_id, cell, {", ".join(codes)} FROM ipm)"""
+
+
+def ivfpq_topk_sql(cents, books, qvecs: dict, nprobe: int = 2,
+                   k: int = 5, table: str = "embeddings") -> str:
+    """DuckDB oracle for ``ivfpq_topk``: identical index CTE chain,
+    then one SELECT per (query, probed cell) with the same LUT
+    literals, the same fixed-order ADC sum and 6-dp round, and the
+    (adc asc, vec_id asc) rank window."""
+    m = len(books)
+    qids = sorted(qvecs)
+    in_list = ", ".join(str(q) for q in qids)
+    parts = []
+    for qid in qids:
+        for cell in ivfpq_probe_cells(qvecs[qid], cents, nprobe):
+            lut = ivfpq_query_lut(qvecs[qid], cents, cell, books)
+            adc = " + ".join(
+                "([" + ", ".join(repr(x) for x in lut[s]) +
+                f"])[c_{s} + 1]" for s in range(m))
+            parts.append(
+                f"SELECT {qid}::BIGINT AS query_id, vec_id, "
+                f"round({adc}, 6) AS adc_dist FROM ivfpq_codes "
+                f"WHERE cell = {cell} AND vec_id NOT IN ({in_list})")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_ivfpq_codes_sql(cents, books, table=table)},
+ivfpq_adc AS ({union})
+SELECT query_id, vec_id, adc_dist, rnk FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rnk
+  FROM ivfpq_adc)
+WHERE rnk <= {k}
+"""
+
+
+def _pq_codes_sql(codebooks, table: str = "embeddings",
+                  id_expr: str = "vec_id",
+                  vec_expr: str = "embedding") -> str:
+    """CTE chain computing the PQ codes table — the exact textual
+    mirror of ``pq_encode``'s projections: fixed-order norm sum,
+    per-element unit division with the zero-norm guard, fixed-order
+    (u[i] - literal)^2 distance sums rounded 9, least() mins, and
+    ascending-c CASE argmins.  Yields ``pq_codes`` with columns
+    (vec_id, c_0..c_{m-1}, recon_err)."""
+    m, k = len(codebooks), len(codebooks[0])
+    d = len(codebooks[0][0])
+    dim = m * d
+    norm = " + ".join(f"e[{i}] * e[{i}]" for i in range(1, dim + 1))
+    dists, mins, codes = [], [], []
+    for s, book in enumerate(codebooks):
+        for c, cent in enumerate(book):
+            terms = " + ".join(
+                f"(u[{s * d + i + 1}] - {cv!r}) * (u[{s * d + i + 1}] - {cv!r})"
+                for i, cv in enumerate(cent))
+            dists.append(f"round({terms}, 9) AS d_{s}_{c}")
+        mins.append("least(" + ", ".join(f"d_{s}_{c}" for c in range(k)) +
+                    f") AS m_{s}")
+        br = " ".join(f"WHEN d_{s}_{c} = m_{s} THEN {c}" for c in range(k))
+        codes.append(f"(CASE {br} END)::INT AS c_{s}")
+    recon = " + ".join(f"m_{s}" for s in range(m))
+    dlist = ", ".join(f"d_{s}_{c}" for s in range(m) for c in range(k))
+    mlist = ", ".join(f"m_{s}" for s in range(m))
+    clist = ", ".join(f"c_{s}" for s in range(m))
+    return f"""pqe AS MATERIALIZED (
+  SELECT {id_expr} AS vec_id, {vec_expr}::DOUBLE[] AS e FROM {table}),
+pqu AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x /
+    (CASE WHEN sqrt({norm}) = 0 THEN 1.0 ELSE sqrt({norm}) END)) AS u
+  FROM pqe),
+pqd AS MATERIALIZED (
+  SELECT vec_id, {", ".join(dists)} FROM pqu),
+pqm AS MATERIALIZED (
+  SELECT vec_id, {dlist}, {", ".join(mins)} FROM pqd),
+pq_codes AS MATERIALIZED (
+  SELECT vec_id, {mlist}, {", ".join(codes)},
+         round({recon}, 6) AS recon_err
+  FROM pqm)"""
+
+
+def pq_encode_sql(codebooks, table: str = "embeddings") -> str:
+    """DuckDB oracle for ``pq_encode``: full SELECT of
+    (vec_id, code_str, recon_err)."""
+    m = len(codebooks)
+    cat = " || '-' || ".join(f"c_{s}::VARCHAR" for s in range(m))
+    return f"""
+WITH {_pq_codes_sql(codebooks, table=table)}
+SELECT vec_id, {cat} AS code_str, recon_err FROM pq_codes
+"""
+
+
+def pq_adc_sql(codebooks, luts: dict, k: int = 5,
+               table: str = "embeddings") -> str:
+    """DuckDB oracle for ``pq_adc_topk``: the same pq_codes CTE chain,
+    then per-query ADC sums of LUT list-literal lookups (same
+    ascending-qid order, same fixed-order addition, same 6-dp round)
+    and the (adc asc, vec_id asc) rank window."""
+    m = len(codebooks)
+    qids = sorted(luts)
+    in_list = ", ".join(str(q) for q in qids)
+    parts = []
+    for qid in qids:
+        adc = " + ".join(
+            "([" + ", ".join(repr(x) for x in luts[qid][s]) +
+            f"])[c_{s} + 1]" for s in range(m))
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, vec_id, "
+            f"round({adc}, 6) AS adc_dist FROM pq_codes "
+            f"WHERE vec_id NOT IN ({in_list})")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_pq_codes_sql(codebooks, table=table)},
+pq_adc AS ({union})
+SELECT query_id, vec_id, adc_dist, rnk FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rnk
+  FROM pq_adc)
+WHERE rnk <= {k}
+"""

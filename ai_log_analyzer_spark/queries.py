@@ -123,6 +123,10 @@ def oracle_sql() -> dict[str, str]:
     # default; SPARK_GRAFT_ORACLE_SF_DIR overrides for other SFs)
     out["ann_ivf_kmeans_topk"] = _kmeans_ivf_oracle()
     out["semdedup_keep"] = _semdedup_oracle()
+    books, luts = _pq_fit_for_oracle()
+    out["pq_encode_codes"] = S.pq_encode_sql(books)
+    out["pq_adc_topk"] = S.pq_adc_sql(books, luts, k=5)
+    out["ivfpq_adc_topk"] = _ivfpq_oracle()
     return out
 
 
@@ -837,6 +841,54 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 _KMEANS_ORACLE_CACHE: dict[str, str] = {}
+_PQ_ORACLE_CACHE: dict[str, tuple] = {}
+_IVFPQ_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivfpq_oracle() -> str:
+    """Data-bound IVF-PQ oracle: coarse centroids + residual codebooks
+    + per-(query, probed-cell) ADC LUTs all recomputed without Spark
+    (shared fit/probe/LUT code) and rendered as literals."""
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    if sf_dir not in _IVFPQ_ORACLE_CACHE:
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        ids = tbl.column("vec_id").to_pylist()
+        vecs = tbl.column("embedding").to_pylist()
+        cents, books = S.ivfpq_fit_local(ids, vecs, sample_n=256)
+        by_id = dict(zip(ids, vecs))
+        qvecs = {q: [float(x) for x in by_id[q]] for q in range(5)}
+        _IVFPQ_ORACLE_CACHE[sf_dir] = S.ivfpq_topk_sql(
+            cents, books, qvecs, nprobe=2, k=5)
+    return _IVFPQ_ORACLE_CACHE[sf_dir]
+
+
+def _pq_fit_for_oracle():
+    """Shared data-bound PQ state for the encode/ADC oracles: recompute
+    the deterministic codebooks outside Spark (pyarrow read + the same
+    numpy fit the Spark path uses) plus the per-query ADC LUTs for
+    query ids 0-4.  Cached per sf_dir like _centroid_values."""
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    if sf_dir in _PQ_ORACLE_CACHE:
+        return _PQ_ORACLE_CACHE[sf_dir]
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = tbl.column("embedding").to_pylist()
+    books = S.pq_codebooks_local(ids, vecs, sample_n=256)
+    by_id = dict(zip(ids, vecs))
+    luts = {q: S.pq_query_lut([float(x) for x in by_id[q]], books)
+            for q in range(5)}
+    _PQ_ORACLE_CACHE[sf_dir] = (books, luts)
+    return _PQ_ORACLE_CACHE[sf_dir]
 
 
 def _centroid_values() -> str:
@@ -991,6 +1043,60 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     cents = S.kmeans_centroids(emb, n_cells=8, iters=5, sample_n=256)
     return S.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5,
                       nprobe=2, centroids=cents)
+
+
+@q("pq_encode_codes")       # oracle injected at oracle_sql() call time
+                            # (pq_encode_sql over codebooks recomputed
+                            # without Spark — data-bound literals)
+def pq_encode_codes(spark, sf_dir):
+    """Product quantization encode (Jégou-Douze-Schmid TPAMI 2011, the
+    Faiss IVF-PQ compression scheme): unit-normalize, split each 64-dim
+    vector into m=8 subspaces, quantize each against its own 8-entry
+    codebook — 24-bit codes, the memory cut that fits a 100 TB
+    embedding corpus into an ANN index.  Codebooks fit like the IVF
+    quantizer (deterministic md5 sample + fixed-iteration numpy
+    Lloyd's, L2 metric); encoding is a ZERO-JOIN three-select
+    projection over codebook literals — Catalyst CSEs the shared
+    distance terms, nothing shuffles
+    (functions/similarity.pq_encode)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb, sample_n=256)
+    return S.pq_encode(emb, books)
+
+
+@q("pq_adc_topk")           # oracle injected at oracle_sql() call time
+                            # (pq_adc_sql — codebooks + per-query LUT
+                            # literals recomputed without Spark)
+def pq_adc_topk_q(spark, sf_dir):
+    """Asymmetric-distance (ADC) PQ top-k: database rows are scored
+    through their 24-bit PQ codes against a driver-precomputed
+    per-query lookup table — the Faiss ADC scan contract, where no
+    corpus floats ever enter the distance loop; scoring a row is m=8
+    literal-array lookups and the scan parallelizes embarrassingly
+    (functions/similarity.pq_adc_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb, sample_n=256)
+    return S.pq_adc_topk(emb, query_ids=[0, 1, 2, 3, 4],
+                         codebooks=books, k=5)
+
+
+@q("ivfpq_adc_topk")        # oracle injected at oracle_sql() call time
+                            # (ivfpq_topk_sql — centroids, residual
+                            # codebooks and per-cell query LUTs
+                            # recomputed without Spark)
+def ivfpq_adc_topk(spark, sf_dir):
+    """IVF-PQ search (Jégou et al. TPAMI 2011 §V — the Faiss
+    ``IVFx,PQy`` index serving web-scale ANN): coarse k-means cell +
+    PQ codes of the RESIDUAL u − centroid, query probes its nprobe=2
+    nearest cells and scores only those rows through a per-cell ADC
+    LUT.  Index build is pure chained projections over literals (zero
+    joins); search cost is (nprobe/n_cells)·corpus × m array lookups —
+    with the codes table partitioned by cell, non-probed cells are
+    never read (functions/similarity.ivfpq_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, books = S.ivfpq_fit(emb, sample_n=256)
+    return S.ivfpq_topk(emb, query_ids=[0, 1, 2, 3, 4],
+                        cents=cents, books=books, nprobe=2, k=5)
 
 
 @q("embedding_neardup", f"""

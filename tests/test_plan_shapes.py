@@ -364,3 +364,38 @@ def test_trustrank_plan_is_checkpoint_bounded(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     plan = _plan(G.trustrank(edges, seeds, iters=2))
     assert "Join" not in plan, plan
+
+
+def test_pq_encode_is_zero_shuffle_zero_python(spark):
+    """PQ encoding must compile to a pure projection over codebook
+    literals — no Exchange, no Python eval node: at 100 TB the encode
+    pass is a map-only scan."""
+    from ai_log_analyzer_spark.functions import similarity as S
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(16)]) for i in range(20)],
+        ["vec_id", "embedding"])
+    books = [[[0.1 * (s + c + i) for i in range(2)]
+              for c in range(4)] for s in range(8)]
+    plan = _plan(S.pq_encode(emb, books))
+    assert "Exchange" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
+
+
+def test_ivfpq_codes_is_zero_shuffle_zero_python(spark):
+    """The IVF-PQ index build (cell assign + residual + codes) must be
+    pure chained projections over literals — no Exchange, no Python
+    eval node: at 100 TB the index pass is a map-only scan."""
+    from ai_log_analyzer_spark.functions import similarity as S
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(16)]) for i in range(20)],
+        ["vec_id", "embedding"])
+    cents = [[0.1 * (c + i) for i in range(16)] for c in range(4)]
+    books = [[[0.1 * (s + c + i) for i in range(2)]
+              for c in range(4)] for s in range(8)]
+    plan = _plan(S.ivfpq_codes(emb, cents, books))
+    assert "Exchange" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
