@@ -988,6 +988,208 @@ WHERE rnk <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (the Faiss `SQ8` codec): per-dimension
+# [min, max] trained on the deterministic sample, each component
+# quantized to one byte — a flat 4× memory cut with NO codebook search,
+# the standard first rung of the quantization ladder (SQ8 → PQ →
+# IVF-PQ).  Encode is a pure projection over 2·dim literals; search is
+# asymmetric L2 against dequantized codes (query stays float).
+# ---------------------------------------------------------------------------
+
+
+def sq8_params(emb: DataFrame, sample_n: int = 256,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """[(min_i, max_i)] per dimension from the md5-smallest sample —
+    the same deterministic training slice as every other quantizer
+    here, so the oracle rebuilds identical params without Spark."""
+    rows = (emb.select(F.col(id_col).alias("vec_id"),
+                       F.transform(vec_col,
+                                   lambda x: x.cast("double")).alias("v"))
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(sample_n)
+            .collect())
+    sample = [list(r["v"]) for r in sorted(rows, key=lambda r: r["vec_id"])]
+    return sq8_params_from_sample(sample)
+
+
+def sq8_params_local(ids, vecs, sample_n: int = 256):
+    """No-Spark twin for the oracle builder."""
+    by_id = dict(zip(ids, vecs))
+    picked = kmeans_sample_ids(list(ids), sample_n)
+    return sq8_params_from_sample(
+        [[float(x) for x in by_id[i]] for i in picked])
+
+
+def sq8_params_from_sample(sample):
+    dim = len(sample[0])
+    return [(min(v[i] for v in sample), max(v[i] for v in sample))
+            for i in range(dim)]
+
+
+def _sq8_code_expr(i: int, lo: float, hi: float):
+    """code_i = clamp(round((x−lo)·255/(hi−lo)), 0, 255) — exact the
+    same expression textually in SQL; degenerate dims (hi==lo) code
+    to 0."""
+    x = F.element_at("e", i + 1)
+    if hi == lo:
+        return F.lit(0)
+    scaled = F.round((x - F.lit(lo)) * F.lit(255.0 / (hi - lo)), 0)
+    return F.greatest(F.lit(0.0), F.least(F.lit(255.0), scaled)) \
+        .cast("int")
+
+
+def sq8_encode(emb: DataFrame, params,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, codes_str, recon_err): one byte per dimension ('-'
+    joined) + total squared reconstruction error against the midpoint
+    dequantization x̂ = lo + code·(hi−lo)/255.  Pure projection over
+    2·dim literals — zero joins, zero shuffles."""
+    dim = len(params)
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.transform(vec_col,
+                                  lambda x: x.cast("double")).alias("e"))
+    coded = base.select(
+        "vec_id", "e",
+        *[_sq8_code_expr(i, lo, hi).alias(f"q_{i}")
+          for i, (lo, hi) in enumerate(params)])
+    recon = None
+    for i, (lo, hi) in enumerate(params):
+        deq = F.lit(lo) + F.col(f"q_{i}") * F.lit((hi - lo) / 255.0) \
+            if hi != lo else F.lit(lo)
+        el = F.element_at("e", i + 1) - deq
+        term = el * el
+        recon = term if recon is None else recon + term
+    return coded.select(
+        "vec_id",
+        F.concat_ws("-", *[F.col(f"q_{i}").cast("string")
+                           for i in range(dim)]).alias("codes_str"),
+        F.round(recon, 9).alias("recon_err"))
+
+
+def sq8_topk(emb: DataFrame, query_ids: list[int], params,
+             k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, sq_dist, rnk): asymmetric L2 top-k — db rows
+    through their dequantized SQ8 codes, query vectors exact (collected
+    driver-side, embedded as literals).  One materialized codes pass,
+    then per-query fixed-order distance sums and the (dist asc, vec_id
+    asc) rank window."""
+    dim = len(params)
+    base = emb.filter(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"))
+    coded = base.select(
+        "vec_id",
+        *[_sq8_code_expr(i, lo, hi).alias(f"q_{i}")
+          for i, (lo, hi) in enumerate(params)]) \
+        .localCheckpoint(eager=True)
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("qid"),
+                     F.transform(vec_col,
+                                 lambda x: x.cast("double")).alias("v"))
+             .collect())
+    qvecs = {r["qid"]: list(r["v"]) for r in qrows}
+    parts = []
+    for qid in sorted(qvecs):
+        dist = None
+        for i, (lo, hi) in enumerate(params):
+            deq = F.lit(lo) + F.col(f"q_{i}") * F.lit((hi - lo) / 255.0) \
+                if hi != lo else F.lit(lo)
+            el = F.lit(qvecs[qid][i]) - deq
+            term = el * el
+            dist = term if dist is None else dist + term
+        parts.append(coded.select(
+            F.lit(qid).cast("long").alias("query_id"), "vec_id",
+            F.round(dist, 6).alias("sq_dist")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    w = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"),
+                                               F.asc("vec_id"))
+    return (out.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "sq_dist", "rnk"))
+
+
+def _sq8_codes_sql(params, table: str = "embeddings",
+                   id_expr: str = "vec_id",
+                   vec_expr: str = "embedding") -> str:
+    """Materialized CTE yielding ``sq8_codes`` (vec_id, e, q_0..) —
+    textual mirror of the encode expressions."""
+    codes = []
+    for i, (lo, hi) in enumerate(params):
+        if hi == lo:
+            codes.append(f"0 AS q_{i}")
+        else:
+            codes.append(
+                f"greatest(0.0, least(255.0, round((e[{i + 1}] - "
+                f"{lo!r}::DOUBLE) * "
+                f"{255.0 / (hi - lo)!r}::DOUBLE, 0)))::INT AS q_{i}")
+    return f"""sqe AS MATERIALIZED (
+  SELECT {id_expr} AS vec_id, {vec_expr}::DOUBLE[] AS e FROM {table}),
+sq8_codes AS MATERIALIZED (
+  SELECT vec_id, e, {", ".join(codes)} FROM sqe)"""
+
+
+def _sq8_deq_sql(i: int, lo: float, hi: float) -> str:
+    # ::DOUBLE on every literal: DuckDB parses bare decimal literals as
+    # DECIMAL and the quadratic distance terms then overflow scale 38
+    return (f"({lo!r}::DOUBLE + q_{i} * {(hi - lo) / 255.0!r}::DOUBLE)"
+            if hi != lo else f"({lo!r}::DOUBLE)")
+
+
+def sq8_encode_sql(params, table: str = "embeddings") -> str:
+    dim = len(params)
+    # flat concat_ws, NOT a 64-deep `||` chain (binder recursion limit)
+    cat = ("concat_ws('-', " +
+           ", ".join(f"q_{i}" for i in range(dim)) + ")")
+    # per-dim squared-error COLUMNS first, then a flat left-assoc sum
+    # of plain refs — inlining the 64 quadratic terms into one chain
+    # exceeds DuckDB's binder recursion limit; the addition ORDER is
+    # unchanged (t_0 + t_1 + ... left-assoc, same as Spark's fold)
+    terms = ", ".join(
+        f"(e[{i + 1}] - {_sq8_deq_sql(i, lo, hi)}) * "
+        f"(e[{i + 1}] - {_sq8_deq_sql(i, lo, hi)}) AS t_{i}"
+        for i, (lo, hi) in enumerate(params))
+    recon = " + ".join(f"t_{i}" for i in range(dim))
+    return f"""
+WITH {_sq8_codes_sql(params, table=table)},
+sq8_t AS MATERIALIZED (
+  SELECT vec_id, {cat} AS codes_str, {terms} FROM sq8_codes)
+SELECT vec_id, codes_str, round({recon}, 9) AS recon_err
+FROM sq8_t
+"""
+
+
+def sq8_topk_sql(params, qvecs: dict, k: int = 5,
+                 table: str = "embeddings") -> str:
+    qids = sorted(qvecs)
+    in_list = ", ".join(str(q) for q in qids)
+    parts = []
+    for qid in qids:
+        dist = " + ".join(
+            f"({qvecs[qid][i]!r}::DOUBLE - {_sq8_deq_sql(i, lo, hi)}) * "
+            f"({qvecs[qid][i]!r}::DOUBLE - {_sq8_deq_sql(i, lo, hi)})"
+            for i, (lo, hi) in enumerate(params))
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, vec_id, "
+            f"round({dist}, 6) AS sq_dist FROM sq8_codes "
+            f"WHERE vec_id NOT IN ({in_list})")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_sq8_codes_sql(params, table=table)},
+sq8_d AS ({union})
+SELECT query_id, vec_id, sq_dist, rnk FROM (
+  SELECT query_id, vec_id, sq_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sq_dist, vec_id) AS rnk
+  FROM sq8_d)
+WHERE rnk <= {k}
+"""
+
+
 def _pq_codes_sql(codebooks, table: str = "embeddings",
                   id_expr: str = "vec_id",
                   vec_expr: str = "embedding") -> str:

@@ -127,6 +127,9 @@ def oracle_sql() -> dict[str, str]:
     out["pq_encode_codes"] = S.pq_encode_sql(books)
     out["pq_adc_topk"] = S.pq_adc_sql(books, luts, k=5)
     out["ivfpq_adc_topk"] = _ivfpq_oracle()
+    params, sq_qvecs = _sq8_for_oracle()
+    out["sq8_encode_codes"] = S.sq8_encode_sql(params)
+    out["sq8_topk"] = S.sq8_topk_sql(params, sq_qvecs, k=5)
     return out
 
 
@@ -843,6 +846,28 @@ def ann_ivf_topk(spark, sf_dir):
 _KMEANS_ORACLE_CACHE: dict[str, str] = {}
 _PQ_ORACLE_CACHE: dict[str, tuple] = {}
 _IVFPQ_ORACLE_CACHE: dict[str, str] = {}
+_SQ8_ORACLE_CACHE: dict[str, tuple] = {}
+
+
+def _sq8_for_oracle():
+    """Data-bound SQ8 state: per-dim [min,max] params recomputed
+    without Spark from the shared md5 sample, plus the five query
+    vectors; cached per sf_dir."""
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    if sf_dir not in _SQ8_ORACLE_CACHE:
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        ids = tbl.column("vec_id").to_pylist()
+        vecs = tbl.column("embedding").to_pylist()
+        params = S.sq8_params_local(ids, vecs, sample_n=256)
+        by_id = dict(zip(ids, vecs))
+        qvecs = {q: [float(x) for x in by_id[q]] for q in range(5)}
+        _SQ8_ORACLE_CACHE[sf_dir] = (params, qvecs)
+    return _SQ8_ORACLE_CACHE[sf_dir]
 
 
 def _ivfpq_oracle() -> str:
@@ -1097,6 +1122,34 @@ def ivfpq_adc_topk(spark, sf_dir):
     cents, books = S.ivfpq_fit(emb, sample_n=256)
     return S.ivfpq_topk(emb, query_ids=[0, 1, 2, 3, 4],
                         cents=cents, books=books, nprobe=2, k=5)
+
+
+@q("sq8_encode_codes")      # oracle injected at oracle_sql() call time
+                            # (sq8_encode_sql — per-dim [min,max]
+                            # params recomputed without Spark)
+def sq8_encode_codes(spark, sf_dir):
+    """SQ8 scalar quantization encode (the Faiss SQ8 codec — the first
+    rung of the quantization ladder before PQ/IVF-PQ): per-dimension
+    [min,max] trained on the deterministic md5 sample, each component
+    to one byte — a flat 4× memory cut with no codebook search.  Pure
+    projection over 2·dim literals, zero joins, zero shuffles
+    (functions/similarity.sq8_encode)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = S.sq8_params(emb, sample_n=256)
+    return S.sq8_encode(emb, params)
+
+
+@q("sq8_topk")              # oracle injected at oracle_sql() call time
+def sq8_topk_q(spark, sf_dir):
+    """Asymmetric SQ8 L2 top-k: database rows score through their
+    dequantized byte codes (x̂ = lo + q·(hi−lo)/255), queries stay
+    exact floats shipped as literals — the standard SQ search contract
+    where the index holds bytes, not floats.  One materialized codes
+    pass + per-query fixed-order distance sums + the (dist, vec_id)
+    rank window (functions/similarity.sq8_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = S.sq8_params(emb, sample_n=256)
+    return S.sq8_topk(emb, query_ids=[0, 1, 2, 3, 4], params=params, k=5)
 
 
 @q("embedding_neardup", f"""

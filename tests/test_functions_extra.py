@@ -1409,3 +1409,78 @@ def test_ivfpq_probes_only_and_lut_scoring(spark):
         exp = round(sum(lut[s][cs[s]] for s in range(len(books))), 6)
         assert r.adc_dist == pytest.approx(exp, abs=2e-6)
         assert r.vec_id != 0
+
+
+# --- SQ8 scalar quantization (functions/similarity.py) ------------------------
+
+
+def test_sq8_params_spark_matches_local(spark):
+    import pyarrow.parquet as pq
+    emb = _pq_emb(spark)
+    params = S.sq8_params(emb, sample_n=128)
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    local = S.sq8_params_local(tbl.column("vec_id").to_pylist(),
+                               tbl.column("embedding").to_pylist(),
+                               sample_n=128)
+    assert params == local
+
+
+def test_sq8_encode_matches_python_mirror(spark):
+    emb = _pq_emb(spark).filter("vec_id < 40")
+    params = S.sq8_params(_pq_emb(spark), sample_n=128)
+    got = {r.vec_id: (r.codes_str, r.recon_err)
+           for r in S.sq8_encode(emb, params).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    for row in rows:
+        v = [float(x) for x in row.embedding]
+        codes, recon = [], 0.0
+        for i, (lo, hi) in enumerate(params):
+            if hi == lo:
+                q = 0
+            else:
+                q = int(max(0.0, min(255.0,
+                                     round((v[i] - lo) * (255.0 / (hi - lo))))))
+            codes.append(q)
+            deq = lo + q * ((hi - lo) / 255.0) if hi != lo else lo
+            recon += (v[i] - deq) ** 2
+        assert got[row.vec_id][0] == "-".join(str(q) for q in codes)
+        assert got[row.vec_id][1] == pytest.approx(round(recon, 9), abs=1e-8)
+
+
+def test_sq8_recon_small_and_codes_bounded(spark):
+    # every code must be 0..255, and the CORPUS distortion rate
+    # sum(recon)/sum(energy) must be tiny: in-sample rows land ~2e-5,
+    # out-of-sample rows can clamp (sample covers 256/500 vectors), so
+    # the contract is aggregate, not per-row worst-case
+    emb = _pq_emb(spark)
+    params = S.sq8_params(emb, sample_n=256)
+    out = S.sq8_encode(emb, params).collect()
+    import numpy as np
+    vecs = {r.vec_id: np.asarray([float(x) for x in r.embedding])
+            for r in emb.select("vec_id", "embedding").collect()}
+    tot_err = tot_n2 = 0.0
+    for r in out:
+        qs = [int(c) for c in r.codes_str.split("-")]
+        assert all(0 <= q <= 255 for q in qs)
+        tot_err += r.recon_err
+        tot_n2 += float((vecs[r.vec_id] ** 2).sum())
+    assert tot_err / tot_n2 < 5e-3
+
+
+def test_sq8_topk_close_to_exact_l2(spark):
+    # 8 bits/dim is a much finer codec than PQ: asymmetric SQ8 top-5
+    # must recover most of the exact L2 top-5
+    import numpy as np
+    emb = _pq_emb(spark)
+    params = S.sq8_params(emb, sample_n=256)
+    got = S.sq8_topk(emb, query_ids=[0, 1, 2], params=params, k=5).collect()
+    vecs = {r.vec_id: np.asarray([float(x) for x in r.embedding])
+            for r in emb.select("vec_id", "embedding").collect()}
+    hits = 0
+    for q in [0, 1, 2]:
+        exact = sorted((float(((vecs[q] - v) ** 2).sum()), i)
+                       for i, v in vecs.items() if i != q)[:5]
+        sq_ids = {r.vec_id for r in got if r.query_id == q}
+        hits += len({i for _, i in exact} & sq_ids)
+    assert hits / 15 >= 0.8

@@ -399,3 +399,18 @@ def test_ivfpq_codes_is_zero_shuffle_zero_python(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in plan, plan
+
+
+def test_sq8_encode_is_zero_shuffle_zero_python(spark):
+    """SQ8 encoding must compile to a pure projection over per-dim
+    [min,max] literals — no Exchange, no Python eval node."""
+    from ai_log_analyzer_spark.functions import similarity as S
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(16)]) for i in range(20)],
+        ["vec_id", "embedding"])
+    params = [(0.0, 1.0 + i) for i in range(16)]
+    plan = _plan(S.sq8_encode(emb, params))
+    assert "Exchange" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
