@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import hash32
+from .hashing import hash32, hash32_sql
 from .text import fingerprint as _fingerprint
 
 # shingles occurring in more docs than this are dropped from the
@@ -1290,3 +1290,92 @@ winnow AS (
          sum(CASE WHEN sel THEN h ELSE 0 END)::BIGINT AS fp_sum
   FROM wn_sel GROUP BY doc_id
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Shingle-containment top-k (asymmetric near-dup / dataset-discovery
+# search — Zhu et al. VLDB 2016's LSH Ensemble targets exactly this
+# measure; here the exact inverted-index form, the same index the
+# Jaccard pipeline builds).  containment(Q,C) = |S(Q) ∩ S(C)| / |S(Q)|
+# is what "is this doc a SUBSET of that one" needs where symmetric
+# Jaccard washes out (a paragraph quoted inside a book scores ~0 on
+# Jaccard, 1.0 on containment).
+# ---------------------------------------------------------------------------
+
+
+def containment_topk(df: DataFrame, n: int = 3, k: int = 3,
+                     query_mod: int = 50, df_cap: int = DF_CAP,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(query_id, cand_id, containment, rnk): top-k candidate docs by
+    shingle containment for each query doc (doc_id % query_mod == 0).
+
+    Scale shape — identical to ngram_jaccard_pairs, and that is the
+    point: ONE distinct-shingle index serves both measures.  Hot
+    shingles past df_cap are dropped from the index (broadcast
+    anti-join), candidate pairs exist only where an index posting is
+    shared, and the per-query top-k is a window over candidates only.
+    The query side is a hash-predicate filter on the SAME index — no
+    second shingling pass."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingles(df.repartition(p), n=n, text_col=text_col,
+                  id_col=id_col).select("doc_id", "shingle_hash")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hot = (sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > df_cap).select("shingle_hash"))
+    idx = sh.join(F.broadcast(hot), "shingle_hash", "left_anti")
+    qside = (idx.filter(F.col("doc_id") % query_mod == 0)
+             .select(F.col("doc_id").alias("query_id"), "shingle_hash"))
+    inter = (qside.join(idx.select(F.col("doc_id").alias("cand_id"),
+                                   "shingle_hash"), "shingle_hash")
+             .filter(F.col("query_id") != F.col("cand_id"))
+             .groupBy("query_id", "cand_id")
+             .agg(F.count("*").alias("n_inter")))
+    scored = (inter.join(sizes.select(F.col("doc_id").alias("query_id"),
+                                      F.col("n_sh").alias("sz_q")),
+                         "query_id")
+              .withColumn("containment",
+                          F.round(F.col("n_inter") / F.col("sz_q"), 6)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("containment"),
+                                               F.asc("cand_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "cand_id", "containment", "rnk"))
+
+
+def containment_topk_sql(table: str = "documents", n: int = 3, k: int = 3,
+                         query_mod: int = 50, df_cap: int = DF_CAP,
+                         text_expr: str = "text",
+                         id_expr: str = "doc_id") -> str:
+    """Oracle: same distinct-shingle index, hot-cap, ratio and rank."""
+    h = hash32_sql("shingle")
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {h} AS shingle_hash
+  FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + {n - 1}], ' ') AS shingle
+    FROM (SELECT {id_expr} AS doc_id,
+                 regexp_split_to_array(trim({text_expr}), '\\s+') AS toks
+          FROM {table}),
+         UNNEST(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS t(i)
+  )),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+hot AS (SELECT shingle_hash FROM sh GROUP BY 1 HAVING count(*) > {df_cap}),
+idx AS (SELECT * FROM sh ANTI JOIN hot USING (shingle_hash)),
+inter AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, count(*) AS n_inter
+  FROM idx q JOIN idx c ON q.shingle_hash = c.shingle_hash
+  WHERE q.doc_id % {query_mod} = 0 AND q.doc_id <> c.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT i.query_id, i.cand_id,
+         round(i.n_inter / s.n_sh, 6) AS containment
+  FROM inter i JOIN sizes s ON s.doc_id = i.query_id)
+SELECT query_id, cand_id, containment, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY containment DESC, cand_id) AS rnk
+  FROM scored)
+WHERE rnk <= {k}
+"""

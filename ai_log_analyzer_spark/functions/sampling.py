@@ -412,3 +412,84 @@ SELECT source, n_tokens,
             ELSE 0 END AS epochs_ppm
 FROM rooted, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (weighted reservoir without replacement)
+# ---------------------------------------------------------------------------
+# Duffield, Lund & Thorup 2007 ("Priority sampling for estimation of
+# arbitrary subset sums", JACM): each row draws u_i uniform in (0,1],
+# priority q_i = w_i / u_i, and the k highest-priority rows per group
+# form a weighted sample without replacement whose Horvitz–Thompson
+# weight is max(w_i, tau) with tau = the (k+1)-th priority.  It is the
+# standard one-pass weighted reservoir for "give me k representative
+# docs per domain, long docs more likely" — per-group quotas with
+# size-biased inclusion instead of quota_sample's uniform coin.
+#
+# Exactness: u_i = (hash32(id|salt)+1) / 2^32, so the priority is the
+# INTEGER q_i = (w_i << 32) // (h_i + 1) — floor division of positive
+# operands, identical in Spark (`div`) and DuckDB (`//`); no float
+# enters the selection or the estimator, so the oracle matches
+# bit-for-bit.  Overflow bound: w · 2^32 < 2^63 ⇔ w < 2^31.
+#
+# Scale: same two-phase top-K as quota_sample — phase 1 ranks within
+# (group, input-partition) so a mega-domain never single-tasks; any
+# per-partition top-(k+1) is a superset of the global top-(k+1), so
+# the result equals the naive global window's exactly.
+
+def priority_sample(df, group_col: str, weight_col: str,
+                    id_col: str = "doc_id", k: int = 8,
+                    salt: str = "prio-v1"):
+    """(group, id, weight, priority, est_weight, rnk) — the k
+    highest-priority rows per group plus their HT estimator weights.
+    ``est_weight = max(weight, tau)``; groups with ≤ k rows get
+    tau = 0 (every row selected, estimator = its own weight)."""
+    from pyspark.sql import Window
+    h = hash32(F.concat(F.col("id").cast("string"), F.lit(f"|{salt}")))
+    rows = (df.select(F.col(group_col).alias("grp"),
+                      F.col(id_col).alias("id"),
+                      F.col(weight_col).cast("long").alias("weight"))
+            .withColumn("_h", h)
+            .withColumn("priority",
+                        F.expr("(weight * 4294967296) div (_h + 1)"))
+            .withColumn("_pid", F.spark_partition_id()))
+    w1 = Window.partitionBy("grp", "_pid").orderBy(F.desc("priority"), "id")
+    cand = (rows.withColumn("_rn1", F.row_number().over(w1))
+            .where(F.col("_rn1") <= k + 1))
+    w2 = Window.partitionBy("grp").orderBy(F.desc("priority"), "id")
+    ranked = (cand.withColumn("rnk", F.row_number().over(w2))
+              .where(F.col("rnk") <= k + 1))
+    tau = (ranked.where(F.col("rnk") == k + 1)
+           .select("grp", F.col("priority").alias("tau")))
+    return (ranked.where(F.col("rnk") <= k)
+            .join(tau, "grp", "left")
+            .select("grp", "id", "weight", "priority",
+                    F.greatest(F.col("weight"),
+                               F.coalesce(F.col("tau"), F.lit(0)))
+                    .cast("long").alias("est_weight"),
+                    "rnk"))
+
+
+def priority_sample_sql(table: str, group_expr: str, id_expr: str,
+                        weight_expr: str, k: int = 8,
+                        salt: str = "prio-v1") -> str:
+    """Oracle: the naive global window (same selected set + estimator)."""
+    h = hash32_sql(f"{id_expr}::VARCHAR || '|{salt}'")
+    return f"""
+WITH rows_p AS (
+  SELECT {group_expr} AS grp, {id_expr} AS id,
+         {weight_expr}::BIGINT AS weight,
+         (({weight_expr}::BIGINT * 4294967296) // ({h} + 1))::BIGINT
+           AS priority
+  FROM {table}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY priority DESC, id) AS rnk
+  FROM rows_p),
+tau AS (SELECT grp, priority AS tau FROM ranked WHERE rnk = {k + 1})
+SELECT r.grp, r.id, r.weight, r.priority,
+       greatest(r.weight, COALESCE(t.tau, 0))::BIGINT AS est_weight,
+       r.rnk
+FROM ranked r LEFT JOIN tau t ON t.grp = r.grp
+WHERE r.rnk <= {k}
+"""

@@ -1274,3 +1274,113 @@ SELECT query_id, vec_id, adc_dist, rnk FROM (
   FROM pq_adc)
 WHERE rnk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 —
+# the LASER/CCMatrix bitext-mining criterion).  Raw cosine retrieval
+# over-selects hub vectors; the margin score divides cos(x, y) by the
+# mean of each side's top-k neighbourhood cosines, so a pair only
+# survives if it is MUTUALLY exceptional relative to both locals.
+# ---------------------------------------------------------------------------
+
+MARGIN_K = 4
+MARGIN_PPM_MIN = 1_020_000       # margin ≥ 1.02 — the usual ≈1.0x bar
+
+
+def margin_pairs(emb: DataFrame, k: int = MARGIN_K,
+                 min_ppm: int = MARGIN_PPM_MIN,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(src_id, dst_id, margin_ppm, mutual): per even-id vector, its
+    best odd-id partner by margin score, kept when margin ≥ min_ppm.
+
+    margin(x,y) = cos(x,y) / ((fwdk(x) + bwdk(y)) / 2) with fwdk/bwdk
+    the mean of each side's top-k cosines — computed here in EXACT
+    integer ppm so the DuckDB oracle matches bit-for-bit:
+    sim_e6 = round(cos·10⁶), margin_ppm = sim_e6·2k·10⁶ //
+    (Σ top-k fwd sim_e6 + Σ top-k bwd sim_e6), restricted to positive
+    sims/sums so floor division agrees across engines.
+
+    Scale: this exactness baseline scores A×B densely (fine at the
+    test scale, and the oracle needs it); the 100-TB path swaps the
+    dense `scored` for the SRP-banded candidate generator
+    (srp_neardup_pairs' bucketing) — margin math, windows and the
+    mutual-best join are unchanged, since every step after `scored`
+    is per-src/per-dst top-k over candidates only."""
+    base = emb.select(F.col(id_col).alias("vid"),
+                      F.transform(vec_col,
+                                  lambda x: x.cast("double")).alias("v"))
+    a = (base.filter(F.col("vid") % 2 == 0)
+         .select(F.col("vid").alias("src_id"), F.col("v").alias("av")))
+    b = (base.filter(F.col("vid") % 2 == 1)
+         .select(F.col("vid").alias("dst_id"), F.col("v").alias("bv")))
+    scored = (a.join(F.broadcast(b))
+              .withColumn("sim_e6",
+                          F.round(cosine(F.col("av"), F.col("bv")) * 1e6)
+                          .cast("long"))
+              .select("src_id", "dst_id", "sim_e6"))
+    wf = Window.partitionBy("src_id").orderBy(F.desc("sim_e6"), "dst_id")
+    wb = Window.partitionBy("dst_id").orderBy(F.desc("sim_e6"), "src_id")
+    ranked = (scored.withColumn("_rf", F.row_number().over(wf))
+              .withColumn("_rb", F.row_number().over(wb)))
+    fwd = (ranked.filter(F.col("_rf") <= k).groupBy("src_id")
+           .agg(F.sum("sim_e6").alias("fwd_sum")))
+    bwd = (ranked.filter(F.col("_rb") <= k).groupBy("dst_id")
+           .agg(F.sum("sim_e6").alias("bwd_sum")))
+    marg = (scored.join(fwd, "src_id").join(bwd, "dst_id")
+            .filter((F.col("sim_e6") > 0) &
+                    (F.col("fwd_sum") + F.col("bwd_sum") > 0))
+            .withColumn("margin_ppm",
+                        F.expr(f"(sim_e6 * {2 * k} * 1000000) div "
+                               f"(fwd_sum + bwd_sum)")))
+    wbest_f = Window.partitionBy("src_id").orderBy(F.desc("margin_ppm"),
+                                                   "dst_id")
+    wbest_b = Window.partitionBy("dst_id").orderBy(F.desc("margin_ppm"),
+                                                   "src_id")
+    best = (marg.withColumn("_bf", F.row_number().over(wbest_f))
+            .withColumn("_bb", F.row_number().over(wbest_b)))
+    return (best.filter((F.col("_bf") == 1) &
+                        (F.col("margin_ppm") >= min_ppm))
+            .select("src_id", "dst_id", "margin_ppm",
+                    (F.col("_bb") == 1).alias("mutual")))
+
+
+def margin_pairs_sql(table: str = "embeddings", k: int = MARGIN_K,
+                     min_ppm: int = MARGIN_PPM_MIN) -> str:
+    """Oracle: same dense scoring, integer margins, windows."""
+    cos = ("list_dot_product(a.av, b.bv) / "
+           "(sqrt(list_dot_product(a.av, a.av)) * "
+           "sqrt(list_dot_product(b.bv, b.bv)))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+scored AS (
+  SELECT a.src_id, b.dst_id, round({cos} * 1e6)::BIGINT AS sim_e6
+  FROM (SELECT vec_id AS src_id, v AS av FROM e WHERE vec_id % 2 = 0) a
+  CROSS JOIN
+       (SELECT vec_id AS dst_id, v AS bv FROM e WHERE vec_id % 2 = 1) b),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY sim_e6 DESC, dst_id) AS _rf,
+            row_number() OVER (PARTITION BY dst_id
+                               ORDER BY sim_e6 DESC, src_id) AS _rb
+  FROM scored),
+fwd AS (SELECT src_id, sum(sim_e6)::BIGINT AS fwd_sum
+        FROM ranked WHERE _rf <= {k} GROUP BY 1),
+bwd AS (SELECT dst_id, sum(sim_e6)::BIGINT AS bwd_sum
+        FROM ranked WHERE _rb <= {k} GROUP BY 1),
+marg AS (
+  SELECT s.src_id, s.dst_id,
+         ((s.sim_e6 * {2 * k} * 1000000)
+          // (f.fwd_sum + w.bwd_sum))::BIGINT AS margin_ppm
+  FROM scored s JOIN fwd f USING (src_id) JOIN bwd w USING (dst_id)
+  WHERE s.sim_e6 > 0 AND f.fwd_sum + w.bwd_sum > 0),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin_ppm DESC, dst_id) AS _bf,
+            row_number() OVER (PARTITION BY dst_id
+                               ORDER BY margin_ppm DESC, src_id) AS _bb
+  FROM marg)
+SELECT src_id, dst_id, margin_ppm, (_bb = 1) AS mutual
+FROM best WHERE _bf = 1 AND margin_ppm >= {min_ppm}
+"""

@@ -163,3 +163,85 @@ hll AS (
                THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_set))
                ELSE {raw} END, 4) AS hll_estimate
   FROM hsum)"""
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta distinct sketch (Bar-Yossef et al. 2002; Beyer et al. 2007)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64                       # minimum values retained per group
+KMV_SHRINK = 16                  # theta prefilter: keep h < 2^32/shrink
+KMV_T = (1 << 32) // KMV_SHRINK
+
+
+def kmv_group_sketch(df: DataFrame, group_col: str,
+                     text_col: str = "text", k: int = KMV_K,
+                     shrink: int = KMV_SHRINK) -> DataFrame:
+    """(group, n_below, kth_h, kmv_estimate) per group: distinct-token
+    cardinality from the k minimum hash values.
+
+    Estimator (all integer, so the DuckDB oracle is exact):
+      - ≥ k survivors below the theta threshold T = 2^32/shrink: the k
+        smallest hashes overall all sit below T, so the classic KMV
+        unbiased estimate applies — D̂ = (k-1)·2^32 // h_(k).
+      - < k survivors: the prefilter is the binding bound and the
+        sketch holds EVERY distinct hash below T — the theta estimate
+        D̂ = n_below · shrink.
+
+    Spark-first scale shape (the point of the sketch vs an exact
+    countDistinct): the theta filter is a MAP-SIDE projection+compare
+    that drops (shrink-1)/shrink of all tokens before any exchange;
+    the distinct then shuffles only survivor (group, hash32) longs —
+    ~D/shrink rows instead of the corpus' full token stream — and the
+    final per-group rank/agg runs over ≤ a few thousand rows per
+    group.  Sketches merge across shards by unioning survivor sets
+    (min-k of a union = min-k of the merged min-k's), exactly how a
+    100-TB run would tier it."""
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      F.explode(F.split(F.trim(F.col(text_col)),
+                                        r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    t = (1 << 32) // shrink
+    surv = (toks.select("grp", hash32(F.col("tok")).alias("h"))
+            .filter(F.col("h") < t)
+            .distinct())
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = surv.withColumn("_rn", F.row_number().over(w))
+    return (ranked.groupBy("grp").agg(
+                F.count("*").alias("n_below"),
+                F.max(F.when(F.col("_rn") == k, F.col("h")))
+                 .alias("kth_h"))
+            .select("grp", "n_below",
+                    F.coalesce("kth_h", F.lit(0)).cast("long").alias("kth_h"),
+                    F.when(F.col("n_below") >= k,
+                           F.expr(f"({k - 1} * 4294967296) div kth_h"))
+                     .otherwise(F.col("n_below") * shrink)
+                     .cast("long").alias("kmv_estimate")))
+
+
+def kmv_group_sql(table: str, group_expr: str, text_expr: str,
+                  k: int = KMV_K, shrink: int = KMV_SHRINK) -> str:
+    """Oracle: identical survivor set, rank and integer estimator."""
+    t = (1 << 32) // shrink
+    h = hash32_sql("tok")
+    return f"""
+WITH _kt AS (
+  SELECT {group_expr} AS grp, unnest(regexp_split_to_array(
+           trim({text_expr}), '\\s+')) AS tok
+  FROM {table}),
+surv AS (
+  SELECT DISTINCT grp, {h} AS h
+  FROM _kt WHERE tok <> '' AND {h} < {t}),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS _rn
+  FROM surv),
+agg AS (
+  SELECT grp, count(*)::BIGINT AS n_below,
+         COALESCE(max(CASE WHEN _rn = {k} THEN h END), 0)::BIGINT AS kth_h
+  FROM ranked GROUP BY grp)
+SELECT grp, n_below, kth_h,
+       (CASE WHEN n_below >= {k} THEN ({k - 1} * 4294967296) // kth_h
+             ELSE n_below * {shrink} END)::BIGINT AS kmv_estimate
+FROM agg
+"""

@@ -4049,3 +4049,58 @@ def token_drift_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return TX.token_drift(docs.filter(F.col("doc_id") % 2 == 0),
                           docs.filter(F.col("doc_id") % 2 == 1))
+
+
+@q("weighted_sample_topk", SA.priority_sample_sql(
+    "documents", "source", "doc_id", "n_chars", k=8))
+def weighted_sample_topk(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup JACM 2007): k=8 docs
+    per source, inclusion probability ∝ n_chars, plus the max(w, τ)
+    Horvitz-Thompson estimator weight — the size-biased companion to
+    quota_sample's uniform coin.  Priorities are exact integers
+    (w·2³² div (hash32+1)), selection is the same two-phase per-group
+    top-K that keeps a mega-domain off a single task
+    (functions/sampling.priority_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.priority_sample(docs, "source", "n_chars", k=8)
+
+
+@q("kmv_distinct_tokens", SK.kmv_group_sql("documents", "lang", "text"))
+def kmv_distinct_tokens(spark, sf_dir):
+    """KMV/theta distinct-token sketch per language (Bar-Yossef et al.
+    2002; Beyer et al. SIGMOD 2007): the θ prefilter drops 15/16 of
+    all tokens MAP-SIDE before any exchange, the distinct shuffles
+    only surviving 8-byte hashes, and the (k-1)·2³² div h_(k)
+    estimator is exact integer math.  HLL (hll_distinct_tokens) gives
+    one global cardinality in 1 KB; KMV gives per-GROUP cardinalities
+    AND mergeable survivor sets that also support set-operation
+    estimates — the two standard sketches, both now first-class
+    (functions/sketches.kmv_group_sketch)."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return SK.kmv_group_sketch(docs, "lang")
+
+
+@q("containment_topk", D.containment_topk_sql())
+def containment_topk_q(spark, sf_dir):
+    """Asymmetric shingle-containment search (|S(Q)∩S(C)|/|S(Q)| —
+    the LSH-Ensemble measure, Zhu et al. VLDB 2016): top-3 superset
+    candidates per probe doc over the SAME hot-capped inverted
+    shingle index the Jaccard pipeline builds; catches
+    quoted-inside-larger-doc duplication that symmetric Jaccard
+    washes out (functions/dedup.containment_topk)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.containment_topk(docs)
+
+
+@q("bitext_margin_pairs", S.margin_pairs_sql())
+def bitext_margin_pairs(spark, sf_dir):
+    """Margin-based parallel-pair mining (Artetxe & Schwenk ACL 2019,
+    the LASER/CCMatrix criterion): cos(x,y) normalized by both sides'
+    top-k neighbourhood means in exact integer ppm, best partner per
+    even-id vector with a mutual-best flag.  The dense A×B scoring is
+    the exactness baseline the oracle requires; at 100 TB the
+    candidate generator swaps to the SRP-banded buckets while margin
+    windows and the mutual join are unchanged
+    (functions/similarity.margin_pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.margin_pairs(emb)
