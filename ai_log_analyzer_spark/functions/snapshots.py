@@ -18,7 +18,7 @@ training-data path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint
@@ -71,3 +71,86 @@ d AS (
               ELSE 'unchanged' END AS status
   FROM o FULL OUTER JOIN n ON url_o = url_n
 )"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 page-version intervals (Kimball type-2 slowly-changing dimension)
+# ---------------------------------------------------------------------------
+# A 10^12-doc crawl table isn't one snapshot — it's every snapshot, and
+# "what did this url say when the model trained" needs validity
+# intervals, not rows.  SCD2 collapses a page's observation history
+# into runs of identical content: one row per (page, content-run) with
+# [valid_from, valid_to) and an is_current flag — the warehouse-
+# standard temporal compaction (Kimball & Ross, The Data Warehouse
+# Toolkit).
+#
+# Scale shape: everything is windows PARTITIONED BY the page key —
+# one shuffle co-locates each page's (bounded) history, then
+# change-flag, running-sum version numbering, per-version min/max and
+# the next-version lead all run within the partition; no global
+# window, no join back to the corpus.
+
+
+def scd2_versions(obs: DataFrame, key_col: str = "page_key",
+                  ts_col: str = "snap_ts",
+                  fp_col: str = "fp") -> DataFrame:
+    """(page_key, version_no, fp, valid_from, valid_to, is_current,
+    n_obs) from an observation log (page_key, snap_ts, fp).
+
+    A version = a maximal run of consecutive observations with the
+    same fingerprint; version_no = running sum of change flags (1-
+    based), valid_to = the next version's valid_from (NULL on the
+    current version).  Requires distinct (key, ts) observations —
+    ordering uses (ts, fp) so equal-ts rows of a replayed log stay
+    stable."""
+    w = Window.partitionBy("page_key").orderBy("snap_ts", "fp")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = (obs.select(F.col(key_col).alias("page_key"),
+                       F.col(ts_col).alias("snap_ts"),
+                       F.col(fp_col).alias("fp"))
+            .withColumn("_prev", F.lag("fp").over(w))
+            .withColumn("_chg",
+                        F.when(F.col("_prev").isNull() |
+                               (F.col("_prev") != F.col("fp")),
+                               F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("version_no",
+                        F.sum("_chg").over(wsum).cast("long")))
+    vers = (rows.groupBy("page_key", "version_no")
+            .agg(F.min("fp").alias("fp"),
+                 F.min("snap_ts").alias("valid_from"),
+                 F.count("*").cast("long").alias("n_obs")))
+    wv = Window.partitionBy("page_key").orderBy("version_no")
+    return (vers.withColumn("valid_to",
+                            F.lead("valid_from").over(wv))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select("page_key", "version_no", "fp", "valid_from",
+                    "valid_to", "is_current", "n_obs"))
+
+
+def scd2_versions_sql(obs_cte: str) -> str:
+    """Oracle over a CTE named ``obs_cte`` with columns
+    (page_key, snap_ts, fp): same flags, running sum and leads."""
+    return f"""
+flagged AS (
+  SELECT page_key, snap_ts, fp,
+         CASE WHEN lag(fp) OVER w IS NULL
+                OR lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS _chg
+  FROM {obs_cte}
+  WINDOW w AS (PARTITION BY page_key ORDER BY snap_ts, fp)),
+numbered AS (
+  SELECT *, sum(_chg) OVER (PARTITION BY page_key
+                            ORDER BY snap_ts, fp
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS version_no
+  FROM flagged),
+vers AS (
+  SELECT page_key, version_no, min(fp) AS fp,
+         min(snap_ts) AS valid_from, count(*)::BIGINT AS n_obs
+  FROM numbered GROUP BY 1, 2),
+scd2 AS (
+  SELECT page_key, version_no, fp, valid_from,
+         lead(valid_from) OVER (PARTITION BY page_key
+                                ORDER BY version_no) AS valid_to,
+         lead(valid_from) OVER (PARTITION BY page_key
+                                ORDER BY version_no) IS NULL AS is_current,
+         n_obs
+  FROM vers)"""

@@ -4104,3 +4104,64 @@ def bitext_margin_pairs(spark, sf_dir):
     (functions/similarity.margin_pairs)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.margin_pairs(emb)
+
+
+from .functions import search as SR  # noqa: E402  (registry tail import)
+
+
+@q("phrase_search_topk", SR.phrase_search_sql("value table", k=10))
+def phrase_search_topk(spark, sf_dir):
+    """Exact phrase search over a positional inverted index — the
+    retrieval primitive bag-of-words bm25_topk can't express: each
+    term's postings re-anchored to phrase start and intersected by
+    equi-join on (doc_id, anchor), two-phase global top-k by hit
+    count.  At corpus scale the index is materialized bucketed by
+    token and the joins prune to the phrase's postings only
+    (functions/search.phrase_search)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return SR.phrase_search(docs, "value table", k=10)
+
+
+@q("page_versions_scd2", f"""
+WITH obs AS (
+  SELECT user_id AS page_key, ts AS snap_ts, event_type AS fp
+  FROM events),
+{SN.scd2_versions_sql('obs')}
+SELECT * FROM scd2
+""")
+def page_versions_scd2(spark, sf_dir):
+    """SCD2 (Kimball type-2) temporal compaction of a page-observation
+    log: maximal runs of identical content become one row with
+    [valid_from, valid_to) and is_current — how a 10^12-doc crawl
+    table answers "what did this url say at time t" without storing
+    every snapshot row.  All windows are PARTITIONED BY page key (one
+    co-locating shuffle, no global window); observation log derived
+    deterministically from the events table (user_id=page,
+    event_type=content fingerprint) (functions/snapshots.scd2_versions)."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(F.col("user_id").alias("page_key"),
+                    F.col("ts").alias("snap_ts"),
+                    F.col("event_type").alias("fp"))
+    return SN.scd2_versions(obs)
+
+
+@q("stream_interval_join", """
+SELECT c.event_id AS click_id, count(*) AS n_views
+FROM events c JOIN events v
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND v.ts >= c.ts AND v.ts < c.ts + INTERVAL 10 MINUTE
+GROUP BY 1
+""")
+def stream_interval_join(spark, sf_dir):
+    """STREAM-STREAM interval join (the Structured Streaming surface
+    the other stream queries don't exercise): watermarked click and
+    view streams joined on user_id plus an event-time range, counted
+    per click.  State on both sides expires with the horizon +
+    watermark — bounded by time, not stream length.  Inner join +
+    count is arrival-order independent, so the DuckDB oracle is the
+    plain inequality join
+    (streaming/stream_pipeline.interval_join_counts_available_now)."""
+    from .streaming import stream_pipeline as SP
+    return SP.interval_join_counts_available_now(
+        spark, f"{sf_dir}/events.parquet")

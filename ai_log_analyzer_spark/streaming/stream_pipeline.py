@@ -349,3 +349,64 @@ def stream_dedup_counts_available_now(spark: SparkSession,
     rows = _drain_memory_sink(spark, q, name, staged)
     return (rows.groupBy("source")
             .agg(F.count("*").cast("long").alias("n_unique")))
+
+
+def interval_join_counts_available_now(spark: SparkSession,
+                                       events_path: str,
+                                       horizon_min: int = 10) -> DataFrame:
+    """(click_id, n_views) — STREAM-STREAM interval join: each 'click'
+    event is joined to the same user's 'view' events with view_ts in
+    [click_ts, click_ts + horizon), then counted per click.  This is
+    the one Structured Streaming surface the other stream queries
+    don't exercise: two watermarked stream branches joined on an
+    equality key PLUS an event-time range condition.
+
+    Batch-equivalence: with Trigger.AvailableNow and watermarks that
+    only bound STATE (never drop data in a finite replay), the inner
+    interval join emits exactly the batch join's row set, so the
+    DuckDB oracle is the plain inequality join.  Determinism: inner
+    join + count — arrival order affects neither membership nor the
+    aggregate.
+
+    Scale notes: Spark buffers both sides' state keyed by user_id,
+    expiring click state at click_ts + horizon + watermark and view
+    state at the watermark — bounded by the horizon, NOT by stream
+    length, which is what makes the operator viable on an unbounded
+    crawl-event stream.  The post-join count runs in the drained
+    batch here (memory sink = test scale); production would chain a
+    windowed streaming agg or write join rows to a parquet sink."""
+    import uuid
+
+    schema = spark.read.parquet(events_path).schema
+    src, staged = _stage_dir_for(events_path)
+    # events.ts is TIMESTAMP_NTZ, which watermarks reject — and unlike
+    # the windowed agg (complete mode, no watermark), a stream-stream
+    # join REQUIRES watermarks on both sides.  The LTZ cast is safe
+    # here: the join condition compares ts DIFFERENCES (shift-
+    # invariant) and the output carries only ids + counts.
+    clicks = (spark.readStream.schema(schema).parquet(src)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id"),
+                      F.col("ts").cast("timestamp").alias("click_ts"))
+              .withWatermark("click_ts", "1 hour"))
+    views = (spark.readStream.schema(schema).parquet(src)
+             .filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user_id"),
+                     F.col("ts").cast("timestamp").alias("view_ts"))
+             .withWatermark("view_ts", "1 hour"))
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id")) &
+        (F.col("view_ts") >= F.col("click_ts")) &
+        (F.col("view_ts") < F.col("click_ts") +
+         F.expr(f"INTERVAL {int(horizon_min)} MINUTES")),
+        "inner")
+    name = f"sij_{uuid.uuid4().hex[:12]}"
+    q = (joined.select("click_id", "view_id")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    rows = _drain_memory_sink(spark, q, name, staged)
+    return (rows.groupBy("click_id")
+            .agg(F.count("*").cast("long").alias("n_views")))

@@ -130,3 +130,79 @@ def test_margin_pairs_one_best_per_src(spark):
     vecs = [[float((i * j) % 7 - 3) for j in range(1, 5)] for i in range(12)]
     out = S.margin_pairs(_emb(spark, vecs), k=2, min_ppm=0).toPandas()
     assert out.src_id.is_unique
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_counts_and_order(spark):
+    from ai_log_analyzer_spark.functions import search as SR
+    df = spark.createDataFrame([
+        (1, "red fox red fox red"),          # "red fox" twice
+        (2, "red fox jumps"),                # once
+        (3, "fox red"),                      # reversed -> no hit
+        (4, "red and fox apart"),            # not adjacent -> no hit
+    ], "doc_id long, text string")
+    out = SR.phrase_search(df, "red fox", k=5).toPandas()
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.n_hits) == [2, 1]
+
+
+def test_phrase_search_absent_phrase_empty(spark):
+    from ai_log_analyzer_spark.functions import search as SR
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert SR.phrase_search(df, "x y", k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# scd2_versions
+# ---------------------------------------------------------------------------
+
+def test_scd2_collapses_runs_and_flags_current(spark):
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, s)
+    obs = spark.createDataFrame(
+        [("p", t(0), "A"), ("p", t(1), "A"), ("p", t(2), "B"),
+         ("p", t(3), "A"), ("q", t(0), "X")],
+        "page_key string, snap_ts timestamp, fp string")
+    from ai_log_analyzer_spark.functions import snapshots as SN
+    out = (SN.scd2_versions(obs).toPandas()
+           .sort_values(["page_key", "version_no"]).reset_index(drop=True))
+    p = out[out.page_key == "p"]
+    assert list(p.fp) == ["A", "B", "A"]          # A-run, B, A again (new row)
+    assert list(p.n_obs) == [2, 1, 1]
+    assert list(p.is_current) == [False, False, True]
+    # valid_to chains to the next version's valid_from
+    assert p.iloc[0].valid_to == p.iloc[1].valid_from
+    q = out[out.page_key == "q"]
+    assert len(q) == 1 and bool(q.iloc[0].is_current)
+
+
+# ---------------------------------------------------------------------------
+# stream interval join
+# ---------------------------------------------------------------------------
+
+def test_stream_interval_join_horizon_edges(spark, tmp_path):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # click by user 1 at t0
+        (100, t0, 1, "click", 0.0, "{}"),
+        (101, t0 + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),   # in
+        (102, t0 + dt.timedelta(minutes=9), 1, "view", 0.0, "{}"),   # in
+        (103, t0 + dt.timedelta(minutes=10), 1, "view", 0.0, "{}"),  # out: < bound
+        (104, t0 - dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),   # out: before
+        (105, t0 + dt.timedelta(minutes=2), 2, "view", 0.0, "{}"),   # other user
+        # click with no views at all
+        (200, t0, 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    from ai_log_analyzer_spark.streaming import stream_pipeline as SP
+    out = SP.interval_join_counts_available_now(spark, path).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0].click_id == 100 and out.iloc[0].n_views == 2
