@@ -1379,3 +1379,208 @@ SELECT query_id, cand_id, containment, rnk FROM (
   FROM scored)
 WHERE rnk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH banding audit — precision/recall of the candidate stage
+# ---------------------------------------------------------------------------
+# Before trusting a banding config on 10^12 docs you measure it on a
+# sample: truth = exact n-gram Jaccard >= t pairs (the inverted-index
+# computation), predicted = the RAW banded candidate pairs BEFORE the
+# Jaccard verify.  Recall tells you what the S-curve knee loses;
+# precision tells you how much verify work each band collision buys.
+# (The verified LSH output trivially has precision 1.0 against this
+# truth — the candidate stage is the thing worth auditing.)
+#
+# Truth uses the same DF_CAP stop-shingle cap as ngram_jaccard_pairs —
+# the audit compares the two *production* computations, not an
+# uncomputable capless ideal.  All ratios are exact integer ppm.
+
+
+def lsh_audit(df: DataFrame, n_hashes: int = 8, bands: int = 4,
+              n: int = 3, threshold: float = 0.5,
+              df_cap: int = DF_CAP) -> DataFrame:
+    """One row: (n_truth, n_candidates, true_pos, false_pos, false_neg,
+    precision_ppm, recall_ppm) — the banding stage's candidate pairs
+    scored against exact-Jaccard truth at ``threshold``.
+
+    Scale: both sides are the output-sensitive pipelines already used
+    in production (band equi-join; shingle inverted index with the
+    hot cap); the audit adds one equi-join of two pair tables on
+    (doc_a, doc_b) plus three scalar aggregates — at 100 TB you run it
+    on a hash-sampled corpus slice, not the full corpus."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    p = df.sparkSession.sparkContext.defaultParallelism
+    raw = raw_shingles(df.repartition(p), n=n)
+    sig = minhash_signatures(n_hashes=n_hashes, sh=raw)
+    band_cols = []
+    for bidx in range(bands):
+        cols = [F.col(f"h{bidx * rows + r}").cast("string")
+                for r in range(rows)]
+        band_cols.append(F.struct(
+            F.lit(bidx).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("sig")))
+    banded = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+              .select("doc_id", F.col("b.band").alias("band"),
+                      F.col("b.sig").alias("sig")))
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (a.join(bb, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.sig") == F.col("b.sig")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    truth = (ngram_jaccard_pairs(df, n=n, threshold=threshold,
+                                 df_cap=df_cap)
+             .select("doc_a", "doc_b"))
+    tp = (cand.join(truth, ["doc_a", "doc_b"])
+          .agg(F.count("*").cast("long").alias("true_pos")))
+    nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (nt.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(tp))
+            .withColumn("false_pos",
+                        (F.col("n_candidates") - F.col("true_pos"))
+                        .cast("long"))
+            .withColumn("false_neg",
+                        (F.col("n_truth") - F.col("true_pos")).cast("long"))
+            .withColumn("precision_ppm",
+                        F.expr("(true_pos * 1000000)"
+                               " div greatest(n_candidates, 1)")
+                        .cast("long"))
+            .withColumn("recall_ppm",
+                        F.expr("(true_pos * 1000000)"
+                               " div greatest(n_truth, 1)").cast("long"))
+            .select("n_truth", "n_candidates", "true_pos", "false_pos",
+                    "false_neg", "precision_ppm", "recall_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — LBFS (Muthitacharoen et al.
+# SOSP 2001) / FastCDC-style chunk-level duplicate accounting
+# ---------------------------------------------------------------------------
+# Fixed-size chunking misses duplicates the moment one token shifts;
+# content-defined boundaries (cut where a rolling window's hash hits a
+# modulus) realign after any local edit, so shared passages dedup even
+# when the surrounding document changed.  This is the storage-dedup
+# primitive (LBFS, FastCDC, restic/borg) applied to corpus text at the
+# token level.
+#
+# STATELESS variant: a boundary falls after token i whenever the hash
+# of the w-token window ending at i is ≡ 0 (mod M) — no min/max chunk
+# clamps, so the boundary rule is a pure per-position predicate and
+# the whole computation is Catalyst higher-order array functions (and
+# has an exact DuckDB list-function mirror).  Expected chunk length is
+# M tokens.  The clamped production variant only changes the filter.
+
+CDC_WINDOW = 4          # rolling window width (tokens)
+CDC_MODULUS = 8         # boundary when hash % M == 0 → ~M-token chunks
+
+
+def cdc_chunk_stats(df: DataFrame, w: int = CDC_WINDOW,
+                    m: int = CDC_MODULUS, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """One row: (total_chunks, distinct_chunks, dup_chunks, total_chars,
+    dup_chars, dup_chunk_ppm, dup_char_ppm) — corpus-wide chunk-level
+    duplicate accounting under content-defined boundaries.
+
+    dup_chars counts every instance beyond the first of each distinct
+    chunk (at its min observed length — deterministic under 32-bit
+    hash collisions on both engines).
+
+    Scale: boundary detection and chunk assembly are per-row array
+    expressions (zero shuffle); the only exchange is the groupBy on
+    fixed-width chunk hashes with map-side partial aggregation — the
+    exact_dups shuffle shape over ~n_tokens/M rows."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nt = F.size(toks)
+    # boundary positions i in [w, n-1]: hash of the w-gram ENDING at i
+    # (1-based slice start i-w+1); sequence() descends when end < start
+    # → guard short docs (they become one whole-doc chunk)
+    win_hash = lambda i: hash32(F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i - w + 1, w)))
+    cuts = F.when(
+        nt > w,
+        F.filter(F.sequence(F.lit(w), nt - 1),
+                 lambda i: F.pmod(win_hash(i), F.lit(m)) == 0)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), cuts)
+    ends = F.concat(cuts, F.array(nt))
+    spans = F.zip_with(starts, ends,
+                       lambda s, e: F.concat_ws(" ", F.slice(toks, s + 1,
+                                                             e - s)))
+    chunks = (df.filter(F.trim(F.col(text_col)) != "")
+              .select(F.explode(spans).alias("chunk"))
+              .select(hash32(F.col("chunk")).alias("chunk_hash"),
+                      F.length("chunk").cast("long").alias("n_chars")))
+    per = (chunks.groupBy("chunk_hash")
+           .agg(F.count("*").cast("long").alias("c"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.min("n_chars").cast("long").alias("min_chars")))
+    return (per.agg(F.sum("c").cast("long").alias("total_chunks"),
+                    F.count("*").cast("long").alias("distinct_chunks"),
+                    (F.sum("c") - F.count("*")).cast("long")
+                    .alias("dup_chunks"),
+                    F.sum("sum_chars").cast("long").alias("total_chars"),
+                    F.sum((F.col("c") - 1) * F.col("min_chars"))
+                    .cast("long").alias("dup_chars"))
+            .withColumn("dup_chunk_ppm",
+                        F.expr("(dup_chunks * 1000000)"
+                               " div greatest(total_chunks, 1)")
+                        .cast("long"))
+            .withColumn("dup_char_ppm",
+                        F.expr("(dup_chars * 1000000)"
+                               " div greatest(total_chars, 1)")
+                        .cast("long")))
+
+
+def cdc_chunk_stats_sql(table: str = "documents", w: int = CDC_WINDOW,
+                        m: int = CDC_MODULUS, text_expr: str = "text",
+                        id_expr: str = "doc_id") -> str:
+    """Oracle: identical boundary rule via DuckDB list functions."""
+    wh = hash32_sql(f"array_to_string(toks[i - {w} + 1 : i], ' ')")
+    return f"""
+WITH cdc_t AS (
+  SELECT regexp_split_to_array(trim({text_expr}), '\\s+') AS toks,
+         len(regexp_split_to_array(trim({text_expr}), '\\s+')) AS n
+  FROM {table} WHERE trim({text_expr}) <> ''),
+cdc_b AS (
+  SELECT toks, n,
+         CASE WHEN n > {w}
+              THEN list_filter(range({w}, n), i -> {wh} % {m} = 0)
+              ELSE [] END AS cuts
+  FROM cdc_t),
+cdc_sp AS (
+  SELECT toks,
+         list_prepend(0, cuts) AS starts,
+         list_append(cuts, n) AS ends
+  FROM cdc_b),
+cdc_ch AS (
+  SELECT unnest(list_transform(
+           range(1, len(starts) + 1),
+           j -> array_to_string(toks[starts[j] + 1 : ends[j]], ' ')))
+           AS chunk
+  FROM cdc_sp),
+cdc_h AS (
+  SELECT {hash32_sql('chunk')} AS chunk_hash,
+         length(chunk)::BIGINT AS n_chars
+  FROM cdc_ch),
+cdc_per AS (
+  SELECT chunk_hash, count(*)::BIGINT AS c,
+         sum(n_chars)::BIGINT AS sum_chars,
+         min(n_chars)::BIGINT AS min_chars
+  FROM cdc_h GROUP BY 1),
+cdc_agg AS (
+  SELECT sum(c)::BIGINT AS total_chunks,
+         count(*)::BIGINT AS distinct_chunks,
+         (sum(c) - count(*))::BIGINT AS dup_chunks,
+         sum(sum_chars)::BIGINT AS total_chars,
+         sum((c - 1) * min_chars)::BIGINT AS dup_chars
+  FROM cdc_per)
+SELECT total_chunks, distinct_chunks, dup_chunks, total_chars, dup_chars,
+       (dup_chunks * 1000000 // greatest(total_chunks, 1))::BIGINT
+         AS dup_chunk_ppm,
+       (dup_chars * 1000000 // greatest(total_chars, 1))::BIGINT
+         AS dup_char_ppm
+FROM cdc_agg
+"""

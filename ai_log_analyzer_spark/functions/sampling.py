@@ -493,3 +493,124 @@ SELECT r.grp, r.id, r.weight, r.priority,
 FROM ranked r LEFT JOIN tau t ON t.grp = r.grp
 WHERE r.rnk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) budget allocation
+# ---------------------------------------------------------------------------
+# Eval/holdout sets are built to an exact TOTAL budget ("exactly 100
+# docs, proportional to group mass").  Rounding floor(B·c/N) per group
+# under-fills by up to n_groups-1; the largest-remainder method hands
+# the leftover seats to the groups with the biggest truncated
+# remainders — the exact, deterministic apportionment rule (Hamilton's
+# method).  All integer: base = B·c div N, remainder = B·c mod N,
+# +1 to the L = B - Σbase largest remainders (ties → group name).
+#
+# Scale: the corpus collapses to the per-group count table in one
+# partial-agg groupBy; every window below runs over n_groups rows.
+
+
+def eval_allocation(df, group_col: str, budget: int,
+                    id_col: str = "doc_id"):
+    """(grp, n_docs, alloc): per-group eval-set quota summing EXACTLY
+    to ``budget`` (capped at n_docs per group never enforced here —
+    callers with groups smaller than their quota re-run on the
+    remainder; the driver corpus has no such group)."""
+    from pyspark.sql import Window
+    per = df.groupBy(F.col(group_col).alias("grp")) \
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    base = (per.crossJoin(F.broadcast(tot))
+            .withColumn("base", F.expr(f"({budget} * n_docs) div n_total"))
+            .withColumn("rem", F.expr(f"({budget} * n_docs) % n_total")))
+    w_left = Window.partitionBy()      # n_groups rows — bounded
+    ranked = (base
+              .withColumn("_leftover",
+                          F.lit(budget) - F.sum("base").over(w_left))
+              .withColumn("_rr", F.row_number().over(
+                  Window.orderBy(F.desc("rem"), F.asc("grp")))))
+    return ranked.select(
+        "grp", "n_docs",
+        (F.col("base") +
+         F.when(F.col("_rr") <= F.col("_leftover"), 1).otherwise(0))
+        .cast("long").alias("alloc"))
+
+
+def eval_allocation_sql(table: str, group_expr: str, budget: int) -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_expr} AS grp, count(*)::BIGINT AS n_docs
+  FROM {table} GROUP BY 1),
+tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM per),
+base AS (
+  SELECT grp, n_docs,
+         ({budget} * n_docs) // n_total AS base,
+         ({budget} * n_docs) % n_total AS rem
+  FROM per, tot),
+ranked AS (
+  SELECT *, {budget} - sum(base) OVER () AS _leftover,
+         row_number() OVER (ORDER BY rem DESC, grp) AS _rr
+  FROM base)
+SELECT grp, n_docs,
+       (base + CASE WHEN _rr <= _leftover THEN 1 ELSE 0 END)::BIGINT
+         AS alloc
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of corpus mass across sources
+# ---------------------------------------------------------------------------
+# The dataset-card diversity number: how concentrated is the corpus in
+# a few domains/sources?  Gini over the per-group doc counts, via the
+# exact rank formula on ascending-sorted counts
+#     G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i),   i = 1..n ascending
+# (Sen 1973's discrete form).  The numerator is ≥ 0 for ascending
+# order, so the single integer division has non-negative operands and
+# Spark `div` = DuckDB `//` exactly; reported in ppm.
+#
+# Scale: the corpus collapses to the n_groups-row count table in one
+# partial-agg groupBy; the rank window and final agg run over n_groups
+# rows — driver-trivial even with 10^8 domains (that window would then
+# partition by a domain prefix and merge, but source cardinality here
+# is bounded).
+
+
+def domain_gini(df, group_col: str = "source"):
+    """One row: (n_groups, n_docs, gini_ppm, top_share_ppm)."""
+    from pyspark.sql import Window
+    per = (df.groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count("*").cast("long").alias("x")))
+    ranked = per.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.asc("x"), F.asc("grp")))
+        .cast("long"))
+    return (ranked.agg(F.count("*").cast("long").alias("n_groups"),
+                       F.sum("x").cast("long").alias("n_docs"),
+                       F.sum(F.col("i") * F.col("x")).cast("long")
+                       .alias("_s"),
+                       F.max("x").cast("long").alias("_mx"))
+            .select("n_groups", "n_docs",
+                    F.expr("((2 * _s - (n_groups + 1) * n_docs) * 1000000)"
+                           " div (n_groups * n_docs)")
+                    .cast("long").alias("gini_ppm"),
+                    F.expr("(_mx * 1000000) div n_docs")
+                    .cast("long").alias("top_share_ppm")))
+
+
+def domain_gini_sql(table: str, group_expr: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT {group_expr} AS grp, count(*)::BIGINT AS x
+  FROM {table} GROUP BY 1),
+ranked AS (
+  SELECT x, (row_number() OVER (ORDER BY x, grp))::BIGINT AS i FROM per),
+agg AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(x)::BIGINT AS n_docs,
+         sum(i * x)::BIGINT AS _s, max(x)::BIGINT AS _mx
+  FROM ranked)
+SELECT n_groups, n_docs,
+       (((2 * _s - (n_groups + 1) * n_docs) * 1000000)
+        // (n_groups * n_docs))::BIGINT AS gini_ppm,
+       ((_mx * 1000000) // n_docs)::BIGINT AS top_share_ppm
+FROM agg
+"""

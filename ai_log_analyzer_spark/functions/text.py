@@ -1767,3 +1767,364 @@ SELECT token, cnt_a, cnt_b,
                 ((cnt_b + 1)::DOUBLE * (n_a + v))) * 1e6)::BIGINT AS lr_micro
 FROM td_c, td_t
 """
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability-diagram buckets)
+# ---------------------------------------------------------------------------
+# A quality-filter model is only as good as its calibration: before
+# thresholding the corpus on clf_score you check score buckets against
+# an independent label (here the stopword-ratio rule — the cheap
+# signal model filters are distilled FROM in CCNet/DCLM-style stacks).
+# Output = the reliability diagram's table: per score-decile doc
+# count, mean score and empirical positive rate.
+#
+# Exactness: the mean classifier score is re-derived in SHIFTED ppm —
+# shifted = ((_sm + 1000·n_toks)·1000) div n_toks ∈ [0, 2·10⁶] — so
+# every integer division has non-negative operands (Spark's `div`
+# truncates toward zero, DuckDB's `//` floors: they agree only above
+# zero).  Bucketing and rates are integer arithmetic end-to-end.
+#
+# Scale: one explode+groupBy(doc_id) for the score (classifier_score's
+# shape), one codegen'd projection for the label, one 10-key groupBy.
+
+CAL_STOP_THRESH = 0.05     # stopword_ratio >= this = "gold positive"
+
+
+def classifier_calibration(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_buckets: int = CLF_BUCKETS) -> DataFrame:
+    """(bucket, n_docs, mean_score_ppm_shifted, n_pos, pos_rate_ppm)
+    over score deciles 0-9 (shifted score 0..2e6 → bucket
+    = shifted·10 div 2000001)."""
+    toks = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.trim(F.col(text_col)), WS))
+                    .alias("w")))
+    bucket = F.pmod(hash32(F.col("w")), F.lit(n_buckets))
+    milli = _bucket_weight_milli(bucket)
+    scores = (toks.select("doc_id", milli.alias("m"))
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_toks"),
+                   F.sum("m").alias("_sm"))
+              .withColumn("shifted_ppm",
+                          F.expr("((_sm + 1000 * n_toks) * 1000)"
+                                 " div n_toks")))
+    labels = (quality_features(df.filter(F.trim(F.col(text_col)) != ""),
+                               text_col=text_col)
+              .select(F.col(id_col).alias("doc_id"),
+                      (F.col("stopword_ratio") >= CAL_STOP_THRESH)
+                      .alias("gold")))
+    joined = scores.join(labels, "doc_id")
+    return (joined
+            .withColumn("bucket",
+                        F.expr("(shifted_ppm * 10) div 2000001")
+                        .cast("long"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.expr("sum(shifted_ppm) div count(*)")
+                 .cast("long").alias("mean_score_ppm_shifted"),
+                 F.sum(F.col("gold").cast("long")).cast("long")
+                 .alias("n_pos"))
+            .withColumn("pos_rate_ppm",
+                        F.expr("(n_pos * 1000000) div n_docs")
+                        .cast("long")))
+
+
+def classifier_calibration_sql(table: str = "documents",
+                               text_expr: str = "text",
+                               id_expr: str = "doc_id",
+                               n_buckets: int = CLF_BUCKETS) -> str:
+    from .hashing import hash32_sql
+    bucket = f"({hash32_sql('w')} % {n_buckets})"
+    salted = f"'clfw|' || {bucket}::VARCHAR"
+    milli = f"(({hash32_sql(salted)} % 2001) - 1000)"
+    qf = quality_features_sql(text_expr)
+    return f"""
+WITH tok AS (
+  SELECT {id_expr} AS doc_id,
+         unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS w
+  FROM {table} WHERE trim({text_expr}) <> ''),
+scores AS (
+  SELECT doc_id, count(*)::BIGINT AS n_toks, sum({milli})::BIGINT AS _sm
+  FROM tok GROUP BY 1),
+shifted AS (
+  SELECT doc_id,
+         ((_sm + 1000 * n_toks) * 1000) // n_toks AS shifted_ppm
+  FROM scores),
+labels AS (
+  SELECT {id_expr} AS doc_id,
+         ({qf['stopword_ratio']} >= {CAL_STOP_THRESH}) AS gold
+  FROM {table} WHERE trim({text_expr}) <> ''),
+buckets AS (
+  SELECT (s.shifted_ppm * 10) // 2000001 AS bucket, s.shifted_ppm,
+         l.gold
+  FROM shifted s JOIN labels l USING (doc_id))
+SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       (sum(shifted_ppm) // count(*))::BIGINT AS mean_score_ppm_shifted,
+       sum(CASE WHEN gold THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       (sum(CASE WHEN gold THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+         AS pos_rate_ppm
+FROM buckets GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease (Flesch 1948) — the classic readability score,
+# still a standard column in dataset cards and a cheap quality-floor
+# filter.  FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), with the usual
+# mechanical conventions: sentences = runs of [.!?] (min 1), words =
+# whitespace tokens, syllables(word) = vowel-group count of the
+# lowercased word (min 1).
+#
+# Exactness: reported in integer MICRO-points —
+#     fre_micro = 206835000 − (1015000·W) div S − (84600000·Syl) div W
+# Every division has non-negative operands (W, S, Syl ≥ 1), so Spark
+# `div` (truncate) and DuckDB `//` (floor) agree; the subtraction may
+# go negative but is never divided again.
+#
+# Scale: one explode+groupBy(doc_id) for the syllable sum (the
+# classifier_score shuffle shape) + a codegen'd projection for the
+# sentence count — one shuffle of fixed-width rows, no UDFs.
+# ---------------------------------------------------------------------------
+
+_VOWEL_RX = r"[aeiouy]+"
+_SENT_RX = r"[.!?]+"
+
+
+def flesch_reading_ease(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, n_sents, n_syll, fre_micro, fre_band) per
+    non-empty doc; fre_band = the classic 0-5 difficulty bucket
+    (5 = very easy ≥ 90, 0 = very confusing < 30)."""
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    toks = base.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.trim(F.col(text_col)), WS))
+                       .alias("w"))
+    syl = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("w")),
+                                    F.lit(_VOWEL_RX), 0)).cast("long"),
+        F.lit(1))
+    words = (toks.select("doc_id", syl.alias("syl"))
+             .groupBy("doc_id")
+             .agg(F.count("*").cast("long").alias("n_words"),
+                  F.sum("syl").cast("long").alias("n_syll")))
+    sents = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.size(F.regexp_extract_all(F.col(text_col),
+                                               F.lit(_SENT_RX), 0))
+                   .cast("long"), F.lit(1)).alias("n_sents"))
+    return (words.join(sents, "doc_id")
+            .withColumn("fre_micro",
+                        F.expr("206835000 - (1015000 * n_words) div n_sents"
+                               " - (84600000 * n_syll) div n_words")
+                        .cast("long"))
+            .withColumn("fre_band", F.expr(
+                "CASE WHEN fre_micro >= 90000000 THEN 5"
+                " WHEN fre_micro >= 80000000 THEN 4"
+                " WHEN fre_micro >= 70000000 THEN 3"
+                " WHEN fre_micro >= 60000000 THEN 2"
+                " WHEN fre_micro >= 30000000 THEN 1 ELSE 0 END")
+                .cast("long")))
+
+
+def flesch_sql(table: str = "documents", text_expr: str = "text",
+               id_expr: str = "doc_id") -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_expr} AS doc_id, {text_expr} AS txt FROM {table}
+  WHERE trim({text_expr}) <> ''),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(txt), '\\s+')) AS w
+  FROM base),
+words AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(greatest(len(regexp_extract_all(lower(w), '{_VOWEL_RX}')),
+                      1))::BIGINT AS n_syll
+  FROM tok GROUP BY 1),
+sents AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(txt, '{_SENT_RX}')), 1)::BIGINT
+           AS n_sents
+  FROM base),
+scored AS (
+  SELECT doc_id, n_words, n_sents, n_syll,
+         (206835000 - (1015000 * n_words) // n_sents
+          - (84600000 * n_syll) // n_words)::BIGINT AS fre_micro
+  FROM words JOIN sents USING (doc_id))
+SELECT doc_id, n_words, n_sents, n_syll, fre_micro,
+       (CASE WHEN fre_micro >= 90000000 THEN 5
+             WHEN fre_micro >= 80000000 THEN 4
+             WHEN fre_micro >= 70000000 THEN 3
+             WHEN fre_micro >= 60000000 THEN 2
+             WHEN fre_micro >= 30000000 THEN 1 ELSE 0 END)::BIGINT
+         AS fre_band
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-watermark screening (Kirchenbauer et al. ICML 2023)
+# ---------------------------------------------------------------------------
+# Web text increasingly contains model output; the unigram-seeded
+# green-list watermark is detectable WITHOUT the generating model:
+# token t_i is "green" iff hash(t_{i-1} ‖ t_i) lands in the green half
+# of the vocabulary (γ = 1/2 here).  Human text is green ~γT of the
+# time; watermarked text is biased high, and the one-proportion z-test
+# z = (g − γT)/√(Tγ(1−γ)) flags it.  For γ = 1/2 that is
+# z = (2g − T)/√T, so "z > 4" is EXACTLY the integer predicate
+# (2g − T) > 0 AND (2g − T)² > 16·T — no float, no sqrt.
+#
+# Scale: the green count is a pure per-row array expression over the
+# token list (zero shuffle, whole-stage codegen); at 100 TB this is a
+# mapper-only scan column you compute alongside the other per-doc
+# quality features.
+
+WM_Z2_THRESH = 16          # flag when z² > 16, i.e. z > 4
+
+
+def watermark_screen(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_scored, n_green, green_ppm, wm_flagged) per non-empty
+    doc: bigram-seeded green-list counts and the z>4 screening flag.
+    Docs with <2 tokens score 0 pairs and are never flagged."""
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    nt = F.size(toks)
+    pair_hash = lambda i: hash32(F.concat(  # noqa: E731
+        F.element_at(toks, i - 1), F.lit("|"), F.element_at(toks, i)))
+    greens = F.when(
+        nt >= 2,
+        F.size(F.filter(F.sequence(F.lit(2), nt),
+                        lambda i: F.pmod(pair_hash(i), F.lit(2)) == 0))
+    ).otherwise(F.lit(0))
+    out = (df.filter(F.trim(F.col(text_col)) != "")
+           .select(F.col(id_col).alias("doc_id"),
+                   (nt - 1).cast("long").alias("n_scored"),
+                   greens.cast("long").alias("n_green")))
+    return (out
+            .withColumn("green_ppm",
+                        F.expr("(n_green * 1000000)"
+                               " div greatest(n_scored, 1)").cast("long"))
+            .withColumn("wm_flagged",
+                        (F.col("n_scored") > 0)
+                        & (2 * F.col("n_green") > F.col("n_scored"))
+                        & ((2 * F.col("n_green") - F.col("n_scored"))
+                           * (2 * F.col("n_green") - F.col("n_scored"))
+                           > WM_Z2_THRESH * F.col("n_scored"))))
+
+
+def watermark_screen_sql(table: str = "documents",
+                         text_expr: str = "text",
+                         id_expr: str = "doc_id") -> str:
+    from .hashing import hash32_sql
+    ph = hash32_sql("(toks[i - 1] || '|' || toks[i])")
+    return f"""
+WITH wm_t AS (
+  SELECT {id_expr} AS doc_id,
+         regexp_split_to_array(trim({text_expr}), '\\s+') AS toks,
+         len(regexp_split_to_array(trim({text_expr}), '\\s+')) AS n
+  FROM {table} WHERE trim({text_expr}) <> ''),
+wm_g AS (
+  SELECT doc_id, (n - 1)::BIGINT AS n_scored,
+         (CASE WHEN n >= 2
+               THEN len(list_filter(range(2, n + 1), i -> {ph} % 2 = 0))
+               ELSE 0 END)::BIGINT AS n_green
+  FROM wm_t)
+SELECT doc_id, n_scored, n_green,
+       (n_green * 1000000 // greatest(n_scored, 1))::BIGINT AS green_ppm,
+       (n_scored > 0 AND 2 * n_green > n_scored
+        AND (2 * n_green - n_scored) * (2 * n_green - n_scored)
+            > {WM_Z2_THRESH} * n_scored) AS wm_flagged
+FROM wm_g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity (Li et al. NAACL 2016) per source
+# ---------------------------------------------------------------------------
+# distinct-1 / distinct-2 — the fraction of unigram / bigram tokens
+# that are unique — is the standard corpus-diversity number on dataset
+# cards, and the signal that catches template-farm sources (huge doc
+# counts, tiny n-gram inventories) that per-doc quality filters miss.
+#
+# Exactness: counts of distinct 32-bit md5 lanes — identical collision
+# behavior on both engines; ratios in integer ppm.
+#
+# Scale: two explode+groupBy(source) passes with map-side partial
+# aggregation; the distinct counts shuffle (source, hash) pairs, never
+# strings.  (Spark's count(DISTINCT) plans as a two-phase expand —
+# exact, unlike approx_count_distinct, which the oracle could not
+# mirror.)
+
+
+def distinct_n_diversity(df: DataFrame, group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """(source, n_tokens, distinct_tokens, n_bigrams, distinct_bigrams,
+    distinct1_ppm, distinct2_ppm) per source."""
+    from .hashing import hash32
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    uni = (base.select(F.col(group_col).alias("source"),
+                       F.explode(toks).alias("w"))
+           .groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_tokens"),
+                F.countDistinct(hash32(F.col("w"))).cast("long")
+                .alias("distinct_tokens")))
+    idxs = F.when(F.size(toks) >= 2,
+                  F.sequence(F.lit(0), F.size(toks) - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.concat_ws(
+        " ", F.slice(toks, i + 1, 2)))
+    bi = (base.select(F.col(group_col).alias("source"),
+                      F.explode(grams).alias("g"))
+          .groupBy("source")
+          .agg(F.count("*").cast("long").alias("n_bigrams"),
+               F.countDistinct(hash32(F.col("g"))).cast("long")
+               .alias("distinct_bigrams")))
+    return (uni.join(bi, "source", "left")
+            .withColumn("n_bigrams",
+                        F.coalesce("n_bigrams", F.lit(0)).cast("long"))
+            .withColumn("distinct_bigrams",
+                        F.coalesce("distinct_bigrams", F.lit(0))
+                        .cast("long"))
+            .withColumn("distinct1_ppm",
+                        F.expr("(distinct_tokens * 1000000)"
+                               " div greatest(n_tokens, 1)").cast("long"))
+            .withColumn("distinct2_ppm",
+                        F.expr("(distinct_bigrams * 1000000)"
+                               " div greatest(n_bigrams, 1)").cast("long")))
+
+
+def distinct_n_diversity_sql(table: str = "documents",
+                             group_expr: str = "source",
+                             text_expr: str = "text") -> str:
+    from .hashing import hash32_sql
+    return f"""
+WITH dn_base AS (
+  SELECT {group_expr} AS source, trim({text_expr}) AS txt
+  FROM {table} WHERE trim({text_expr}) <> ''),
+dn_uni AS (
+  SELECT source, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT {hash32_sql('w')})::BIGINT AS distinct_tokens
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(txt, '\\s+')) AS w
+        FROM dn_base)
+  GROUP BY 1),
+dn_bi AS (
+  SELECT source, count(*)::BIGINT AS n_bigrams,
+         count(DISTINCT {hash32_sql('g')})::BIGINT AS distinct_bigrams
+  FROM (SELECT source, array_to_string(toks[i : i + 1], ' ') AS g
+        FROM (SELECT source,
+                     regexp_split_to_array(txt, '\\s+') AS toks
+              FROM dn_base),
+             UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i))
+  GROUP BY 1)
+SELECT u.source, n_tokens, distinct_tokens,
+       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(distinct_bigrams, 0)::BIGINT AS distinct_bigrams,
+       (distinct_tokens * 1000000 // greatest(n_tokens, 1))::BIGINT
+         AS distinct1_ppm,
+       (coalesce(distinct_bigrams, 0) * 1000000
+        // greatest(coalesce(n_bigrams, 0), 1))::BIGINT AS distinct2_ppm
+FROM dn_uni u LEFT JOIN dn_bi b ON u.source = b.source
+"""

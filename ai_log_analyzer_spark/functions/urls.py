@@ -521,3 +521,64 @@ url_patterns AS (
           count(DISTINCT path) = count(*)) AS is_trap_candidate
   FROM uproj GROUP BY domain, skeleton
 )"""
+
+
+# ---------------------------------------------------------------------------
+# URL-pattern bitext candidate mining
+# ---------------------------------------------------------------------------
+# Before any embedding-based alignment (margin_pairs), web bitext
+# pipelines harvest the free signal: multilingual sites encode language
+# in the URL path ('/en/', '/de/'), and two pages whose URLs differ
+# ONLY in that segment are translation candidates (the WMT shared-task
+# document-alignment baseline; Buck & Koehn 2016).  This is the 10⁶×
+# cheaper candidate generator the cosine stage then verifies.
+#
+# Scale: one codegen'd regex projection derives (key, lang) per page;
+# the self-join is an equi-join on the stripped key, co-partitioned
+# after one exchange, and per-key fan-out is bounded by the language
+# count — no skew, no candidate explosion.
+
+BITEXT_LANGS = ("en", "de", "fr", "es", "it", "pt", "nl", "pl",
+                "ru", "ja", "zh")
+_LANG_SEG = "/(" + "|".join(BITEXT_LANGS) + ")/"
+
+
+def bitext_url_candidates(df, url_col: str = "url",
+                          id_col: str = "doc_id"):
+    """(url_key, lang_a, doc_a, lang_b, doc_b): page pairs whose URLs
+    are identical after removing the language path segment, lang_a <
+    lang_b.  Pages without a recognized language segment are dropped
+    (they have no translation twin by this signal)."""
+    keyed = (df.select(F.col(id_col).alias("doc_id"),
+                       F.regexp_extract(F.col(url_col), _LANG_SEG, 1)
+                       .alias("lang"),
+                       F.regexp_replace(F.col(url_col), _LANG_SEG, "/")
+                       .alias("url_key"))
+             .filter(F.col("lang") != ""))
+    a = keyed.select(F.col("url_key"), F.col("lang").alias("lang_a"),
+                     F.col("doc_id").alias("doc_a"))
+    b = keyed.select(F.col("url_key"), F.col("lang").alias("lang_b"),
+                     F.col("doc_id").alias("doc_b"))
+    return (a.join(b, "url_key")
+            .filter(F.col("lang_a") < F.col("lang_b"))
+            .select("url_key", "lang_a", "doc_a", "lang_b", "doc_b"))
+
+
+def bitext_url_candidates_sql(pages_cte: str) -> str:
+    """Oracle over a CTE named ``pages_cte`` with (doc_id, url):
+    same regex key-strip and self-join.  regexp_replace in DuckDB
+    replaces the FIRST match only — same as Spark without the 'g'
+    flag, which is exactly the semantics we want (one language
+    segment per URL)."""
+    return f"""
+keyed AS (
+  SELECT doc_id,
+         regexp_extract(url, '{_LANG_SEG}', 1) AS lang,
+         regexp_replace(url, '{_LANG_SEG}', '/') AS url_key
+  FROM {pages_cte}
+  WHERE regexp_extract(url, '{_LANG_SEG}', 1) <> ''),
+bitext AS (
+  SELECT a.url_key, a.lang AS lang_a, a.doc_id AS doc_a,
+         b.lang AS lang_b, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.url_key = b.url_key
+  WHERE a.lang < b.lang)"""

@@ -30,6 +30,7 @@ from .functions import collocations as CL
 from .functions import dedup as D
 from .functions import encodings as EN
 from .functions import graph as G
+from .functions import ranking as RK
 from .functions import robots as RB
 from .functions import sampling as SA
 from .functions import scheduling as SCH
@@ -4165,3 +4166,197 @@ def stream_interval_join(spark, sf_dir):
     from .streaming import stream_pipeline as SP
     return SP.interval_join_counts_available_now(
         spark, f"{sf_dir}/events.parquet")
+
+
+@q("eval_allocation", SA.eval_allocation_sql("documents", "source", 100))
+def eval_allocation_q(spark, sf_dir):
+    """Largest-remainder (Hamilton) eval-budget apportionment: exactly
+    100 eval slots split across sources proportional to doc mass, the
+    leftover seats going to the largest truncated remainders — exact
+    integer arithmetic end-to-end.  The corpus collapses to the
+    per-group count table in one partial-agg groupBy; every window
+    runs over n_groups rows (functions/sampling.eval_allocation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.eval_allocation(docs, "source", budget=100)
+
+
+@q("classifier_calibration", TX.classifier_calibration_sql())
+def classifier_calibration_q(spark, sf_dir):
+    """Reliability-diagram buckets for the frozen quality classifier:
+    per score-decile doc count, mean score and empirical positive rate
+    against the independent stopword-ratio rule — the calibration
+    check that gates thresholding a 10^12-doc corpus on clf_score.
+    Shifted-ppm arithmetic keeps every integer division non-negative
+    so Spark div and DuckDB // agree
+    (functions/text.classifier_calibration)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.classifier_calibration(docs)
+
+
+_BITEXT_PAGES_SQL = """
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/p/'
+           || (doc_id % 40)::VARCHAR AS url
+  FROM documents"""
+
+
+@q("url_bitext_candidates", f"""
+WITH pages AS ({_BITEXT_PAGES_SQL}),
+{U.bitext_url_candidates_sql('pages')}
+SELECT url_key, lang_a, doc_a, lang_b, doc_b FROM bitext
+""")
+def url_bitext_candidates(spark, sf_dir):
+    """URL-pattern bitext candidate mining (Buck & Koehn 2016, the WMT
+    document-alignment baseline): pages whose URLs differ only in the
+    '/en/' language path segment pair up as translation candidates —
+    the free 10^6x-cheaper generator embedding verification
+    (bitext_margin_pairs) then scores.  One codegen'd regex projection
+    + one co-partitioned equi-join on the stripped key; per-key
+    fan-out bounded by the language count
+    (functions/urls.bitext_url_candidates)."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/"), F.col("lang"), F.lit("/p/"),
+                 (F.col("doc_id") % 40).cast("string")).alias("url"))
+    return U.bitext_url_candidates(pages)
+
+
+@q("kendall_tau_signals", RK.kendall_tau_signals_sql())
+def kendall_tau_signals_q(spark, sf_dir):
+    """Kendall-tau rank agreement (Kendall 1938) between the frozen
+    quality classifier and the stopword-rate signal on a deterministic
+    ~20% hash sample — the check you run before swapping an expensive
+    quality signal for a cheap distilled one.  Concordant/discordant
+    pair counts are exact integers; tau reported shifted-ppm so the
+    one division stays non-negative.  The O(m^2) pair stage is bounded
+    by the sample modulus, never the corpus
+    (functions/ranking.kendall_tau_signals)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return RK.kendall_tau_signals(docs)
+
+
+@q("rrf_fusion", RK.rrf_fusion_sql(BM25_TERMS, top_k=10))
+def rrf_fusion_q(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR 2009)
+    of BM25 relevance with the frozen quality classifier's ranking —
+    quality-weighted retrieval, the zero-training system combiner.
+    1e6 div (60+rank) integer micro-contributions; each system's pool
+    is a TakeOrderedAndProject and the fusion joins two <=20-row
+    sides (functions/ranking.rrf_fusion)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return RK.rrf_fusion(docs, BM25_TERMS, top_k=10)
+
+
+@q("domain_gini", SA.domain_gini_sql("documents", "source"))
+def domain_gini_q(spark, sf_dir):
+    """Gini concentration of corpus mass across sources (Sen 1973
+    discrete rank form) plus the largest-source share — the dataset
+    card's diversity number.  The corpus collapses to the per-source
+    count table in one partial-agg groupBy; rank window + final agg
+    run over n_groups rows (functions/sampling.domain_gini)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.domain_gini(docs, "source")
+
+
+@q("flesch_reading_ease", TX.flesch_sql())
+def flesch_reading_ease_q(spark, sf_dir):
+    """Flesch reading ease (Flesch 1948) per doc in integer
+    micro-points with the classic 0-5 difficulty band — the standard
+    readability column in dataset cards and a cheap quality-floor
+    filter.  One explode+groupBy for vowel-group syllables (min 1 per
+    word) + a codegen'd sentence-count projection; every division has
+    non-negative operands so Spark div and DuckDB // agree
+    (functions/text.flesch_reading_ease)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.flesch_reading_ease(docs)
+
+
+@q("lsh_banding_audit", f"""
+WITH {_LSH_CTES},
+la_hot AS (SELECT shingle_hash FROM shh GROUP BY 1
+           HAVING count(*) > {D.DF_CAP}),
+la_idx AS (SELECT * FROM shh ANTI JOIN la_hot USING (shingle_hash)),
+la_int AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM la_idx a JOIN la_idx b
+    ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+la_truth AS (
+  SELECT doc_a, doc_b
+  FROM la_int JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5),
+la_tp AS (
+  SELECT count(*)::BIGINT AS true_pos
+  FROM (SELECT doc_a, doc_b FROM cand
+        INTERSECT SELECT doc_a, doc_b FROM la_truth)),
+la_nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+la_nt AS (SELECT count(*)::BIGINT AS n_truth FROM la_truth)
+SELECT n_truth, n_candidates, true_pos,
+       (n_candidates - true_pos)::BIGINT AS false_pos,
+       (n_truth - true_pos)::BIGINT AS false_neg,
+       (true_pos * 1000000 // greatest(n_candidates, 1))::BIGINT
+         AS precision_ppm,
+       (true_pos * 1000000 // greatest(n_truth, 1))::BIGINT AS recall_ppm
+FROM la_nt, la_nc, la_tp
+""")
+def lsh_banding_audit(spark, sf_dir):
+    """Precision/recall audit of the 4×2 LSH banding's CANDIDATE stage
+    against exact n-gram-Jaccard≥0.5 truth — the measurement you run
+    before trusting a banding config on 10¹² docs.  Recall is what the
+    S-curve knee loses; precision is how much verify work each band
+    collision buys.  Both sides are the production output-sensitive
+    pipelines; the audit itself adds one pair-table equi-join + three
+    scalar aggregates (functions/dedup.lsh_audit)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.lsh_audit(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
+
+
+@q("cdc_chunk_dedup", D.cdc_chunk_stats_sql("documents"))
+def cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup accounting (LBFS, Muthitacharoen
+    et al. SOSP 2001 / FastCDC): boundaries fall where the rolling
+    4-token window's hash ≡ 0 (mod 8), so shared passages realign and
+    dedup even when surrounding text changed — the storage-dedup
+    primitive applied to corpus text.  Stateless boundary rule =
+    pure Catalyst array expressions, zero shuffle until the one
+    fixed-width chunk-hash groupBy (functions/dedup.cdc_chunk_stats)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.cdc_chunk_stats(docs)
+
+
+@q("cohens_kappa_gates", RK.cohens_kappa_gates_sql())
+def cohens_kappa_gates_q(spark, sf_dir):
+    """Cohen's κ (Cohen 1960) between the two binary keep/drop gates —
+    the frozen classifier at its zero threshold and the stopword rule —
+    chance-corrected decision agreement, complementing Kendall-τ's
+    rank agreement.  Exact integer 2×2 cells; κ reported shifted-ppm.
+    No pair stage at all, so unlike τ it runs on the FULL corpus
+    (functions/ranking.cohens_kappa_gates)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return RK.cohens_kappa_gates(docs)
+
+
+@q("watermark_screen", TX.watermark_screen_sql())
+def watermark_screen_q(spark, sf_dir):
+    """LLM-watermark screening (Kirchenbauer et al. ICML 2023): bigram-
+    seeded green-list counts per doc and the one-proportion z>4 flag —
+    with γ=1/2 the z-test reduces to the exact integer predicate
+    (2g−T)>0 ∧ (2g−T)²>16T, no float, no sqrt.  Pure per-row array
+    expressions: a mapper-only scan column at 100 TB
+    (functions/text.watermark_screen)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.watermark_screen(docs)
+
+
+@q("distinct_n_diversity", TX.distinct_n_diversity_sql("documents"))
+def distinct_n_diversity_q(spark, sf_dir):
+    """Distinct-1/distinct-2 diversity per source (Li et al. NAACL
+    2016) — the dataset-card corpus-diversity number that catches
+    template-farm sources per-doc filters miss.  Two explode+groupBy
+    passes with map-side partials; the exact distinct counts shuffle
+    (source, hash32) pairs only (functions/text.distinct_n_diversity)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return TX.distinct_n_diversity(docs)
