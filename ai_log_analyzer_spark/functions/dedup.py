@@ -1584,3 +1584,163 @@ SELECT total_chunks, distinct_chunks, dup_chunks, total_chars, dup_chars,
          AS dup_char_ppm
 FROM cdc_agg
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-ball near-dup search (Manku, Jain & Das Sarma,
+# WWW 2007 — the Google near-dup crawler design)
+# ---------------------------------------------------------------------------
+# The crawl-side complement of MinHash-LSH: every doc carries a 32-bit
+# SimHash; near-dups are pairs within Hamming distance d.  The WWW'07
+# pigeonhole trick makes the search output-sensitive: split the
+# signature into (d+1) bands — any pair at distance ≤ d agrees EXACTLY
+# on at least one band, so band-equality equi-joins generate a complete
+# candidate set and bit_count(xor) verifies.  No O(n²) stage anywhere;
+# the verify is a single codegen'd integer expression.
+#
+# Scale: identical shuffle shape to the MinHash LSH pipeline — the
+# banded table shuffles (band, band_val) keys, candidates are bounded
+# by real collisions, and AQE's skew split handles a hot band value
+# (e.g. a boilerplate-dominated signature).  d=3 with 4 bands of 8 bits
+# mirrors the paper's 64-bit/6-block layout at our 32-bit width.
+
+
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", d: int = 3,
+                          bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b, hamming) — all unordered doc pairs whose 32-bit
+    SimHashes lie within Hamming distance ``d``, found via the
+    (d+1≤bands)-band pigeonhole equi-join, verified exactly."""
+    assert 32 % bands == 0 and bands >= d + 1
+    width = 32 // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, text_col=text_col, id_col=id_col)
+    band_cols = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit(mask)).cast("long").alias("val"))
+        for b in range(bands)])
+    banded = (sig.select("doc_id", "simhash",
+                         F.explode(band_cols).alias("bv"))
+              .select("doc_id", "simhash",
+                      F.col("bv.band").alias("band"),
+                      F.col("bv.val").alias("val")))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .where(ham <= d)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.cast("long").alias("hamming"))
+            .distinct())
+
+
+def simhash_hamming_sql(table: str = "documents", d: int = 3) -> str:
+    """Brute-force oracle: the O(n²) predicate join is feasible at the
+    driver SF and is a genuinely independent algorithm — pigeonhole
+    completeness is what the equality check proves."""
+    from .hashing import hash32_sql
+    h = hash32_sql("tok")
+    sums = ", ".join(f"sum(((h >> {i}) & 1) * 2 - 1) AS s{i}"
+                     for i in range(32))
+    sig = " + ".join(f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END"
+                     for i in range(32))
+    return f"""
+WITH shp_toks AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM {table})),
+shp_sums AS MATERIALIZED (
+  SELECT doc_id, {sums} FROM shp_toks GROUP BY doc_id),
+shp_sig AS MATERIALIZED (
+  SELECT doc_id, ({sig})::BIGINT AS sh FROM shp_sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM shp_sig a JOIN shp_sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {d}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source-pair Ruzicka (weighted-Jaccard) distribution similarity
+# ---------------------------------------------------------------------------
+# ``source_overlap`` catches sources sharing whole documents; mirrors
+# that re-chunk, re-crawl, or lightly edit share almost no exact
+# fingerprints yet have near-identical TOKEN DISTRIBUTIONS.  The
+# Ruzicka similarity between per-source unigram count vectors,
+#     R(a,b) = Σ_w min(c_a(w), c_b(w)) / Σ_w max(c_a(w), c_b(w)),
+# is the weighted Jaccard — 1 for identical distributions, and unlike
+# JS divergence it needs no logarithms, so it is exact in integers:
+# Σ max = T_a + T_b − Σ min makes the denominator two totals and the
+# intersection sum.
+#
+# Scale: the only corpus-sized stage is the (source, token-hash) count
+# groupBy (map-side partial agg, shuffles fixed-width pairs).  The
+# self-join keys on token hash, so each vocab word fans out at most
+# |sources|²; totals broadcast; the output is |sources|² rows.
+
+
+def source_ruzicka(df: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """(source_a, source_b, t_a, t_b, inter_min, ruzicka_ppm) for every
+    unordered source pair (zero-overlap pairs included)."""
+    from .hashing import hash32
+    toks = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(group_col).alias("src"),
+                    F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    .alias("w")))
+    counts = (toks.groupBy("src", hash32(F.col("w")).alias("h"))
+              .agg(F.count("*").alias("c")))
+    totals = counts.groupBy("src").agg(F.sum("c").cast("long").alias("t"))
+    a = counts.select(F.col("src").alias("source_a"), "h",
+                      F.col("c").alias("c_a"))
+    b = counts.select(F.col("src").alias("source_b"), "h",
+                      F.col("c").alias("c_b"))
+    inter = (a.join(b, "h")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.sum(F.least("c_a", "c_b")).cast("long")
+                  .alias("inter_min")))
+    ta = totals.select(F.col("src").alias("source_a"), F.col("t").alias("t_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("t").alias("t_b"))
+    frame = (ta.crossJoin(F.broadcast(tb))
+             .where(F.col("source_a") < F.col("source_b")))
+    return (frame.join(inter, ["source_a", "source_b"], "left")
+            .withColumn("inter_min",
+                        F.coalesce("inter_min", F.lit(0)).cast("long"))
+            .withColumn("ruzicka_ppm",
+                        F.expr("(inter_min * 1000000)"
+                               " div (t_a + t_b - inter_min)").cast("long"))
+            .select("source_a", "source_b", "t_a", "t_b", "inter_min",
+                    "ruzicka_ppm"))
+
+
+def source_ruzicka_sql(table: str = "documents", group_expr: str = "source",
+                       text_expr: str = "text") -> str:
+    from .hashing import hash32_sql
+    h = hash32_sql("w")
+    return f"""
+WITH rz_toks AS (
+  SELECT {group_expr} AS src, {h} AS h
+  FROM (SELECT {group_expr},
+               unnest(regexp_split_to_array(trim({text_expr}), '\\s+')) AS w
+        FROM {table} WHERE trim({text_expr}) <> '')),
+rz_cnt AS MATERIALIZED (
+  SELECT src, h, count(*)::BIGINT AS c FROM rz_toks GROUP BY 1, 2),
+rz_tot AS MATERIALIZED (
+  SELECT src, sum(c)::BIGINT AS t FROM rz_cnt GROUP BY 1),
+rz_inter AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         sum(least(a.c, b.c))::BIGINT AS inter_min
+  FROM rz_cnt a JOIN rz_cnt b ON a.h = b.h AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT ta.src AS source_a, tb.src AS source_b,
+       ta.t AS t_a, tb.t AS t_b,
+       coalesce(inter_min, 0)::BIGINT AS inter_min,
+       (coalesce(inter_min, 0) * 1000000
+        // (ta.t + tb.t - coalesce(inter_min, 0)))::BIGINT AS ruzicka_ppm
+FROM rz_tot ta JOIN rz_tot tb ON ta.src < tb.src
+LEFT JOIN rz_inter ON source_a = ta.src AND source_b = tb.src
+"""

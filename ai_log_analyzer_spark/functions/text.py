@@ -2128,3 +2128,115 @@ SELECT u.source, n_tokens, distinct_tokens,
         // greatest(coalesce(n_bigrams, 0), 1))::BIGINT AS distinct2_ppm
 FROM dn_uni u LEFT JOIN dn_bi b ON u.source = b.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Character index-of-coincidence gibberish filter (Friedman 1922)
+# ---------------------------------------------------------------------------
+# The gibberish signal every crawl-cleaning stack needs: base64 blobs,
+# hex dumps, and key-mashed junk have near-uniform character
+# distributions, while natural language is strongly non-uniform.
+# Shannon entropy needs floating-point logs (not exactly mirrorable
+# across engines); the index of coincidence
+#     IC = Σ c·(c−1) / (n·(n−1))
+# — the collision probability of two random character draws, the
+# Rényi-2 analogue Friedman used for cipher analysis — carries the
+# same signal in EXACT integer arithmetic.  Uniform-random [a-z0-9]
+# reads ~1/36 ≈ 27,778 ppm; English text ~65,000-75,000 ppm;
+# single-char spam → 1,000,000.
+#
+# Scale: the alphabet is frozen (36 symbols), so per-symbol counts are
+# 36 length(replace(...)) terms — a pure per-row codegen projection,
+# zero shuffle, zero explode (verified plan: Scan → Project).  At
+# 100 TB this is a mapper-only scan column beside the other per-doc
+# quality features.  Exactness bound: Σc(c−1)·10⁶ stays inside int64
+# for docs up to ~3·10⁶ alnum chars; for longer docs cast the sum to
+# decimal(38,0) on both engines.
+
+IC_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+IC_LO_PPM = 35_000       # below: too uniform → random-junk suspect
+IC_HI_PPM = 250_000      # above: too repetitive → spam suspect
+IC_MIN_CHARS = 20        # IC is noise on shorter docs
+
+
+def char_ic_stats(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_alnum, distinct_alnum, ic_ppm, top_char_ppm,
+    gibberish) per non-empty doc: index of coincidence over the
+    lowercased [a-z0-9] character stream, the share of the most
+    frequent symbol, and the out-of-band gibberish flag."""
+    cs = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("doc_id"), cs.alias("cs")))
+    cnt_cols = [(F.length("cs") - F.length(F.replace(F.col("cs"), F.lit(ch))))
+                .cast("long").alias(f"ic_c{i}")
+                for i, ch in enumerate(IC_ALPHABET)]
+    counts = base.select("doc_id", F.length("cs").cast("long").alias("n_alnum"),
+                         *cnt_cols)
+    names = [f"ic_c{i}" for i in range(len(IC_ALPHABET))]
+    coin_num = None
+    distinct = None
+    for nm in names:
+        t = F.col(nm) * (F.col(nm) - 1)
+        d = F.when(F.col(nm) > 0, F.lit(1)).otherwise(F.lit(0))
+        coin_num = t if coin_num is None else coin_num + t
+        distinct = d if distinct is None else distinct + d
+    top = F.greatest(*[F.col(nm) for nm in names])
+    out = counts.select(
+        "doc_id", "n_alnum",
+        distinct.cast("long").alias("distinct_alnum"),
+        F.when(F.col("n_alnum") >= 2,
+               (coin_num * 1_000_000)
+               .cast("long"))
+        .otherwise(F.lit(0)).alias("_num"),
+        top.cast("long").alias("_top"))
+    return (out
+            .withColumn("ic_ppm",
+                        F.expr("_num div greatest(n_alnum * (n_alnum - 1),"
+                               " 1)").cast("long"))
+            .withColumn("top_char_ppm",
+                        F.expr("(_top * 1000000) div greatest(n_alnum, 1)")
+                        .cast("long"))
+            .withColumn("gibberish",
+                        (F.col("n_alnum") >= IC_MIN_CHARS)
+                        & ((F.col("ic_ppm") < IC_LO_PPM)
+                           | (F.col("ic_ppm") > IC_HI_PPM)))
+            .select("doc_id", "n_alnum", "distinct_alnum", "ic_ppm",
+                    "top_char_ppm", "gibberish"))
+
+
+def char_ic_sql(table: str = "documents", text_expr: str = "text",
+                id_expr: str = "doc_id") -> str:
+    cnts = ",\n         ".join(
+        f"(length(cs) - length(replace(cs, '{ch}', '')))::BIGINT AS ic_c{i}"
+        for i, ch in enumerate(IC_ALPHABET))
+    names = [f"ic_c{i}" for i in range(len(IC_ALPHABET))]
+    coin = " + ".join(f"{nm} * ({nm} - 1)" for nm in names)
+    dist = " + ".join(f"(CASE WHEN {nm} > 0 THEN 1 ELSE 0 END)"
+                      for nm in names)
+    top = "greatest(" + ", ".join(names) + ")"
+    return f"""
+WITH ic_base AS MATERIALIZED (
+  SELECT {id_expr} AS doc_id,
+         regexp_replace(lower({text_expr}), '[^a-z0-9]', '', 'g') AS cs
+  FROM {table} WHERE trim({text_expr}) <> ''),
+ic_cnt AS MATERIALIZED (
+  SELECT doc_id, length(cs)::BIGINT AS n_alnum,
+         {cnts}
+  FROM ic_base),
+ic_agg AS (
+  SELECT doc_id, n_alnum,
+         ({dist})::BIGINT AS distinct_alnum,
+         (CASE WHEN n_alnum >= 2 THEN ({coin}) * 1000000 ELSE 0 END)::BIGINT
+           AS icnum,
+         {top}::BIGINT AS topc
+  FROM ic_cnt)
+SELECT doc_id, n_alnum, distinct_alnum,
+       (icnum // greatest(n_alnum * (n_alnum - 1), 1))::BIGINT AS ic_ppm,
+       (topc * 1000000 // greatest(n_alnum, 1))::BIGINT AS top_char_ppm,
+       (n_alnum >= {IC_MIN_CHARS}
+        AND (icnum // greatest(n_alnum * (n_alnum - 1), 1) < {IC_LO_PPM}
+             OR icnum // greatest(n_alnum * (n_alnum - 1), 1) > {IC_HI_PPM}))
+         AS gibberish
+FROM ic_agg
+"""

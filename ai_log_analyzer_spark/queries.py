@@ -4360,3 +4360,43 @@ def distinct_n_diversity_q(spark, sf_dir):
     (source, hash32) pairs only (functions/text.distinct_n_diversity)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return TX.distinct_n_diversity(docs)
+
+
+@q("char_ic_gibberish", TX.char_ic_sql("documents"))
+def char_ic_gibberish(spark, sf_dir):
+    """Character index-of-coincidence gibberish filter (Friedman 1922):
+    IC = Σc(c−1)/(n(n−1)) over the lowercased [a-z0-9] stream — the
+    Rényi-2 stand-in for Shannon entropy that stays EXACT in integers
+    (no logs).  Random junk reads near 1/36; single-char spam near 1;
+    natural text sits between the 35k/250k ppm fences.  The frozen
+    36-symbol alphabet makes counts 36 replace() terms: a zero-shuffle
+    codegen projection (functions/text.char_ic_stats)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.char_ic_stats(docs)
+
+
+@q("simhash_hamming_pairs", D.simhash_hamming_sql("documents"))
+def simhash_hamming_pairs_q(spark, sf_dir):
+    """SimHash Hamming-ball near-dup search (Manku, Jain & Das Sarma
+    WWW 2007): pairs within Hamming distance 3 of the 32-bit SimHash,
+    via the pigeonhole 4-band equi-join (complete for d<bands) and an
+    exact bit_count(xor) verify.  Output-sensitive — no O(n²) stage;
+    the oracle IS the brute-force predicate join, so the equality check
+    proves pigeonhole completeness
+    (functions/dedup.simhash_hamming_pairs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash_hamming_pairs(docs, d=3, bands=4)
+
+
+@q("source_ruzicka", D.source_ruzicka_sql("documents"))
+def source_ruzicka_q(spark, sf_dir):
+    """Source-pair Ruzicka (weighted-Jaccard) token-distribution
+    similarity: Σmin/Σmax over per-source unigram count vectors, exact
+    in integers via Σmax = T_a+T_b−Σmin — catches re-chunked/lightly
+    edited mirror sources that share no whole-document fingerprints
+    (the distributional complement of source_overlap).  Corpus-sized
+    work is one (source, hash32) count groupBy; the pair join keys on
+    token hash and the matrix is |sources|² rows
+    (functions/dedup.source_ruzicka)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return D.source_ruzicka(docs)

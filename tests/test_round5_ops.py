@@ -432,3 +432,100 @@ def test_distinct_n_template_farm_vs_diverse(spark):
     assert out["wiki"].distinct1_ppm == 1_000_000   # all tokens unique
     assert out["farm"].n_tokens == 400
     assert out["farm"].distinct_tokens == 4
+
+
+# ---------------------------------------------------------------------------
+# char_ic_stats (index of coincidence)
+# ---------------------------------------------------------------------------
+
+def _ic_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_char_ic_hand_computed(spark):
+    out = {r.doc_id: r for r in TX.char_ic_stats(_ic_docs(spark, [
+        (1, "aaaa"),            # IC = 4*3/(4*3) = 1
+        (2, "abcd"),            # all singletons -> 0
+        (3, "a a B-b!"),        # cs = "aabb": 4/12
+    ])).collect()}
+    assert out[1].ic_ppm == 1_000_000 and out[1].distinct_alnum == 1
+    assert out[2].ic_ppm == 0 and out[2].distinct_alnum == 4
+    assert out[3].n_alnum == 4 and out[3].ic_ppm == 333_333
+    assert out[3].top_char_ppm == 500_000
+
+
+def test_char_ic_gibberish_flags(spark):
+    uniform = " ".join("abcdefghijklmnopqrstuvwxyz0123456789")  # 36 singles
+    spam = "z" * 50
+    english = "the quick brown fox jumps over the lazy dog " * 3
+    out = {r.doc_id: r for r in TX.char_ic_stats(_ic_docs(spark, [
+        (1, uniform), (2, spam), (3, english), (4, "short")])).collect()}
+    assert out[1].gibberish            # IC 0 < 35k fence, n=36 >= 20
+    assert out[2].gibberish            # IC 1e6 > 250k fence
+    assert not out[3].gibberish        # english inside the band
+    assert not out[4].gibberish        # below IC_MIN_CHARS
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs
+# ---------------------------------------------------------------------------
+
+def test_simhash_hamming_matches_bruteforce(spark):
+    # deterministic corpus with planted near-identical docs
+    base = ["alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine ten"]
+    rows = []
+    for i in range(60):
+        words = (base[i % 2] + f" tail{i % 7} mid{i % 5}").split()
+        rows.append((i, " ".join(words)))
+    docs = _ic_docs(spark, rows)
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in D.simhash_hamming_pairs(docs, d=3, bands=4).collect()}
+    sigs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin(sigs[i] ^ sigs[j]).count("1")
+                if h <= 3:
+                    want.add((i, j, h))
+    assert got == want and want     # pigeonhole complete AND non-trivial
+
+
+def test_simhash_hamming_identical_docs_distance_zero(spark):
+    docs = _ic_docs(spark, [(1, "same text here"), (2, "same text here"),
+                            (3, "totally different words entirely")])
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in D.simhash_hamming_pairs(docs).collect()}
+    assert got[(1, 2)] == 0
+
+
+# ---------------------------------------------------------------------------
+# source_ruzicka
+# ---------------------------------------------------------------------------
+
+def test_ruzicka_identical_disjoint_and_hand(spark):
+    docs = spark.createDataFrame([
+        (1, "a", "x y x"), (2, "b", "x y x"),          # identical dists
+        (3, "c", "p q"),                               # disjoint from a/b
+        (4, "d", "x x x y z"),                         # partial vs a
+    ], "doc_id long, source string, text string")
+    out = {(r.source_a, r.source_b): r
+           for r in D.source_ruzicka(docs).collect()}
+    assert len(out) == 6                               # full 4C2 matrix
+    assert out[("a", "b")].ruzicka_ppm == 1_000_000
+    assert out[("a", "c")].inter_min == 0
+    assert out[("a", "c")].ruzicka_ppm == 0
+    # a={x:2,y:1} d={x:3,y:1,z:1}: min 2+1=3, max = 3+5-3 = 5
+    r = out[("a", "d")]
+    assert (r.t_a, r.t_b, r.inter_min) == (3, 5, 3)
+    assert r.ruzicka_ppm == 600_000
+
+
+def test_ruzicka_symmetric_in_content_not_order(spark):
+    # permuting tokens inside docs must not change the distribution sim
+    d1 = spark.createDataFrame([(1, "a", "u v w"), (2, "b", "w v u")],
+                               "doc_id long, source string, text string")
+    out = D.source_ruzicka(d1).collect()
+    assert len(out) == 1 and out[0].ruzicka_ppm == 1_000_000
