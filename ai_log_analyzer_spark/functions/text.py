@@ -2240,3 +2240,309 @@ SELECT doc_id, n_alnum, distinct_alnum,
          AS gibberish
 FROM ic_agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth.  Curation pipelines size tokenizer
+# vocabularies and detect template-farm corpora from how fast the type
+# count grows with token mass: V(n) = K·n^β (Heaps 1978; β≈0.5 for
+# natural text, → 0 for boilerplate, → 1 for id-spam).  The classic
+# estimator needs a corpus ORDER and cumulative distinct counts — a
+# sequential scan at first sight.  Distributed form: the type count at
+# checkpoint t is |{w : first_owner(w) ≤ t}| where first_owner is a
+# plain min(doc_id) per word, and the token mass at t is a conditional
+# sum over per-doc token counts.  Both are single partial-aggregable
+# folds; the k checkpoints are k conditional sums inside ONE aggregate
+# (no k-fold row blow-up), so the whole statistic costs one vocab
+# groupBy + two scalar aggs at any corpus size.
+
+
+def heaps_law_fit(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 10) -> DataFrame:
+    """Single row (n_ckpt, n_types, n_tokens, heaps_beta, heaps_lnk,
+    heaps_r2): exact type/token counts at ``k`` doc-id checkpoints
+    (t_i = max_id·i div k) and the OLS fit of ln(types) on ln(tokens)
+    over the checkpoints with nonzero mass.  β is the Heaps exponent;
+    coefficients rounded 6 dp on both engines (zipf_stats precedent).
+
+    Scale shape: first_owner is one word-keyed groupBy (map-side min);
+    per-doc token counts are a projection; each checkpoint row is a
+    conditional sum inside one aggregate — the corpus never fans out
+    by k.  The OLS fold runs over ≤ k doubles."""
+    toks = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     token_count(F.col(text_col)).cast("long").alias("n_tok"))
+    maxid = toks.agg(F.max("doc_id").alias("max_id"))
+    words = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                         WS)).alias("word"))
+             .filter(F.col("word") != ""))
+    owner = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+
+    def _ck(i: int) -> Column:
+        return F.expr(f"(max_id * {i}) div {k}")
+
+    tok_sums = (toks.crossJoin(F.broadcast(maxid))
+                .agg(*[F.sum(F.when(F.col("doc_id") <= _ck(i),
+                                    F.col("n_tok")).otherwise(F.lit(0)))
+                       .cast("long").alias(f"tk{i}")
+                       for i in range(1, k + 1)]))
+    typ_sums = (owner.crossJoin(F.broadcast(maxid))
+                .agg(*[F.sum(F.when(F.col("first_doc") <= _ck(i), 1)
+                             .otherwise(0)).cast("long").alias(f"ty{i}")
+                       for i in range(1, k + 1)]))
+    pts = (tok_sums.crossJoin(F.broadcast(typ_sums))
+           .select(F.explode(F.array(*[
+               F.struct(F.col(f"tk{i}").alias("toks"),
+                        F.col(f"ty{i}").alias("typs"))
+               for i in range(1, k + 1)])).alias("p"))
+           .select(F.col("p.toks").alias("toks"), F.col("p.typs").alias("typs"))
+           .filter((F.col("toks") > 0) & (F.col("typs") > 0))
+           .select(F.log(F.col("toks").cast("double")).alias("x"),
+                   F.log(F.col("typs").cast("double")).alias("y"),
+                   "toks", "typs"))
+    sums = pts.agg(F.count("*").cast("double").alias("n"),
+                   F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                   F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                   F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                   F.sum(F.col("y") * F.col("y")).alias("syy"),
+                   F.max("toks").cast("long").alias("n_tokens"),
+                   F.max("typs").cast("long").alias("n_types"))
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # degenerate folds, mirrored in the oracle: constant x (den_x = 0,
+    # e.g. a 1-checkpoint fit) → slope 0 / flat intercept; constant y
+    # (den_y = 0, the template-farm case: types frozen at every
+    # checkpoint) → the 0-slope fit is exact, r² = 1 by convention
+    slope = F.when(den_x > 0, cov / den_x).otherwise(F.lit(0.0))
+    r2 = F.when(den_x * den_y > 0, cov * cov / (den_x * den_y)) \
+        .otherwise(F.lit(1.0))
+    return sums.select(
+        F.col("n").cast("long").alias("n_ckpt"), "n_types", "n_tokens",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("heaps_lnk"),
+        F.round(r2, 6).alias("heaps_r2"))
+
+
+def heaps_law_sql(table: str = "documents", text_expr: str = "text",
+                  id_expr: str = "doc_id", k: int = 10) -> str:
+    """DuckDB oracle: identical checkpoints, conditional sums, and OLS
+    fold."""
+    tk = ",\n         ".join(
+        f"sum(CASE WHEN doc_id <= (max_id * {i}) // {k} THEN n_tok "
+        f"ELSE 0 END)::BIGINT AS tk{i}" for i in range(1, k + 1))
+    ty = ",\n         ".join(
+        f"sum(CASE WHEN first_doc <= (max_id * {i}) // {k} THEN 1 "
+        f"ELSE 0 END)::BIGINT AS ty{i}" for i in range(1, k + 1))
+    pairs = ", ".join(f"struct_pack(toks := tk{i}, typs := ty{i})"
+                      for i in range(1, k + 1))
+    return f"""
+WITH h_toks AS (
+  SELECT {id_expr}::BIGINT AS doc_id,
+         ({token_count_sql(text_expr)})::BIGINT AS n_tok
+  FROM {table}),
+h_max AS (SELECT max(doc_id) AS max_id FROM h_toks),
+h_words AS (
+  SELECT {id_expr}::BIGINT AS doc_id, word
+  FROM (SELECT {id_expr},
+               unnest(regexp_split_to_array(trim(lower({text_expr})),
+                                            '\\s+')) AS word
+        FROM {table})
+  WHERE word <> ''),
+h_owner AS (SELECT word, min(doc_id) AS first_doc FROM h_words GROUP BY word),
+h_tk AS (SELECT {tk} FROM h_toks, h_max),
+h_ty AS (SELECT {ty} FROM h_owner, h_max),
+h_pts AS (
+  SELECT ln((p.toks)::DOUBLE) AS x, ln((p.typs)::DOUBLE) AS y,
+         p.toks AS toks, p.typs AS typs
+  FROM (SELECT unnest([{pairs}]) AS p FROM h_tk, h_ty)
+  WHERE p.toks > 0 AND p.typs > 0),
+h_sums AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+         max(toks)::BIGINT AS n_tokens, max(typs)::BIGINT AS n_types
+  FROM h_pts),
+h_fit AS (
+  SELECT n, sx, sy, n_tokens, n_types,
+         CASE WHEN n * sxx - sx * sx > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+              ELSE 0.0 END AS slope,
+         CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+              THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                   ((n * sxx - sx * sx) * (n * syy - sy * sy))
+              ELSE 1.0 END AS r2
+  FROM h_sums)
+SELECT n::BIGINT AS n_ckpt, n_types, n_tokens,
+       round(slope, 6) AS heaps_beta,
+       round((sy - slope * sx) / n, 6) AS heaps_lnk,
+       round(r2, 6) AS heaps_r2
+FROM h_fit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document unigram Shannon entropy.  char_ic_stats is the exact-
+# integer Rényi-2 stand-in at the CHARACTER level; the word-level
+# Shannon number is the standard repetition/diversity quality feature
+# (low H → keyword-stuffed or template text even when the char
+# distribution looks natural).  H = ln n − (Σ c·ln c)/n needs only the
+# per-doc word counts, so the whole operator is one (doc, word)
+# groupBy plus one doc-keyed fold — no vocabulary table, no join.
+
+
+def doc_entropy(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_types, entropy_nats, entropy_norm) per
+    non-empty doc: unigram Shannon entropy in nats and the
+    Pielou-evenness normalization H/ln(n_types) (0.0 for single-type
+    docs), both rounded 6 dp on both engines.
+
+    Scale shape: one (doc_id, word) groupBy with map-side combine, one
+    uniform doc_id groupBy; floats only in the final per-doc fold over
+    that doc's own vocabulary (zipf_stats precedent)."""
+    words = (df.filter(F.trim(F.col(text_col)) != "")
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                       WS)).alias("word"))
+             .filter(F.col("word") != ""))
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c").cast("double")
+              * F.log(F.col("c").cast("double"))).alias("sclc"))
+    h = (F.log(F.col("n_tokens").cast("double"))
+         - F.col("sclc") / F.col("n_tokens").cast("double"))
+    return agg.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(F.when(F.col("n_types") > 1,
+                       h / F.log(F.col("n_types").cast("double")))
+                .otherwise(F.lit(0.0)), 6).alias("entropy_norm"))
+
+
+def doc_entropy_sql(table: str = "documents", text_expr: str = "text",
+                    id_expr: str = "doc_id") -> str:
+    """DuckDB oracle: identical tokenization and entropy fold."""
+    return f"""
+WITH de_words AS (
+  SELECT {id_expr} AS doc_id, word
+  FROM (SELECT {id_expr},
+               unnest(regexp_split_to_array(trim(lower({text_expr})),
+                                            '\\s+')) AS word
+        FROM {table} WHERE trim({text_expr}) <> '')
+  WHERE word <> ''),
+de_wc AS (
+  SELECT doc_id, word, count(*)::BIGINT AS c
+  FROM de_words GROUP BY doc_id, word),
+de_agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(c::DOUBLE * ln(c::DOUBLE)) AS sclc
+  FROM de_wc GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_types,
+       round(ln(n_tokens::DOUBLE) - sclc / n_tokens::DOUBLE, 6)
+         AS entropy_nats,
+       round(CASE WHEN n_types > 1
+                  THEN (ln(n_tokens::DOUBLE) - sclc / n_tokens::DOUBLE)
+                       / ln(n_types::DOUBLE)
+                  ELSE 0.0 END, 6) AS entropy_norm
+FROM de_agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions.
+# source_ruzicka measures set-weighted overlap; JS is the
+# information-theoretic counterpart (symmetric, bounded by ln 2) that
+# mixture designers use to decide whether two sources are near-clones
+# or genuinely complementary before assigning sampling weights.
+# Identity used to avoid materializing disjoint-support terms:
+#   JS(a,b) = ln2·(2 − P∩ − Q∩)/2 + Σ_{w∈both} ½[p·ln(2p/(p+q)) +
+#             q·ln(2q/(p+q))]
+# where P∩/Q∩ are the probability masses of the SHARED vocabulary —
+# so only the inner join on word is ever computed; tokens unique to
+# one side enter through the exact scalar masses.
+
+
+def source_js_divergence(df: DataFrame, text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """(source_a, source_b, shared_types, js_nats, js_norm_ppm) for
+    every unordered source pair (a < b): unigram Jensen-Shannon
+    divergence in nats (6 dp) and its ln2-normalized integer-ppm form.
+
+    Scale shape: one (source, word) groupBy (vocab × sources rows);
+    the pair stage is a word-keyed self-join with fan-out bounded by
+    the source count, never the corpus; per-source totals broadcast."""
+    words = (df.select(F.col(source_col).alias("src"),
+                       F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                         WS)).alias("word"))
+             .filter(F.col("word") != ""))
+    wc = words.groupBy("src", "word").agg(F.count("*").alias("c"))
+    tot = wc.groupBy("src").agg(F.sum("c").cast("long").alias("t"))
+    a = (wc.alias("a")
+         .join(F.broadcast(tot.alias("ta")), F.col("a.src") == F.col("ta.src"))
+         .select(F.col("a.src").alias("src_a"), F.col("a.word").alias("word"),
+                 F.col("a.c").alias("ca"), F.col("ta.t").alias("tta")))
+    b = (wc.alias("b")
+         .join(F.broadcast(tot.alias("tb")), F.col("b.src") == F.col("tb.src"))
+         .select(F.col("b.src").alias("src_b"), F.col("b.word").alias("wordb"),
+                 F.col("b.c").alias("cb"), F.col("tb.t").alias("ttb")))
+    both = a.join(b, (F.col("word") == F.col("wordb"))
+                  & (F.col("src_a") < F.col("src_b")))
+    p = F.col("ca").cast("double") / F.col("tta").cast("double")
+    q = F.col("cb").cast("double") / F.col("ttb").cast("double")
+    term = (p * F.log(F.lit(2.0) * p / (p + q))
+            + q * F.log(F.lit(2.0) * q / (p + q))) / F.lit(2.0)
+    shared = both.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("shared_types"),
+        F.sum(term).alias("inner_js"),
+        F.sum(p).alias("pmass"), F.sum(q).alias("qmass"))
+    ln2 = 0.6931471805599453
+    js = (F.lit(ln2) * (F.lit(2.0) - F.col("pmass") - F.col("qmass"))
+          / F.lit(2.0) + F.col("inner_js"))
+    return shared.select(
+        F.col("src_a").alias("source_a"), F.col("src_b").alias("source_b"),
+        "shared_types",
+        F.round(js, 6).alias("js_nats"),
+        F.round(js * F.lit(1_000_000.0) / F.lit(ln2), 0).cast("long")
+        .alias("js_norm_ppm"))
+
+
+def source_js_sql(table: str = "documents", text_expr: str = "text",
+                  source_expr: str = "source") -> str:
+    """DuckDB oracle: identical decomposition (inner join + shared
+    masses), same constants and rounding."""
+    return f"""
+WITH js_words AS (
+  SELECT {source_expr} AS src, word
+  FROM (SELECT {source_expr},
+               unnest(regexp_split_to_array(trim(lower({text_expr})),
+                                            '\\s+')) AS word
+        FROM {table})
+  WHERE word <> ''),
+js_wc AS (
+  SELECT src, word, count(*)::BIGINT AS c
+  FROM js_words GROUP BY src, word),
+js_tot AS (SELECT src, sum(c)::BIGINT AS t FROM js_wc GROUP BY src),
+js_both AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         a.c::DOUBLE / ta.t::DOUBLE AS p,
+         b.c::DOUBLE / tb.t::DOUBLE AS q
+  FROM js_wc a
+  JOIN js_tot ta ON a.src = ta.src
+  JOIN js_wc b ON a.word = b.word AND a.src < b.src
+  JOIN js_tot tb ON b.src = tb.src),
+js_shared AS (
+  SELECT src_a, src_b, count(*)::BIGINT AS shared_types,
+         sum((p * ln(2.0 * p / (p + q)) + q * ln(2.0 * q / (p + q))) / 2.0)
+           AS inner_js,
+         sum(p) AS pmass, sum(q) AS qmass
+  FROM js_both GROUP BY src_a, src_b)
+SELECT src_a AS source_a, src_b AS source_b, shared_types,
+       round(0.6931471805599453 * (2.0 - pmass - qmass) / 2.0 + inner_js, 6)
+         AS js_nats,
+       round((0.6931471805599453 * (2.0 - pmass - qmass) / 2.0 + inner_js)
+             * 1000000.0 / 0.6931471805599453, 0)::BIGINT AS js_norm_ppm
+FROM js_shared
+"""

@@ -4400,3 +4400,37 @@ def source_ruzicka_q(spark, sf_dir):
     (functions/dedup.source_ruzicka)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return D.source_ruzicka(docs)
+
+
+@q("heaps_law_fit", TX.heaps_law_sql("documents"))
+def heaps_law_fit_q(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit: exact type/token counts at 10
+    doc-id checkpoints (first-owner min(doc_id) per word makes the
+    cumulative distinct count a conditional sum — no sequential scan)
+    and the log-log OLS exponent β; template-farm corpora show β → 0.
+    One vocab groupBy + two scalar aggs at any corpus size
+    (functions/text.heaps_law_fit)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.heaps_law_fit(docs, k=10)
+
+
+@q("doc_entropy", TX.doc_entropy_sql("documents"))
+def doc_entropy_q(spark, sf_dir):
+    """Per-doc unigram Shannon entropy + Pielou evenness — the
+    word-level diversity quality feature complementing char_ic_stats'
+    character-level Rényi-2; one (doc, word) groupBy + one uniform
+    doc_id fold, no vocabulary join (functions/text.doc_entropy)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.doc_entropy(docs)
+
+
+@q("source_js_divergence", TX.source_js_sql("documents"))
+def source_js_divergence_q(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (nats + ln2-normalized ppm) — the mixture-design
+    near-clone test; disjoint-support mass enters via exact scalar
+    masses so only the shared-vocabulary inner join is materialized,
+    pair fan-out bounded by the source count
+    (functions/text.source_js_divergence)."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return TX.source_js_divergence(docs)

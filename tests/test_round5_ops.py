@@ -529,3 +529,83 @@ def test_ruzicka_symmetric_in_content_not_order(spark):
                                "doc_id long, source string, text string")
     out = D.source_ruzicka(d1).collect()
     assert len(out) == 1 and out[0].ruzicka_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_fit / doc_entropy / source_js_divergence
+# ---------------------------------------------------------------------------
+
+def test_heaps_template_farm_beta_below_natural(spark):
+    # natural-ish corpus: every doc contributes fresh types
+    nat = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(100)],
+        "doc_id long, text string")
+    # template farm: one shared 20-word vocabulary repeated everywhere
+    farm = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(20))) for i in range(100)],
+        "doc_id long, text string")
+    b_nat = TX.heaps_law_fit(nat).toPandas().heaps_beta[0]
+    b_farm = TX.heaps_law_fit(farm).toPandas().heaps_beta[0]
+    assert b_nat > 0.9          # fully novel vocab: types ~ tokens
+    assert b_farm < 0.2         # frozen vocab: flat growth
+    assert b_nat > b_farm + 0.5
+
+
+def test_heaps_counts_exact_at_final_checkpoint(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d"), (2, "e e e")],
+        "doc_id long, text string")
+    row = TX.heaps_law_fit(df, k=3).toPandas().iloc[0]
+    assert row.n_tokens == 9
+    assert row.n_types == 5
+    assert row.n_ckpt == 3
+
+
+def test_doc_entropy_hand_computed(spark):
+    import math
+    df = spark.createDataFrame(
+        [(0, "a a b b"),          # uniform over 2 types -> ln 2, evenness 1
+         (1, "a a a a"),          # single type -> 0, norm 0
+         (2, "a b c d")],         # uniform over 4 -> ln 4, evenness 1
+        "doc_id long, text string")
+    out = TX.doc_entropy(df).toPandas().set_index("doc_id")
+    assert abs(out.loc[0].entropy_nats - math.log(2)) < 1e-6
+    assert out.loc[1].entropy_nats == 0.0
+    assert out.loc[1].entropy_norm == 0.0
+    assert abs(out.loc[2].entropy_nats - math.log(4)) < 1e-6
+    assert abs(out.loc[0].entropy_norm - 1.0) < 1e-6
+    assert abs(out.loc[2].entropy_norm - 1.0) < 1e-6
+
+
+def test_js_identical_sources_zero_disjoint_ln2(spark):
+    import math
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z"),      # identical distributions
+         ("c", "p q r")],                      # disjoint from both
+        "source string, text string")
+    out = TX.source_js_divergence(df).toPandas()
+    pairs = {(r.source_a, r.source_b): r for _, r in out.iterrows()}
+    assert pairs[("a", "b")].js_nats == 0.0
+    assert pairs[("a", "b")].js_norm_ppm == 0
+    # fully disjoint pairs share no types -> no inner-join row; the pair
+    # is absent from the output and the implied JS is exactly ln 2
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_js_symmetric_and_bounded(spark):
+    df = spark.createDataFrame(
+        [("a", "x x y"), ("b", "x y y z"), ("c", "x z z")],
+        "source string, text string")
+    out = TX.source_js_divergence(df).toPandas()
+    assert (out.js_nats >= 0).all()
+    assert (out.js_nats <= 0.6931472).all()
+    assert (out.js_norm_ppm <= 1_000_000).all()
+    # pair keys are canonical (a < b): swapping input row order can't
+    # change the matrix
+    df2 = spark.createDataFrame(
+        [("c", "x z z"), ("a", "x x y"), ("b", "x y y z")],
+        "source string, text string")
+    out2 = TX.source_js_divergence(df2).toPandas()
+    a = out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    b = out2.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    assert a.equals(b)
