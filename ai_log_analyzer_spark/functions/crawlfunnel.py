@@ -123,3 +123,71 @@ admission AS (
            AS n_canonical_targets
   FROM fjoin GROUP BY domain
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Soft-404 detection.  Servers that return HTTP 200 with an error page
+# body ("page not found", "no longer available") poison both the crawl
+# frontier (the URL looks alive) and the training corpus (boilerplate
+# error text).  The standard heuristic (Bar-Yossef et al. WWW 2004
+# "Sic transit gloria telae") is content-based: an error-phrase marker
+# on a SHORT page.  Long editorial pages that merely mention "error
+# 404" are not flagged — the marker alone is kept as a separate count
+# so operators can see the near-miss volume per host.
+
+SOFT404_MARKER = (r"(?i)(page not found|404 not found|error 404|"
+                  r"could not be found|no longer available|"
+                  r"does not exist|has been removed)")
+SOFT404_MAX_TOKENS = 40
+
+
+def soft404_stats(df: DataFrame, host_col: str = "host",
+                  text_col: str = "text") -> DataFrame:
+    """(host, n_pages, n_marker, n_short, n_soft404, soft404_ppm) per
+    host: error-phrase marker hits, short pages (≤ 40 tokens), their
+    conjunction (the soft-404 verdict), and the exact-integer ppm rate.
+
+    Scale shape: marker + token count are a zero-shuffle codegen
+    projection; the rollup is ONE partial-aggregable groupBy(host) —
+    page text never shuffles."""
+    t = F.trim(F.col(text_col))
+    n_tok = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+    marker = F.col(text_col).rlike(SOFT404_MARKER)
+    short = n_tok <= SOFT404_MAX_TOKENS
+    flags = df.select(
+        F.col(host_col).alias("host"),
+        marker.cast("int").alias("m"),
+        short.cast("int").alias("s"),
+        (marker & short).cast("int").alias("x"))
+    return (flags.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum("m").cast("long").alias("n_marker"),
+                 F.sum("s").cast("long").alias("n_short"),
+                 F.sum("x").cast("long").alias("n_soft404"))
+            .withColumn("soft404_ppm",
+                        F.expr("(n_soft404 * 1000000) div n_pages")
+                        .cast("long")))
+
+
+def soft404_sql(pages: str, host_expr: str = "host",
+                text_expr: str = "text") -> str:
+    """DuckDB oracle: identical marker regex (RE2 ∩ Java subset),
+    token rule, and integer rate."""
+    marker = SOFT404_MARKER.replace("'", "''")
+    return f"""
+s404_flags AS (
+  SELECT {host_expr} AS host,
+         CASE WHEN regexp_matches({text_expr}, '{marker}')
+              THEN 1 ELSE 0 END AS m,
+         CASE WHEN (CASE WHEN trim({text_expr}) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim({text_expr}),
+                                                   '\\s+')) END)
+                   <= {SOFT404_MAX_TOKENS} THEN 1 ELSE 0 END AS s
+  FROM {pages}),
+s404 AS (
+  SELECT host, count(*)::BIGINT AS n_pages,
+         sum(m)::BIGINT AS n_marker, sum(s)::BIGINT AS n_short,
+         sum(m * s)::BIGINT AS n_soft404,
+         (sum(m * s) * 1000000 // count(*))::BIGINT AS soft404_ppm
+  FROM s404_flags GROUP BY host)"""

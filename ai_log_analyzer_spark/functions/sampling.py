@@ -614,3 +614,63 @@ SELECT n_groups, n_docs,
        ((_mx * 1000000) // n_docs)::BIGINT AS top_share_ppm
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Shard integrity checksums.  The north rule requires per-partition
+# lineage + metrics and resumable re-runs; the operational primitive
+# that VERIFIES a re-run (or a migration, or a second cluster) produced
+# the same corpus is an order-invariant per-shard checksum manifest:
+# commutative folds (sum / xor / min / max of a content hash) are
+# partitioning- and arrival-order-independent by construction, so two
+# manifests are comparable row-by-row no matter how either run was
+# scheduled.  The sum lane accumulates in DECIMAL(38,0) — 2^32-bounded
+# terms would overflow a signed long after ~2^31 rows (the round-4
+# star-CC lesson).
+
+
+def shard_checksums(df, id_col: str = "doc_id", text_col: str = "text",
+                    n_shards: int = 8, salt: str = "shuffle-v1"):
+    """(shard, n_docs, n_chars, content_sum, content_xor, content_min,
+    content_max) — one row per hash shard (same bucketing rule as
+    ``shard_assign``), all lanes exact integers and order-invariant.
+
+    Scale shape: one codegen projection (hash32 of id and text) + ONE
+    partial-aggregable groupBy over n_shards keys; text never
+    shuffles — only (shard, hash, length) survives the exchange."""
+    sh = F.pmod(hash32(F.concat(F.col(id_col).cast("string"),
+                                F.lit(f"|{salt}"))), F.lit(n_shards))
+    ch = hash32(F.col(text_col))
+    rows = df.select(sh.cast("int").alias("shard"),
+                     F.length(F.col(text_col)).cast("long").alias("len"),
+                     ch.cast("long").alias("h"))
+    return (rows.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("len").cast("decimal(38,0)")).alias("n_chars"),
+                 F.sum(F.col("h").cast("decimal(38,0)")).alias("content_sum"),
+                 F.expr("bit_xor(h)").cast("long").alias("content_xor"),
+                 F.min("h").cast("long").alias("content_min"),
+                 F.max("h").cast("long").alias("content_max")))
+
+
+def shard_checksums_sql(table: str, id_expr: str = "doc_id",
+                        text_expr: str = "text", n_shards: int = 8,
+                        salt: str = "shuffle-v1") -> str:
+    """Oracle: the identical commutative folds (DuckDB sums promote to
+    HUGEINT — already overflow-free)."""
+    sh = hash32_sql(f"{id_expr}::VARCHAR || '|{salt}'")
+    ch = hash32_sql(text_expr)
+    return f"""
+WITH ck_rows AS (
+  SELECT ({sh} % {n_shards})::INT AS shard,
+         length({text_expr})::BIGINT AS len,
+         {ch}::BIGINT AS h
+  FROM {table})
+SELECT shard, count(*)::BIGINT AS n_docs,
+       sum(len)::DECIMAL(38,0) AS n_chars,
+       sum(h)::DECIMAL(38,0) AS content_sum,
+       bit_xor(h)::BIGINT AS content_xor,
+       min(h)::BIGINT AS content_min,
+       max(h)::BIGINT AS content_max
+FROM ck_rows GROUP BY shard
+"""

@@ -134,3 +134,61 @@ def hypertable_rollup(df: DataFrame, ts: str, group_col: str,
         FROM _rollup_in
         GROUP BY GROUPING SETS ((grp, day, hour), (grp, day))
     """)
+
+
+# ---------------------------------------------------------------------------
+# Crawl freshness decay.  Recrawl schedulers and training-data mixers
+# weight pages by age with an exponential half-life; keeping the decay
+# in EXACT integers (power-of-two halving via a bit shift, integer
+# division) makes the score reproducible across engines, partitionings
+# and cluster sizes — no libm pow in the hot path.
+
+
+def freshness_scores(df: DataFrame, ts_col: str = "warc_ts",
+                     key_col: str = "host",
+                     halflife_s: int = 86400) -> DataFrame:
+    """(host, n_pages, mean_fresh_ppm, min_age_s, max_age_s) per key:
+    freshness = 1e6 div 2^(age div halflife) per page (age measured
+    from the corpus' newest capture — deterministic in the data),
+    aggregated to an exact-integer per-host mean.
+
+    Scale shape: the corpus max timestamp is a 1-row broadcast; decay
+    is a zero-shuffle integer projection; the rollup is ONE
+    partial-aggregable groupBy(host)."""
+    ep = F.unix_timestamp(F.col(ts_col)).cast("long")
+    mx = df.agg(F.max(ep).alias("_max_ep"))
+    aged = (df.select(F.col(key_col).alias("host"), ep.alias("_ep"))
+            .crossJoin(F.broadcast(mx))
+            .withColumn("age_s", F.col("_max_ep") - F.col("_ep"))
+            .withColumn(
+                "fresh_ppm",
+                F.expr(f"1000000 div (shiftleft(cast(1 as bigint), "
+                       f"cast(least(age_s div {halflife_s}, 62) as int)))")
+                .cast("long")))
+    return (aged.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum("fresh_ppm").alias("_sum"),
+                 F.min("age_s").cast("long").alias("min_age_s"),
+                 F.max("age_s").cast("long").alias("max_age_s"))
+            .select("host", "n_pages",
+                    F.expr("_sum div n_pages").cast("long")
+                    .alias("mean_fresh_ppm"),
+                    "min_age_s", "max_age_s"))
+
+
+def freshness_sql(pages: str, ts_expr: str = "warc_ts",
+                  key_expr: str = "host", halflife_s: int = 86400) -> str:
+    """DuckDB oracle: identical integer decay (shift + div)."""
+    return f"""
+fr_aged AS (
+  SELECT {key_expr} AS host,
+         (SELECT max(epoch({ts_expr})::BIGINT) FROM {pages})
+           - epoch({ts_expr})::BIGINT AS age_s
+  FROM {pages}),
+fr AS (
+  SELECT host, count(*)::BIGINT AS n_pages,
+         (sum(1000000 // (1::BIGINT << least(age_s // {halflife_s}, 62)))
+          // count(*))::BIGINT AS mean_fresh_ppm,
+         min(age_s)::BIGINT AS min_age_s,
+         max(age_s)::BIGINT AS max_age_s
+  FROM fr_aged GROUP BY host)"""

@@ -582,3 +582,75 @@ bitext AS (
          b.lang AS lang_b, b.doc_id AS doc_b
   FROM keyed a JOIN keyed b ON a.url_key = b.url_key
   WHERE a.lang < b.lang)"""
+
+
+# ---------------------------------------------------------------------------
+# URL-slug / content coherence.  SEO-spam and auto-generated pages
+# often carry keyword-stuffed slugs unrelated to the body (or body
+# text unrelated to the advertised slug); search-quality and curation
+# pipelines score the overlap between the URL's last path segment and
+# the document's vocabulary.  Pure per-row array algebra — the token
+# sets never leave the row, so the operator is a zero-shuffle codegen
+# projection at any corpus size.
+
+
+def slug_text_coherence(df, url_col: str = "url",
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, slug, n_slug_tokens, n_matched, coherence_ppm) per
+    page: distinct slug tokens (last path segment split on -/_/.),
+    how many appear in the page's own token set, and the exact-integer
+    ppm share.  Pages with an empty slug report 0 tokens / 0 ppm."""
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    seg = F.element_at(F.split(path, "/"), -1)
+    slug_toks = F.array_distinct(F.filter(
+        F.split(F.lower(seg), r"[-_.]+"), lambda x: x != ""))
+    text_toks = F.array_distinct(F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != ""))
+    n_slug = F.size(slug_toks).cast("long")
+    n_match = F.size(F.array_intersect(slug_toks, text_toks)).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(seg).alias("slug"),
+        n_slug.alias("n_slug_tokens"),
+        n_match.alias("n_matched"),
+        (n_match * F.lit(1_000_000)).cast("long").alias("_num"),
+    ).select(
+        "doc_id", "slug", "n_slug_tokens", "n_matched",
+        F.expr("_num div greatest(n_slug_tokens, 1)").cast("long")
+        .alias("coherence_ppm"))
+
+
+def slug_text_coherence_sql(pages: str, url_expr: str = "url",
+                            text_expr: str = "text",
+                            id_expr: str = "doc_id") -> str:
+    """DuckDB oracle: identical slug extraction and list algebra
+    (list_intersect dedups exactly like Spark's array_intersect)."""
+    return f"""
+slug_base AS (
+  SELECT {id_expr} AS doc_id,
+         lower(CASE WHEN len(string_split(
+                 regexp_extract({url_expr},
+                                '^[a-z]+://[^/?#]+([^?#]*)', 1), '/')) > 0
+               THEN list_extract(string_split(
+                 regexp_extract({url_expr},
+                                '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'), -1)
+               ELSE '' END) AS slug,
+         list_distinct(list_filter(
+           regexp_split_to_array(trim(lower({text_expr})), '\\s+'),
+           x -> x <> '')) AS text_toks
+  FROM {pages}),
+slug_tok AS (
+  SELECT doc_id, slug,
+         list_distinct(list_filter(
+           regexp_split_to_array(slug, '[-_.]+'), x -> x <> '')) AS st,
+         text_toks
+  FROM slug_base),
+slug_coh AS (
+  SELECT doc_id, slug, len(st)::BIGINT AS n_slug_tokens,
+         len(list_intersect(st, text_toks))::BIGINT AS n_matched,
+         (CASE WHEN len(st) > 0
+               THEN len(list_intersect(st, text_toks)) * 1000000
+               ELSE 0 END
+          // greatest(len(st), 1))::BIGINT AS coherence_ppm
+  FROM slug_tok)"""

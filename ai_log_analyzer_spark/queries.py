@@ -4434,3 +4434,131 @@ def source_js_divergence_q(spark, sf_dir):
     (functions/text.source_js_divergence)."""
     docs = _t(spark, sf_dir, "documents").select("source", "text")
     return TX.source_js_divergence(docs)
+
+
+# --- soft-404 detection (crawlfunnel.py) -------------------------------------
+
+_S404_SQL = """
+  SELECT 'src' || (doc_id % 7)::VARCHAR AS host,
+         CASE WHEN doc_id % 13 = 0
+              THEN 'Error 404 - the page could not be found on this server'
+              WHEN doc_id % 13 = 1
+              THEN text || ' editors note: the error 404 phenomenon is' ||
+                   ' discussed at length in this long article about web' ||
+                   ' decay and link rot across archival crawls of the web'
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+@q("soft404_flags", f"""
+WITH s404_pages AS ({_S404_SQL}),
+{CF.soft404_sql('s404_pages')}
+SELECT host, n_pages, n_marker, n_short, n_soft404, soft404_ppm FROM s404
+""")
+def soft404_flags_q(spark, sf_dir):
+    """Content-based soft-404 detection (Bar-Yossef et al. WWW 2004):
+    HTTP-200 pages whose body is an error message — flagged only when
+    an error-phrase marker lands on a SHORT page, so long editorial
+    mentions of 'error 404' stay unflagged (the %13=1 fixture pins
+    that branch).  Zero-shuffle codegen flags + ONE groupBy(host)
+    (functions/crawlfunnel.soft404_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = (F.when(d % 13 == 0,
+                   F.lit("Error 404 - the page could not be found on "
+                         "this server"))
+            .when(d % 13 == 1,
+                  F.concat(F.col("text"),
+                           F.lit(" editors note: the error 404 phenomenon"
+                                 " is discussed at length in this long"
+                                 " article about web decay and link rot"
+                                 " across archival crawls of the web")))
+            .otherwise(F.col("text")))
+    pages = docs.select(
+        F.concat(F.lit("src"), (d % 7).cast("string")).alias("host"),
+        text.alias("text"))
+    return CF.soft404_stats(pages)
+
+
+# --- URL-slug / content coherence (urls.py) ----------------------------------
+
+_SLUG_SQL = """
+  SELECT doc_id, text,
+         'https://s' || (doc_id % 5)::VARCHAR || '.example.org' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '/posts/' || array_to_string(list_slice(
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+'),
+                                 x -> x <> ''), 1, 3), '-')
+              WHEN doc_id % 3 = 1
+              THEN '/buy/cheap-pills-casino-loans-' ||
+                   (doc_id % 100)::VARCHAR
+              ELSE '/' END AS url
+  FROM documents
+"""
+
+
+@q("slug_text_coherence", f"""
+WITH slug_pages AS ({_SLUG_SQL}),
+{U.slug_text_coherence_sql('slug_pages')}
+SELECT doc_id, slug, n_slug_tokens, n_matched, coherence_ppm FROM slug_coh
+""")
+def slug_text_coherence_q(spark, sf_dir):
+    """URL-slug / body coherence: distinct tokens of the last path
+    segment intersected with the page's own token set, exact-integer
+    ppm — the SEO-spam signal for keyword-stuffed slugs unrelated to
+    content.  Fixture plants honest slugs (first 3 body words), spam
+    slugs, and slug-less URLs.  Pure per-row array algebra, zero
+    shuffle (functions/urls.slug_text_coherence)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    first3 = F.array_join(F.slice(F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != ""), 1, 3), "-")
+    url = F.concat(
+        F.lit("https://s"), (d % 5).cast("string"), F.lit(".example.org"),
+        F.when(d % 3 == 0, F.concat(F.lit("/posts/"), first3))
+         .when(d % 3 == 1, F.concat(F.lit("/buy/cheap-pills-casino-loans-"),
+                                    (d % 100).cast("string")))
+         .otherwise(F.lit("/")))
+    pages = docs.select("doc_id", "text", url.alias("url"))
+    return U.slug_text_coherence(pages)
+
+
+# --- crawl freshness decay (temporal.py) -------------------------------------
+
+@q("freshness_decay", f"""
+WITH fr_pages AS (
+  SELECT 'src' || (doc_id % 7)::VARCHAR AS host,
+         to_timestamp(1704067200 + doc_id) AS warc_ts
+  FROM documents),
+{TP.freshness_sql('fr_pages', halflife_s=60)}
+SELECT host, n_pages, mean_fresh_ppm, min_age_s, max_age_s FROM fr
+""")
+def freshness_decay_q(spark, sf_dir):
+    """Exponential crawl-freshness decay in EXACT integers (power-of-2
+    halving via bit shift — no libm pow): per-host mean freshness ppm
+    + age range, measured from the corpus' newest capture.  1-row
+    broadcast max, zero-shuffle decay projection, ONE groupBy(host)
+    (functions/temporal.freshness_scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(F.lit("src"), (d % 7).cast("string")).alias("host"),
+        F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"))
+    return TP.freshness_scores(pages, halflife_s=60)
+
+
+# --- shard integrity checksums (sampling.py) ---------------------------------
+
+@q("shard_checksums", SA.shard_checksums_sql("documents"))
+def shard_checksums_q(spark, sf_dir):
+    """Order-invariant per-shard integrity manifest (count, char mass,
+    content-hash sum/xor/min/max — all commutative folds, so two runs
+    compare row-by-row regardless of scheduling): the operational
+    primitive that VERIFIES a resumed or migrated corpus reproduced
+    byte-identical shards; sum lane in DECIMAL(38,0), overflow-free at
+    any corpus size (functions/sampling.shard_checksums)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return SA.shard_checksums(docs)

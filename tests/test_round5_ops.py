@@ -609,3 +609,83 @@ def test_js_symmetric_and_bounded(spark):
     a = out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
     b = out2.sort_values(["source_a", "source_b"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# soft404 / slug coherence / freshness / shard checksums
+# ---------------------------------------------------------------------------
+
+def test_soft404_short_error_flagged_long_mention_not(spark):
+    from ai_log_analyzer_spark.functions import crawlfunnel as CFX
+    long_doc = "error 404 " + " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [("h1", "Page Not Found"),            # marker + short -> soft404
+         ("h1", long_doc),                    # marker, long   -> not
+         ("h1", "a perfectly fine page"),     # short, no marker -> not
+         ("h2", "This page does NOT exist")],  # case-insensitive marker
+        "host string, text string")
+    out = CFX.soft404_stats(df).toPandas().set_index("host")
+    assert out.loc["h1"].n_soft404 == 1
+    assert out.loc["h1"].n_marker == 2
+    assert out.loc["h1"].soft404_ppm == 333333
+    assert out.loc["h2"].n_soft404 == 1
+
+
+def test_slug_coherence_honest_vs_spam(spark):
+    from ai_log_analyzer_spark.functions import urls as UX
+    df = spark.createDataFrame(
+        [(0, "https://a.org/posts/green-tea-health", "green tea health facts"),
+         (1, "https://a.org/buy/casino-loans", "green tea health facts"),
+         (2, "https://a.org/", "anything at all"),
+         (3, "https://a.org/posts/Tea_GREEN.tea", "green tea")],
+        "doc_id long, url string, text string")
+    out = UX.slug_text_coherence(df).toPandas().set_index("doc_id")
+    assert out.loc[0].coherence_ppm == 1_000_000
+    assert out.loc[1].coherence_ppm == 0
+    assert out.loc[2].n_slug_tokens == 0 and out.loc[2].coherence_ppm == 0
+    # -_. all split; dedup means {tea, green} -> both matched
+    assert out.loc[3].n_slug_tokens == 2
+    assert out.loc[3].coherence_ppm == 1_000_000
+
+
+def test_freshness_halving_and_cap(spark):
+    from ai_log_analyzer_spark.functions import temporal as TPX
+    from datetime import datetime, timezone
+    base = 1_700_000_000
+
+    def ts(s):
+        return datetime.fromtimestamp(base + s, tz=timezone.utc)
+    df = spark.createDataFrame(
+        [("h", ts(300)),     # newest: age 0    -> 1e6
+         ("h", ts(200)),     # age 100 = 1 hl   -> 500000
+         ("h", ts(0)),       # age 300 = 3 hl   -> 125000
+         ("old", ts(-100_000))],  # 1000 halvings -> capped shift, 0 ppm
+        "host string, warc_ts timestamp")
+    out = TPX.freshness_scores(df, halflife_s=100).toPandas() \
+        .set_index("host")
+    assert out.loc["h"].mean_fresh_ppm == (1_000_000 + 500_000 + 125_000) // 3
+    assert out.loc["h"].min_age_s == 0 and out.loc["h"].max_age_s == 300
+    assert out.loc["old"].mean_fresh_ppm == 0
+
+
+def test_shard_checksums_order_and_partitioning_invariant(spark):
+    from ai_log_analyzer_spark.functions import sampling as SAX
+    rows = [(i, f"doc body {i % 37}") for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = (spark.createDataFrame(list(reversed(rows)),
+                               "doc_id long, text string")
+         .repartition(17))
+    ma = SAX.shard_checksums(a).toPandas().sort_values("shard") \
+        .reset_index(drop=True)
+    mb = SAX.shard_checksums(b).toPandas().sort_values("shard") \
+        .reset_index(drop=True)
+    assert ma.equals(mb)
+    assert ma.n_docs.sum() == 200
+    # a single flipped byte must change the manifest
+    c = spark.createDataFrame(
+        [(i, f"doc body {i % 37}" if i != 150 else "doc bodY 2")
+         for i in range(200)], "doc_id long, text string")
+    mc = SAX.shard_checksums(c).toPandas().sort_values("shard") \
+        .reset_index(drop=True)
+    assert not ma.content_xor.equals(mc.content_xor) \
+        or not ma.content_sum.equals(mc.content_sum)
