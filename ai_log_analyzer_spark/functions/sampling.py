@@ -674,3 +674,84 @@ SELECT shard, count(*)::BIGINT AS n_docs,
        max(h)::BIGINT AS content_max
 FROM ck_rows GROUP BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group percentile quality gate.  "Keep the top p% of each
+# language/source by classifier score" is the standard final cut of a
+# curation funnel.  The naive plan — rank() over (PARTITION BY group
+# ORDER BY score) — sorts each group's full population in one task: a
+# scale-killer for billion-row language groups.  This is the same
+# problem pack_manifest/shard_assign solved for hash ranks, with one
+# twist: the rank key is the SCORE, so the histogram buckets are score
+# ranges.  Per-(group, bucket) counts (a tiny table) give cumulative
+# "kept above this bucket" bases; only the single boundary bucket of
+# each group ever ranks its own rows.  Degenerate score distributions
+# (one bucket holding most of a group) re-concentrate that window —
+# documented; with 6-dp integer scores and W=16 the fixture corpus
+# spreads 100+ buckets.
+
+
+def percentile_gate(df, group_col: str = "grp", score_col: str = "score_m",
+                    id_col: str = "doc_id", keep_pct: int = 20,
+                    bucket_w: int = 16):
+    """(doc_id, grp, score_m, keep) — keep the top ``keep_pct`` percent
+    of each group by (score_m desc, doc_id asc); target_g =
+    (n_g · keep_pct) div 100 rows exactly (groups smaller than
+    100/keep_pct keep zero rows — the integer floor, mirrored in the
+    oracle).  score_m must be an integer score (e.g. milli/ppm units).
+
+    Exactly the naive global window's keep set, computed without any
+    corpus-scale single-task sort: bucket = (score_max − score_m) div
+    bucket_w (so bucket order IS descending score order), cumulative
+    bases over the tiny (group × buckets) count table, and a
+    row_number window confined to each group's boundary bucket."""
+    from pyspark.sql import Window
+    smax = df.agg(F.max(F.col(score_col)).alias("_smax"))
+    rows = (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(group_col).alias("grp"),
+                      F.col(score_col).cast("long").alias("score_m"))
+            .crossJoin(F.broadcast(smax))
+            .withColumn("_b", F.expr(f"(_smax - score_m) div {bucket_w}")))
+    counts = rows.groupBy("grp", "_b").agg(F.count("*").alias("c"))
+    wb = (Window.partitionBy("grp").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    bases = (counts
+             .withColumn("base", F.coalesce(F.sum("c").over(wb), F.lit(0)))
+             .join(F.broadcast(totals), "grp")
+             .withColumn("target",
+                         F.expr(f"(n_g * {keep_pct}) div 100"))
+             .select("grp", "_b", "base", "target"))
+    joined = rows.join(F.broadcast(bases), ["grp", "_b"])
+    # rows in buckets fully above the cut keep unconditionally; the
+    # boundary bucket (base < target <= base + c) ranks internally
+    need = F.col("target") - F.col("base")
+    wr = (Window.partitionBy("grp", "_b")
+          .orderBy(F.desc("score_m"), F.asc("doc_id")))
+    ranked = joined.withColumn(
+        "keep",
+        F.when(need <= 0, F.lit(False))
+        .otherwise(F.row_number().over(wr) <= need))
+    return ranked.select("doc_id", "grp", "score_m", "keep")
+
+
+def percentile_gate_sql(table: str, group_expr: str, score_expr: str,
+                        id_expr: str, keep_pct: int = 20) -> str:
+    """Oracle: the naive global per-group window (provably the same
+    keep set — bucket boundaries respect descending score order)."""
+    return f"""
+WITH pg_rows AS (
+  SELECT {id_expr} AS doc_id, {group_expr} AS grp,
+         {score_expr}::BIGINT AS score_m
+  FROM {table}),
+pg_ranked AS (
+  SELECT doc_id, grp, score_m,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY score_m DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_g
+  FROM pg_rows)
+SELECT doc_id, grp, score_m,
+       (rn <= (n_g * {keep_pct}) // 100) AS keep
+FROM pg_ranked
+"""

@@ -2546,3 +2546,199 @@ SELECT src_a AS source_a, src_b AS source_b, shared_types,
              * 1000000.0 / 0.6931471805599453, 0)::BIGINT AS js_norm_ppm
 FROM js_shared
 """
+
+
+# ---------------------------------------------------------------------------
+# χ²-distinctive vocabulary per source.  tfidf_keywords tags each
+# DOCUMENT; mixture audits need the SOURCE-level counterpart — which
+# words a source uses far more than the corpus baseline predicts
+# (Dunning 1993 / Kilgarriff 2001 corpus-comparison statistics; the
+# one-cell χ² (o−e)²/e is the standard screen).  Everything heavy is
+# one (source, word) count; the word baseline is an agg OF that table
+# (no second corpus scan — the tfidf_keywords trick), and the rank
+# window partitions by source over its own candidate vocabulary.
+
+
+def source_keywords_chi2(df: DataFrame, text_col: str = "text",
+                         source_col: str = "source", top_k: int = 5,
+                         min_count: int = 5) -> DataFrame:
+    """(source, rank, word, obs, chi2) — the ``top_k`` most
+    overrepresented words per source by one-cell χ² = (o−e)²/e with
+    e = T_s·C_w/N; only words with o ≥ min_count and o > e qualify.
+    χ² rounded 6 dp; rank ties broken by word (deterministic: the
+    window orders by the ROUNDED statistic, zipf/tfidf precedent)."""
+    words = (df.select(F.col(source_col).alias("source"),
+                       F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                         WS)).alias("word"))
+             .filter(F.col("word") != ""))
+    sw = words.groupBy("source", "word").agg(F.count("*").alias("o"))
+    wtot = sw.groupBy("word").agg(F.sum("o").alias("cw"))
+    stot = sw.groupBy("source").agg(F.sum("o").alias("ts"))
+    ntot = sw.agg(F.sum("o").alias("n"))
+    e = (F.col("ts").cast("double") * F.col("cw").cast("double")
+         / F.col("n").cast("double"))
+    cand = (sw.join(wtot, "word")
+            .join(F.broadcast(stot), "source")
+            .crossJoin(F.broadcast(ntot))
+            .filter((F.col("o") >= min_count)
+                    & (F.col("o").cast("double") > e))
+            .select("source", "word", "o",
+                    F.round((F.col("o").cast("double") - e)
+                            * (F.col("o").cast("double") - e) / e, 6)
+                    .alias("chi2")))
+    w = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("word"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("source", "rank", "word",
+                    F.col("o").cast("long").alias("obs"), "chi2"))
+
+
+def source_keywords_chi2_sql(table: str = "documents",
+                             text_expr: str = "text",
+                             source_expr: str = "source", top_k: int = 5,
+                             min_count: int = 5) -> str:
+    """DuckDB oracle: identical counts, expectation, rounding, rank."""
+    return f"""
+WITH x2_words AS (
+  SELECT {source_expr} AS source, word
+  FROM (SELECT {source_expr},
+               unnest(regexp_split_to_array(trim(lower({text_expr})),
+                                            '\\s+')) AS word
+        FROM {table})
+  WHERE word <> ''),
+x2_sw AS (
+  SELECT source, word, count(*)::BIGINT AS o
+  FROM x2_words GROUP BY source, word),
+x2_w AS (SELECT word, sum(o)::BIGINT AS cw FROM x2_sw GROUP BY word),
+x2_s AS (SELECT source, sum(o)::BIGINT AS ts FROM x2_sw GROUP BY source),
+x2_n AS (SELECT sum(o)::BIGINT AS n FROM x2_sw),
+x2_cand AS (
+  SELECT sw.source, sw.word, sw.o,
+         round((sw.o::DOUBLE - s.ts::DOUBLE * w.cw::DOUBLE / n.n::DOUBLE)
+               * (sw.o::DOUBLE - s.ts::DOUBLE * w.cw::DOUBLE / n.n::DOUBLE)
+               / (s.ts::DOUBLE * w.cw::DOUBLE / n.n::DOUBLE), 6) AS chi2
+  FROM x2_sw sw
+  JOIN x2_w w USING (word)
+  JOIN x2_s s USING (source)
+  CROSS JOIN x2_n n
+  WHERE sw.o >= {min_count}
+    AND sw.o::DOUBLE > s.ts::DOUBLE * w.cw::DOUBLE / n.n::DOUBLE),
+x2_rank AS (
+  SELECT source, word, o, chi2,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY chi2 DESC, word) AS rank
+  FROM x2_cand)
+SELECT source, rank::BIGINT AS rank, word, o::BIGINT AS obs, chi2
+FROM x2_rank WHERE rank <= {top_k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level language mixing.  Document-grain language ID hides
+# code-switched pages (boilerplate in one language wrapping content in
+# another) — a known contaminant of "monolingual" training splits.
+# Segment the text at sentence boundaries, vote the marker lexicons
+# per segment, and report how much of the document disagrees with its
+# own majority language.
+
+
+def lang_mixing_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_segs, n_lang_segs, major_lang, mixing_ppm) per
+    non-empty doc: '.'-delimited segments voted by the frozen marker
+    lexicons (lang_id's exact fold), the majority language over
+    decided segments (ties → lexicographically smallest code, exact
+    integer mode), and the ppm of decided segments disagreeing with
+    the majority.  Docs with zero decided segments report 'und' / 0.
+
+    Scale shape: explode + per-row regex counts (codegen) + two
+    uniform doc_id groupBys; the mode is a partial-aggregable
+    max_by(struct) — segment rows never survive the second exchange."""
+    segs = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.col(text_col), r"\.")).alias("seg"))
+            .filter(F.trim(F.col("seg")) != ""))
+    t = F.lower(F.col("seg"))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        rx = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        scores.append(F.size(F.regexp_extract_all(t, F.lit(rx), 0))
+                      .alias(f"s_{lang}"))
+    voted = segs.select("doc_id", *scores)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_MARKERS)])
+    guess = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when((F.col(f"s_{lang}") == best) & (best > 0),
+                       F.lit(lang)).otherwise(guess)
+    g = voted.select("doc_id", guess.alias("seg_lang"))
+    per = (g.groupBy("doc_id", "seg_lang").agg(F.count("*").alias("c")))
+    # majority over DECIDED segments: min_by((−c, code)) so the
+    # smallest code wins count ties — exact, partial-aggregable
+    dec = per.filter(F.col("seg_lang") != "und")
+    major = dec.groupBy("doc_id").agg(
+        F.expr("min_by(seg_lang, struct(-c, seg_lang))").alias("major_lang"),
+        F.max("c").alias("_maxc"))
+    tot = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_segs"),
+        F.sum(F.when(F.col("seg_lang") != "und", F.col("c"))
+              .otherwise(F.lit(0))).cast("long").alias("n_lang_segs"))
+    out = (tot.join(major, "doc_id", "left")
+           .select("doc_id", "n_segs", "n_lang_segs",
+                   F.coalesce(F.col("major_lang"), F.lit("und"))
+                   .alias("major_lang"),
+                   F.coalesce(F.col("_maxc"), F.lit(0)).cast("long")
+                   .alias("_maxc")))
+    return out.select(
+        "doc_id", "n_segs", "n_lang_segs", "major_lang",
+        F.expr("((n_lang_segs - _maxc) * 1000000)"
+               " div greatest(n_lang_segs, 1)").cast("long")
+        .alias("mixing_ppm"))
+
+
+def lang_mixing_sql(table: str = "documents", text_expr: str = "text",
+                    id_expr: str = "doc_id") -> str:
+    """DuckDB oracle: identical segmentation, votes, mode tie-break."""
+    langs = sorted(LANG_MARKERS)
+    scores = []
+    for lang in langs:
+        rx = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        scores.append(f"len(regexp_extract_all(lower(seg), '{rx}'))"
+                      f" AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    guess = "'und'"
+    for lang in sorted(langs, reverse=True):
+        guess = (f"CASE WHEN s_{lang} = {best} AND {best} > 0 "
+                 f"THEN '{lang}' ELSE {guess} END")
+    return f"""
+WITH lm_segs AS (
+  SELECT doc_id, seg FROM (
+    SELECT {id_expr} AS doc_id,
+           unnest(string_split({text_expr}, '.')) AS seg
+    FROM {table} WHERE trim({text_expr}) <> '')
+  WHERE trim(seg) <> ''),
+lm_votes AS (
+  SELECT doc_id, {', '.join(scores)} FROM lm_segs),
+lm_guess AS (
+  SELECT doc_id, {guess} AS seg_lang FROM lm_votes),
+lm_per AS (
+  SELECT doc_id, seg_lang, count(*)::BIGINT AS c
+  FROM lm_guess GROUP BY doc_id, seg_lang),
+lm_ranked AS (
+  SELECT doc_id, seg_lang, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, seg_lang) AS rn
+  FROM lm_per WHERE seg_lang <> 'und'),
+lm_major AS (
+  SELECT doc_id, seg_lang AS major_lang, c::BIGINT AS maxc
+  FROM lm_ranked WHERE rn = 1),
+lm_tot AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_segs,
+         sum(CASE WHEN seg_lang <> 'und' THEN c ELSE 0 END)::BIGINT
+           AS n_lang_segs
+  FROM lm_per GROUP BY doc_id)
+SELECT t.doc_id, t.n_segs, t.n_lang_segs,
+       coalesce(m.major_lang, 'und') AS major_lang,
+       ((t.n_lang_segs - coalesce(m.maxc, 0)) * 1000000
+        // greatest(t.n_lang_segs, 1))::BIGINT AS mixing_ppm
+FROM lm_tot t LEFT JOIN lm_major m USING (doc_id)
+"""

@@ -4562,3 +4562,48 @@ def shard_checksums_q(spark, sf_dir):
     any corpus size (functions/sampling.shard_checksums)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return SA.shard_checksums(docs)
+
+
+@q("source_keywords_chi2", TX.source_keywords_chi2_sql("documents"))
+def source_keywords_chi2_q(spark, sf_dir):
+    """χ²-distinctive vocabulary per source (Dunning/Kilgarriff corpus
+    comparison): top-5 words each source overuses vs the corpus
+    baseline — the source-grain complement of per-doc tfidf_keywords.
+    One (source, word) count; the baseline is an agg OF that table;
+    rank windows order by the ROUNDED statistic
+    (functions/text.source_keywords_chi2)."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return TX.source_keywords_chi2(docs)
+
+
+@q("lang_mixing", TX.lang_mixing_sql("documents"))
+def lang_mixing_q(spark, sf_dir):
+    """Paragraph-level language mixing: '.'-delimited segments voted by
+    the frozen marker lexicons, exact-integer majority + disagreement
+    ppm — catches code-switched pages a doc-grain language ID hides.
+    Explode + codegen votes + two uniform doc_id groupBys; the mode is
+    a partial-aggregable min_by (functions/text.lang_mixing_stats)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.lang_mixing_stats(docs)
+
+
+def _pgate_oracle() -> str:
+    return SA.percentile_gate_sql(
+        "(SELECT doc_id, lang, length(text)::BIGINT AS score_m "
+        "FROM documents)", "lang", "score_m", "doc_id", keep_pct=20)
+
+
+@q("quality_percentile_gate", _pgate_oracle())
+def quality_percentile_gate_q(spark, sf_dir):
+    """Top-20%-per-language quality gate — the curation funnel's final
+    cut — WITHOUT the naive per-group global sort (a billion-row
+    language group would single-task): score-range histogram buckets +
+    cumulative bases over the tiny (group × bucket) table; only each
+    group's boundary bucket ranks its own rows.  Provably the naive
+    window's exact keep set; oracle IS that naive window
+    (functions/sampling.percentile_gate)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang"), F.length("text").cast("long")
+        .alias("score_m"))
+    return SA.percentile_gate(docs, "lang", "score_m", "doc_id",
+                              keep_pct=20)

@@ -689,3 +689,68 @@ def test_shard_checksums_order_and_partitioning_invariant(spark):
         .reset_index(drop=True)
     assert not ma.content_xor.equals(mc.content_xor) \
         or not ma.content_sum.equals(mc.content_sum)
+
+
+# ---------------------------------------------------------------------------
+# chi2 source keywords / lang mixing / percentile gate
+# ---------------------------------------------------------------------------
+
+def test_chi2_overused_word_ranks_first(spark):
+    # source A hammers 'casino'; shared filler is evenly distributed
+    filler = " ".join("common word stream here" for _ in range(3))
+    df = spark.createDataFrame(
+        [("A", ("casino " * 10) + filler),
+         ("B", filler), ("C", filler)],
+        "source string, text string")
+    out = TX.source_keywords_chi2(df, min_count=5).toPandas()
+    a1 = out[(out.source == "A") & (out["rank"] == 1)].iloc[0]
+    assert a1.word == "casino" and a1.obs == 10
+    # evenly-spread filler is never overrepresented enough to beat it
+    assert not ((out.source == "A") & (out.word != "casino")
+                & (out.chi2 > a1.chi2)).any()
+
+
+def test_lang_mixing_code_switched_doc(spark):
+    en = "the cat and the dog of the house"
+    fr = "le chat et la maison est grande les arbres"
+    df = spark.createDataFrame(
+        [(0, f"{en}. {en}. {fr}."),       # 2 en + 1 fr -> mixing 1/3
+         (1, f"{en}. {en}."),             # pure en -> 0
+         (2, "xqz 123. zzz 9.")],          # no markers -> und, 0 segs decided
+        "doc_id long, text string")
+    out = TX.lang_mixing_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[0].major_lang == "en"
+    assert out.loc[0].mixing_ppm == 333333
+    assert out.loc[1].mixing_ppm == 0 and out.loc[1].major_lang == "en"
+    assert out.loc[2].major_lang == "und" and out.loc[2].n_lang_segs == 0
+
+
+def test_percentile_gate_matches_naive_and_handles_ties(spark):
+    from ai_log_analyzer_spark.functions import sampling as SAX
+    rows = [(i, f"g{i % 3}", (i * 7919) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score_m long")
+    got = SAX.percentile_gate(df, "grp", "score_m", "doc_id",
+                              keep_pct=20, bucket_w=4).toPandas()
+    pdf = df.toPandas()
+    pdf["rn"] = (pdf.sort_values(["score_m", "doc_id"],
+                                 ascending=[False, True])
+                 .groupby("grp").cumcount() + 1)
+    n_g = pdf.groupby("grp").grp.transform("size")
+    pdf["keep"] = pdf.rn <= (n_g * 20) // 100
+    want = set(pdf[pdf.keep].doc_id)
+    assert set(got[got.keep].doc_id) == want
+    assert got.keep.sum() == 60  # 100 per group * 20%
+
+
+def test_percentile_gate_constant_scores_and_tiny_group(spark):
+    from ai_log_analyzer_spark.functions import sampling as SAX
+    df = spark.createDataFrame(
+        [(i, "c", 7) for i in range(10)] + [(100, "tiny", 99)],
+        "doc_id long, grp string, score_m long")
+    out = SAX.percentile_gate(df, "grp", "score_m", "doc_id",
+                              keep_pct=20).toPandas()
+    c = out[out.grp == "c"]
+    # all scores equal -> lowest doc_ids kept, exactly floor(10*0.2)=2
+    assert sorted(c[c.keep].doc_id) == [0, 1]
+    # group smaller than 1/keep_pct keeps nothing (integer floor)
+    assert not out[out.grp == "tiny"].keep.any()
