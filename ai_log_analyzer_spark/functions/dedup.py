@@ -1744,3 +1744,35 @@ SELECT ta.src AS source_a, tb.src AS source_b,
 FROM rz_tot ta JOIN rz_tot tb ON ta.src < tb.src
 LEFT JOIN rz_inter ON source_a = ta.src AND source_b = tb.src
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/test split-leakage audit.  Exact dedup inside a split is not
+# enough: a NEAR-duplicate of a test document sitting in train inflates
+# eval scores exactly like verbatim contamination (the Lee et al. 2022
+# / GPT-3 appendix finding).  Audit = the production MinHash+LSH
+# near-dup pairs (banded candidates, verify-on-candidates) crossed
+# with the deterministic split assignment — which is a pure FUNCTION
+# of doc_id, so no join is needed to label the pair ends.
+
+
+def split_leakage_audit(df: DataFrame, n_hashes: int = 8, bands: int = 4,
+                        n: int = 3, threshold: float = 0.5,
+                        salt: str = "split-v1") -> DataFrame:
+    """(split_a, split_b, n_pairs, is_leak) — near-dup pair counts per
+    unordered split-pair cell (split_a ≤ split_b lexicographically);
+    ``is_leak`` marks off-diagonal cells (a near-dup crossing splits).
+
+    Scale shape: everything heavy IS minhash_lsh_pairs (output-
+    sensitive banding); the audit adds two hash projections and one
+    ≤9-row groupBy."""
+    from .sampling import split_assign
+    pairs = minhash_lsh_pairs(df, n_hashes=n_hashes, bands=bands, n=n,
+                              threshold=threshold)
+    sa = split_assign(F.col("doc_a"), salt=salt)
+    sb = split_assign(F.col("doc_b"), salt=salt)
+    cells = pairs.select(F.least(sa, sb).alias("split_a"),
+                         F.greatest(sa, sb).alias("split_b"))
+    return (cells.groupBy("split_a", "split_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .withColumn("is_leak", F.col("split_a") != F.col("split_b")))

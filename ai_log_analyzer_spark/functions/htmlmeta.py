@@ -184,3 +184,79 @@ dom_stats AS (
              greatest(html_len, 1))::BIGINT AS markup_ppm
   FROM draw
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-detected language agreement.  The <html lang> claim is
+# publisher metadata; the marker-lexicon detector reads the body.  The
+# (claimed, detected) confusion matrix is the standard audit before
+# trusting EITHER signal for monolingual split routing — a high
+# mismatch rate for a host is a known junk/misdeclaration indicator.
+# One combined codegen projection (claim regex + detector fold share
+# the row) and one tiny groupBy over ≤ |langs|² keys — the page never
+# shuffles.
+
+
+def lang_claim_agreement(df: DataFrame, html_col: str = "html",
+                         text_col: str = "text") -> DataFrame:
+    """(claimed, detected, n_pages, agree) — counts per (html-lang
+    2-letter claim, marker-detected language) cell; '' = no claim,
+    'und' = detector abstained; ``agree`` marks the diagonal (both
+    sides decided and equal)."""
+    from .text import LANG_MARKERS
+    s = F.decode(F.col(html_col), "UTF-8")
+    lang = F.lower(F.trim(F.regexp_extract(s, _HTML_LANG, 1)))
+    claimed = F.regexp_extract(lang, "^([a-z]{2})", 1)
+    t = F.lower(F.col(text_col))
+    scores = []
+    for lg in sorted(LANG_MARKERS):
+        rx = r"\b(" + "|".join(LANG_MARKERS[lg]) + r")\b"
+        scores.append(F.size(F.regexp_extract_all(t, F.lit(rx), 0))
+                      .alias(f"s_{lg}"))
+    voted = df.select(claimed.alias("claimed"), *scores)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in sorted(LANG_MARKERS)])
+    guess = F.lit("und")
+    for lg in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when((F.col(f"s_{lg}") == best) & (best > 0),
+                       F.lit(lg)).otherwise(guess)
+    cells = voted.select("claimed", guess.alias("detected"))
+    return (cells.groupBy("claimed", "detected")
+            .agg(F.count("*").cast("long").alias("n_pages"))
+            .withColumn("agree",
+                        (F.col("claimed") == F.col("detected"))
+                        & (F.col("claimed") != "")
+                        & (F.col("detected") != "und")))
+
+
+def lang_claim_agreement_sql(pages: str, html_expr: str = "html",
+                             text_expr: str = "text") -> str:
+    """DuckDB oracle: identical claim regex, detector fold, and cells."""
+    from .text import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    # DuckDB string literals keep backslashes verbatim — only quotes
+    # need escaping (same rule as html_meta_sql's esc helper)
+    esc = _HTML_LANG.replace("'", "''")
+    scores = []
+    for lg in langs:
+        rx = r"\b(" + "|".join(LANG_MARKERS[lg]) + r")\b"
+        scores.append(f"len(regexp_extract_all(lower({text_expr}), '{rx}'))"
+                      f" AS s_{lg}")
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    guess = "'und'"
+    for lg in sorted(langs, reverse=True):
+        guess = (f"CASE WHEN s_{lg} = {best} AND {best} > 0 "
+                 f"THEN '{lg}' ELSE {guess} END")
+    return f"""
+lca_base AS (
+  SELECT regexp_extract(lower(trim(regexp_extract(
+           decode({html_expr}), '{esc}', 1))), '^([a-z]{{2}})', 1)
+           AS claimed,
+         {', '.join(scores)}
+  FROM {pages}),
+lca_cells AS (
+  SELECT claimed, {guess} AS detected FROM lca_base),
+lca AS (
+  SELECT claimed, detected, count(*)::BIGINT AS n_pages,
+         (claimed = detected AND claimed <> '' AND detected <> 'und')
+           AS agree
+  FROM lca_cells GROUP BY claimed, detected)"""

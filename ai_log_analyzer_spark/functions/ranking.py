@@ -379,3 +379,48 @@ SELECT n_docs, n_both_pos, n_a_only, n_b_only, n_both_neg,
          AS kappa_shifted_ppm
 FROM ck_k
 """
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrunk group means.  Ranking domains (or sources) by
+# raw mean quality over-rewards tiny groups — a 2-page domain with two
+# lucky pages outranks a solid 10⁵-page site.  The standard fix is
+# shrinkage toward the global mean with a pseudo-count prior
+# (James-Stein / Dirichlet smoothing): shrunk = (Σq + k·μ)/(n + k).
+# Kept in EXACT integers (μ = global Σq div N, floor division on both
+# engines) so the ranking is reproducible bit-for-bit.
+
+
+def shrunk_group_means(df, group_col: str = "grp",
+                       score_col: str = "score_ppm", k: int = 20):
+    """(grp, n_items, mean_ppm, shrunk_ppm) per group: raw integer
+    mean and the k-pseudo-count shrunk mean toward the global mean.
+
+    Scale shape: ONE partial-aggregable groupBy(group) — the corpus
+    collapses to the group table; the global mean is a 1-row broadcast
+    agg OF that table (no second corpus scan)."""
+    g = (df.groupBy(F.col(group_col).alias("grp"))
+         .agg(F.count("*").cast("long").alias("n_items"),
+              F.sum(F.col(score_col).cast("long")).alias("_s")))
+    tot = g.agg(F.sum("n_items").alias("_n"), F.sum("_s").alias("_ss"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("grp", "n_items",
+                    F.expr("_s div n_items").cast("long").alias("mean_ppm"),
+                    F.expr(f"(_s + {k} * (_ss div _n)) div (n_items + {k})")
+                    .cast("long").alias("shrunk_ppm")))
+
+
+def shrunk_group_means_sql(table: str, group_expr: str, score_expr: str,
+                           k: int = 20) -> str:
+    """DuckDB oracle: identical integer folds."""
+    return f"""
+sg_g AS (
+  SELECT {group_expr} AS grp, count(*)::BIGINT AS n_items,
+         sum(({score_expr})::BIGINT)::BIGINT AS s
+  FROM {table} GROUP BY 1),
+sg_tot AS (SELECT sum(n_items)::BIGINT AS n, sum(s)::BIGINT AS ss FROM sg_g),
+sg AS (
+  SELECT grp, n_items, (s // n_items)::BIGINT AS mean_ppm,
+         ((s + {k} * (t.ss // t.n)) // (n_items + {k}))::BIGINT
+           AS shrunk_ppm
+  FROM sg_g, sg_tot t)"""

@@ -2566,7 +2566,13 @@ def source_keywords_chi2(df: DataFrame, text_col: str = "text",
     overrepresented words per source by one-cell χ² = (o−e)²/e with
     e = T_s·C_w/N; only words with o ≥ min_count and o > e qualify.
     χ² rounded 6 dp; rank ties broken by word (deterministic: the
-    window orders by the ROUNDED statistic, zipf/tfidf precedent)."""
+    window orders by the ROUNDED statistic, zipf/tfidf precedent).
+
+    Scale note: a source's candidate vocabulary can approach the
+    corpus vocabulary, so the final rank runs two-phase (the
+    quota_sample superset proof): phase 1 ranks within (source,
+    input-partition) — any per-partition top-k is a superset of the
+    global top-k — bounding phase 2 to top_k × n_partitions rows."""
     words = (df.select(F.col(source_col).alias("source"),
                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
                                          WS)).alias("word"))
@@ -2586,8 +2592,13 @@ def source_keywords_chi2(df: DataFrame, text_col: str = "text",
                     F.round((F.col("o").cast("double") - e)
                             * (F.col("o").cast("double") - e) / e, 6)
                     .alias("chi2")))
-    w = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("word"))
-    return (cand.withColumn("rank", F.row_number().over(w))
+    w1 = Window.partitionBy("source", "_pid") \
+        .orderBy(F.desc("chi2"), F.asc("word"))
+    pre = (cand.withColumn("_pid", F.spark_partition_id())
+           .withColumn("_rn1", F.row_number().over(w1))
+           .filter(F.col("_rn1") <= top_k))
+    w2 = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("word"))
+    return (pre.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= top_k)
             .select("source", "rank", "word",
                     F.col("o").cast("long").alias("obs"), "chi2"))

@@ -4607,3 +4607,99 @@ def quality_percentile_gate_q(spark, sf_dir):
         .alias("score_m"))
     return SA.percentile_gate(docs, "lang", "score_m", "doc_id",
                               keep_pct=20)
+
+
+# --- declared-vs-detected language agreement (htmlmeta.py) --------------------
+
+_LCA_SQL = """
+  SELECT encode('<html' ||
+           CASE WHEN doc_id % 4 = 0 THEN ' lang="en-US"'
+                WHEN doc_id % 4 = 1 THEN ' lang="fr"'
+                WHEN doc_id % 4 = 2 THEN ' lang="de"'
+                ELSE '' END ||
+           '><head></head><body>' || text ||
+           CASE WHEN doc_id % 3 = 0 THEN ' the and of to a the'
+                WHEN doc_id % 3 = 1 THEN ' le la les et est le'
+                ELSE '' END || '</body></html>') AS html,
+         text ||
+           CASE WHEN doc_id % 3 = 0 THEN ' the and of to a the'
+                WHEN doc_id % 3 = 1 THEN ' le la les et est le'
+                ELSE '' END AS text
+  FROM documents
+"""
+
+
+@q("lang_claim_agreement", f"""
+WITH lca_pages AS ({_LCA_SQL}),
+{HM.lang_claim_agreement_sql('lca_pages')}
+SELECT claimed, detected, n_pages, agree FROM lca
+""")
+def lang_claim_agreement_q(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix: the <html lang>
+    claim (2-letter subtag) against the marker-lexicon detector — the
+    misdeclaration audit run before trusting either signal for split
+    routing.  One combined codegen projection + a ≤|langs|² groupBy;
+    fixture plants agreeing, disagreeing, claimless, and
+    detector-abstain cells (functions/htmlmeta.lang_claim_agreement)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    lang_attr = (F.when(d % 4 == 0, F.lit(' lang="en-US"'))
+                 .when(d % 4 == 1, F.lit(' lang="fr"'))
+                 .when(d % 4 == 2, F.lit(' lang="de"'))
+                 .otherwise(F.lit("")))
+    suffix = (F.when(d % 3 == 0, F.lit(" the and of to a the"))
+              .when(d % 3 == 1, F.lit(" le la les et est le"))
+              .otherwise(F.lit("")))
+    body = F.concat(F.col("text"), suffix)
+    html = F.concat(F.lit("<html"), lang_attr,
+                    F.lit("><head></head><body>"), body,
+                    F.lit("</body></html>"))
+    pages = docs.select(F.encode(html, "UTF-8").alias("html"),
+                        body.alias("text"))
+    return HM.lang_claim_agreement(pages)
+
+
+# --- empirical-Bayes shrunk domain quality (ranking.py) -----------------------
+
+@q("shrunk_domain_quality", f"""
+WITH {RK.shrunk_group_means_sql(
+    "(SELECT source, (length(text) * 1000)::BIGINT AS score_ppm "
+    "FROM documents)", "source", "score_ppm", k=20)}
+SELECT grp, n_items, mean_ppm, shrunk_ppm FROM sg
+""")
+def shrunk_domain_quality_q(spark, sf_dir):
+    """James-Stein/Dirichlet-shrunk per-source quality ranking:
+    (Σq + k·μ)/(n+k) toward the global mean μ — tiny lucky domains no
+    longer outrank solid large ones; EXACT integer floor divisions on
+    both engines.  ONE groupBy(source) + a 1-row broadcast agg OF the
+    group table (functions/ranking.shrunk_group_means)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", (F.length("text") * 1000).cast("long").alias("score_ppm"))
+    return RK.shrunk_group_means(docs, "source", "score_ppm", k=20)
+
+
+# --- train/test split-leakage audit (dedup.py) --------------------------------
+
+@q("split_leakage_audit", f"""
+WITH {_LSH_CTES},
+lp AS ({_LSH_SELECT}),
+cells AS (
+  SELECT least({SA.split_assign_sql('doc_a')},
+               {SA.split_assign_sql('doc_b')}) AS split_a,
+         greatest({SA.split_assign_sql('doc_a')},
+                  {SA.split_assign_sql('doc_b')}) AS split_b
+  FROM lp)
+SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+       (split_a <> split_b) AS is_leak
+FROM cells GROUP BY split_a, split_b
+""")
+def split_leakage_audit_q(spark, sf_dir):
+    """Near-duplicate train/test leakage audit: the production
+    MinHash+LSH pair pipeline crossed with the deterministic split
+    assignment (a pure function of doc_id — no join to label pair
+    ends); off-diagonal cells are eval contamination that exact
+    within-split dedup misses.  Adds two hash projections + a ≤9-row
+    groupBy on top of the output-sensitive banding
+    (functions/dedup.split_leakage_audit)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.split_leakage_audit(docs)

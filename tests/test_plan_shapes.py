@@ -414,3 +414,88 @@ def test_sq8_encode_is_zero_shuffle_zero_python(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in plan, plan
+
+
+def test_round5_late_ops_plan_shapes(spark):
+    """The ten late-round curation ops keep their declared shapes:
+    slug coherence and soft-404 flags are pure projections (+ one
+    partial agg for the rollup); doc_entropy / shard_checksums /
+    lang mixing / JS divergence never cross an unpartitioned exchange,
+    a cartesian product, or a Python worker.  Scalar 1-row aggregates
+    (heaps/freshness corpus-max) legitimately finalize single-partition
+    over pre-reduced rows and are exempted individually."""
+    from ai_log_analyzer_spark.functions import crawlfunnel as CFX
+    from ai_log_analyzer_spark.functions import sampling as SAX
+    from ai_log_analyzer_spark.functions import text as TX
+    from ai_log_analyzer_spark.functions import urls as UX
+    docs = spark.createDataFrame(
+        [(i, f"w{i} alpha beta. gamma delta", "en", f"s{i % 2}",
+          f"https://a.org/p/x-{i}", f"h{i % 2}")
+         for i in range(8)],
+        ["doc_id", "text", "lang", "source", "url", "host"])
+    no_single = [
+        TX.doc_entropy(docs),
+        TX.source_js_divergence(docs),
+        TX.lang_mixing_stats(docs),
+        SAX.shard_checksums(docs),
+        CFX.soft404_stats(docs),
+    ]
+    for df in no_single:
+        plan = _plan(df)
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # pure projection: NO exchange of any kind
+    slug = _plan(UX.slug_text_coherence(docs))
+    assert "Exchange" not in slug, slug
+    assert "BatchEvalPython" not in slug and "ArrowEval" not in slug, slug
+    # scalar-agg ops: the only SinglePartition exchanges feed 1-row
+    # aggregates; still no cartesian / Python, and the broadcast of the
+    # scalar must be a BroadcastNestedLoopJoin, never CartesianProduct
+    from ai_log_analyzer_spark.functions import temporal as TPX
+    for df in (TX.heaps_law_fit(docs),
+               TPX.freshness_scores(
+                   docs.select("host", F.current_timestamp()
+                               .alias("warc_ts")))):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_percentile_gate_windows_are_bucket_partitioned(spark):
+    """The corpus-sized row_number window must partition by
+    (grp, bucket) — never by grp alone (the naive per-group sort) and
+    never unpartitioned; the grp-only running-sum window runs over the
+    tiny (group × bucket) count table by construction."""
+    from ai_log_analyzer_spark.functions import sampling as SAX
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", i % 40) for i in range(20)],
+        ["doc_id", "grp", "score_m"])
+    plan = _plan(SAX.percentile_gate(df, "grp", "score_m", "doc_id"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    rn_windows = [ln for ln in plan.splitlines()
+                  if "row_number()" in ln and "Window" in ln]
+    assert rn_windows, plan
+    for ln in rn_windows:
+        assert "_b" in ln.split("], [")[1], ln
+
+
+def test_chi2_rank_is_two_phase(spark):
+    """source_keywords_chi2's global rank must consume only the
+    phase-1 survivors: both row_number windows appear, the first
+    partitioned by (source, _pid)."""
+    from ai_log_analyzer_spark.functions import text as TX
+    docs = spark.createDataFrame(
+        [(f"s{i % 2}", "alpha beta casino " * 3) for i in range(6)],
+        ["source", "text"])
+    plan = _plan(TX.source_keywords_chi2(docs))
+    assert "CartesianProduct" not in plan, plan
+    win_specs = [ln for ln in plan.splitlines()
+                 if "Window [row_number()" in ln]
+    assert len(win_specs) == 2, plan
+    assert any("_pid" in ln for ln in win_specs), plan
+    # Spark 4 additionally pushes WindowGroupLimit below both windows —
+    # the rank filter prunes before the exchange, gravy on top of the
+    # two-phase shape
+    assert "WindowGroupLimit" in plan, plan

@@ -754,3 +754,72 @@ def test_percentile_gate_constant_scores_and_tiny_group(spark):
     assert sorted(c[c.keep].doc_id) == [0, 1]
     # group smaller than 1/keep_pct keeps nothing (integer floor)
     assert not out[out.grp == "tiny"].keep.any()
+
+
+# ---------------------------------------------------------------------------
+# lang claim agreement / shrunk means / split leakage
+# ---------------------------------------------------------------------------
+
+def test_lang_claim_agreement_cells(spark):
+    from ai_log_analyzer_spark.functions import htmlmeta as HMX
+    def page(lang_attr, body):
+        return bytearray(f'<html{lang_attr}><head></head><body>{body}'
+                         f'</body></html>', 'utf-8')
+    en = "the cat and the dog of the town"
+    fr = "le chat et la maison est grande"
+    df = spark.createDataFrame(
+        [(page(' lang="en-US"', en), en),     # claim en, detect en: agree
+         (page(' lang="en"', fr), fr),        # claim en, detect fr: mismatch
+         (page("", en), en),                  # no claim
+         (page(' lang="de"', "xqz 123"), "xqz 123")],  # claim de, und
+        "html binary, text string")
+    out = HMX.lang_claim_agreement(df).toPandas()
+    cells = {(r.claimed, r.detected): (r.n_pages, r.agree)
+             for _, r in out.iterrows()}
+    assert cells[("en", "en")] == (1, True)
+    assert cells[("en", "fr")] == (1, False)
+    assert cells[("", "en")][1] == False
+    assert cells[("de", "und")][1] == False
+
+
+def test_shrunk_means_pulls_small_groups_to_global(spark):
+    from ai_log_analyzer_spark.functions import ranking as RKX
+    rows = ([("big", 100_000)] * 50          # big group at 100k
+            + [("lucky", 900_000)]           # 1-item group at 900k
+            + [("unlucky", 0)])              # 1-item group at 0
+    df = spark.createDataFrame(
+        [(g, s) for g, s in rows], "grp string, score_ppm long")
+    out = RKX.shrunk_group_means(df, "grp", "score_ppm", k=20) \
+        .toPandas().set_index("grp")
+    gm = (100_000 * 50 + 900_000) // 52      # global mean (floor)
+    assert out.loc["big"].mean_ppm == 100_000
+    # big group barely moves; singletons collapse most of the way to μ
+    assert abs(out.loc["big"].shrunk_ppm - 100_000) < 15_000
+    assert out.loc["lucky"].shrunk_ppm == (900_000 + 20 * gm) // 21
+    assert out.loc["lucky"].shrunk_ppm < 200_000
+    assert out.loc["unlucky"].shrunk_ppm > 90_000
+
+
+def test_split_leakage_detects_cross_split_neardup(spark):
+    from ai_log_analyzer_spark.functions import dedup as DX
+    from ai_log_analyzer_spark.functions import sampling as SAX
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # two near-identical docs + unrelated filler; ids chosen so the
+    # near-dup pair lands in different splits
+    import hashlib
+    def split_of(i):
+        h = int(hashlib.md5(f"{i}|split-v1".encode()).hexdigest()[:8], 16)
+        b = h % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+    a = next(i for i in range(1000) if split_of(i) == "train")
+    b = next(i for i in range(1000) if split_of(i) == "test")
+    rows = [(a, base + " one"), (b, base + " two")]
+    rows += [(10_000 + j, f"totally unrelated doc {j} " * 3)
+             for j in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DX.split_leakage_audit(df).toPandas()
+    leak = out[out.is_leak]
+    assert len(leak) == 1
+    assert tuple(sorted([leak.iloc[0].split_a, leak.iloc[0].split_b])) \
+        == ("test", "train")
+    assert leak.iloc[0].n_pairs == 1
