@@ -168,3 +168,68 @@ def frontier_waves_sql(urls_cte: str, concurrency: int = 4) -> str:
   FROM ({urls_cte}))
 SELECT url, domain, position, (position // {concurrency})::BIGINT AS wave
 FROM fw"""
+
+
+# ---------------------------------------------------------------------------
+# Recrawl allocation: the crawl-side composition capstone.  A recrawl
+# scheduler spends a fixed fetch budget where the corpus is STALE:
+# each host's weight is its stale page mass (pages × (1 − freshness)),
+# freshness from the exact integer half-life decay, and the budget is
+# split by the exact largest-remainder rule.  Pure composition of two
+# shipped kernels — no new math, one extra broadcast join to restore
+# the host name from the apportionment's integer key.
+
+
+def recrawl_allocation(pages, budget: int = 10_000,
+                       ts_col: str = "warc_ts", host_col: str = "host",
+                       halflife_s: int = 86400):
+    """(host, n_pages, weight, alloc) — fetch budget per host ∝ stale
+    mass n_pages · (10⁶ − mean_fresh_ppm); Σ alloc == budget exactly
+    (largest-remainder).  Hosts with zero stale mass (a fully fresh
+    host) get no allocation.
+
+    Scale shape: freshness_scores is one groupBy(host); everything
+    after runs on the host-grain table (apportionment windows over
+    n_buckets rows, host-name restore is a broadcast join)."""
+    from .hashing import hash32
+    from .temporal import freshness_scores
+    fr = freshness_scores(pages, ts_col=ts_col, key_col=host_col,
+                          halflife_s=halflife_s)
+    w = fr.select(F.col("host"), F.col("n_pages"),
+                  (F.col("n_pages")
+                   * (F.lit(1_000_000) - F.col("mean_fresh_ppm")))
+                  .cast("long").alias("weight"),
+                  hash32(F.col("host")).cast("long").alias("_hid"))
+    alloc = budget_apportion(w.select(F.col("_hid").alias("domain"),
+                                      "weight"), budget)
+    return (w.join(F.broadcast(alloc.select("domain", "alloc")),
+                   w["_hid"] == F.col("domain"), "left")
+            .select("host", "n_pages", "weight",
+                    F.coalesce(F.col("alloc"), F.lit(0)).cast("long")
+                    .alias("alloc")))
+
+
+def recrawl_allocation_sql(pages_cte: str, budget: int = 10_000,
+                           halflife_s: int = 86400) -> str:
+    """DuckDB oracle: identical freshness → stale-mass → apportionment
+    chain (naive remainder window)."""
+    from .hashing import hash32_sql
+    from .temporal import freshness_sql
+    hid = hash32_sql("host")
+    # budget_apportion_sql is "CTEs + bare SELECT"; nest it as a
+    # parenthesized WITH-subquery so it composes under this WITH chain
+    inner = ("WITH "
+             + budget_apportion_sql("SELECT hid AS domain, weight FROM rw",
+                                    budget))
+    return f"""
+WITH {freshness_sql(pages_cte, halflife_s=halflife_s).lstrip()},
+rw AS (
+  SELECT host, n_pages,
+         (n_pages * (1000000 - mean_fresh_ppm))::BIGINT AS weight,
+         {hid}::BIGINT AS hid
+  FROM fr),
+ra AS ({inner})
+SELECT r.host, r.n_pages, r.weight,
+       coalesce(a.alloc, 0)::BIGINT AS alloc
+FROM rw r LEFT JOIN ra a ON r.hid = a.domain
+"""

@@ -4703,3 +4703,23 @@ def split_leakage_audit_q(spark, sf_dir):
     (functions/dedup.split_leakage_audit)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.split_leakage_audit(docs)
+
+
+@q("recrawl_allocation", SCH.recrawl_allocation_sql("""(
+  SELECT 'src' || (doc_id % 7)::VARCHAR AS host,
+         to_timestamp(1704067200 + doc_id) AS warc_ts
+  FROM documents)""", budget=10_000, halflife_s=60))
+def recrawl_allocation_q(spark, sf_dir):
+    """Recrawl scheduling capstone: fetch budget per host ∝ stale page
+    mass n_pages·(10⁶ − freshness), freshness from the exact integer
+    half-life decay, split by the exact largest-remainder rule —
+    Σ alloc == budget invariant.  Pure composition of the freshness
+    and apportionment kernels; everything after the one groupBy(host)
+    runs on the host-grain table
+    (functions/scheduling.recrawl_allocation)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(F.lit("src"), (d % 7).cast("string")).alias("host"),
+        F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"))
+    return SCH.recrawl_allocation(pages, budget=10_000, halflife_s=60)

@@ -823,3 +823,26 @@ def test_split_leakage_detects_cross_split_neardup(spark):
     assert tuple(sorted([leak.iloc[0].split_a, leak.iloc[0].split_b])) \
         == ("test", "train")
     assert leak.iloc[0].n_pairs == 1
+
+
+def test_recrawl_allocation_invariants(spark):
+    from datetime import datetime, timezone
+    from ai_log_analyzer_spark.functions import scheduling as SCHX
+    base = 1_700_000_000
+
+    def ts(s):
+        return datetime.fromtimestamp(base + s, tz=timezone.utc)
+    # 'fresh' host: everything captured at the corpus max -> zero stale
+    # mass -> zero allocation; stale hosts split the budget by mass
+    rows = ([("fresh", ts(1000))] * 5
+            + [("stale_big", ts(0))] * 30
+            + [("stale_small", ts(0))] * 10)
+    df = spark.createDataFrame(rows, "host string, warc_ts timestamp")
+    out = SCHX.recrawl_allocation(df, budget=1000, halflife_s=10) \
+        .toPandas().set_index("host")
+    assert out.alloc.sum() == 1000
+    assert out.loc["fresh"].alloc == 0 and out.loc["fresh"].weight == 0
+    # same staleness, 3x the pages -> 3x the weight, ~3x the budget
+    assert out.loc["stale_big"].weight == 3 * out.loc["stale_small"].weight
+    assert out.loc["stale_big"].alloc == 750
+    assert out.loc["stale_small"].alloc == 250
