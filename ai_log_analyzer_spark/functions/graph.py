@@ -922,3 +922,65 @@ def harmonic_sql(edges_cte: str, iters: int = 3) -> str:
          round(e{iters}, 4) AS reach_estimate
   FROM he0 {joins})""")
     return ",\n".join(sql)
+
+
+def cocitation_pairs(edges: DataFrame, min_co: int = 2) -> DataFrame:
+    """(dst_a, dst_b, n_co, n_in_a, n_in_b, jaccard_ppm) — co-citation
+    similarity (Small 1973, JASIS): two link targets are related in
+    proportion to how many distinct sources cite BOTH.  On a web link
+    graph this is the classic related-pages / authority-cluster signal
+    (HITS' AᵀA Gram matrix, materialized sparsely); curation pipelines
+    use it to expand a seed whitelist to co-cited neighbors before
+    TrustRank-style scoring.
+
+        n_co(a,b)   = |in(a) ∩ in(b)|        (distinct citing srcs)
+        jaccard_ppm = n_co · 10⁶ div (n_in_a + n_in_b − n_co)
+
+    Scale shape: the pair expansion is a self-join of the DISTINCT
+    edge table ON src with ``dst_a < dst_b`` — fan-out per source is
+    C(outdeg, 2), bounded because real crawl extractors cap per-page
+    outlinks (this module's synthetic graphs use 3); it is the same
+    output-sensitive inverted-index shape as ``ngram_jaccard_pairs``
+    with src playing the shingle role.  A pathological mega-outdeg hub
+    would need the DF_CAP treatment (drop srcs above an outdeg cap —
+    they relate everything to everything and carry no signal); noted,
+    not built, because capped extractors make it moot.  The in-degree
+    side join is on dst — a bounded-universe dimension vs the pair
+    table, broadcast when small.  All counts exact integers."""
+    e = edges.select(F.col("src").cast("long").alias("src"),
+                     F.col("dst").cast("long").alias("dst")).distinct()
+    a = e.select("src", F.col("dst").alias("dst_a"))
+    b = e.select(F.col("src").alias("_s2"), F.col("dst").alias("dst_b"))
+    co = (a.join(b, (a.src == b._s2) & (F.col("dst_a") < F.col("dst_b")))
+          .groupBy("dst_a", "dst_b")
+          .agg(F.count("*").cast("long").alias("n_co"))
+          .where(F.col("n_co") >= min_co))
+    indeg = e.groupBy("dst").agg(F.count("*").cast("long").alias("n_in"))
+    return (co
+            .join(F.broadcast(indeg.select(F.col("dst").alias("dst_a"),
+                                           F.col("n_in").alias("n_in_a"))),
+                  "dst_a")
+            .join(F.broadcast(indeg.select(F.col("dst").alias("dst_b"),
+                                           F.col("n_in").alias("n_in_b"))),
+                  "dst_b")
+            .select("dst_a", "dst_b", "n_co", "n_in_a", "n_in_b",
+                    F.expr("n_co * 1000000 div "
+                           "(n_in_a + n_in_b - n_co)").cast("long")
+                    .alias("jaccard_ppm")))
+
+
+def cocitation_sql(edges_cte: str, min_co: int = 2) -> str:
+    """DuckDB oracle over ``edges_cte`` (src, dst): identical distinct
+    self-join + integer Jaccard; final relation ``cocite``."""
+    return f"""cc_e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),
+cc_co AS (
+  SELECT a.dst AS dst_a, b.dst AS dst_b, count(*)::BIGINT AS n_co
+  FROM cc_e a JOIN cc_e b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2 HAVING count(*) >= {min_co}),
+cc_in AS (SELECT dst, count(*)::BIGINT AS n_in FROM cc_e GROUP BY dst),
+cocite AS (
+  SELECT c.dst_a, c.dst_b, c.n_co, ia.n_in AS n_in_a, ib.n_in AS n_in_b,
+         (c.n_co * 1000000 // (ia.n_in + ib.n_in - c.n_co))::BIGINT
+           AS jaccard_ppm
+  FROM cc_co c JOIN cc_in ia ON ia.dst = c.dst_a
+               JOIN cc_in ib ON ib.dst = c.dst_b)"""

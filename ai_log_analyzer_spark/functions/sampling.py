@@ -10,7 +10,7 @@ fully codegen'd except the md5 call itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import hash32, hash32_sql
@@ -755,3 +755,93 @@ SELECT doc_id, grp, score_m,
        (rn <= (n_g * {keep_pct}) // 100) AS keep
 FROM pg_ranked
 """
+
+
+def length_ks_stats(df: DataFrame, group_col: str = "source",
+                    val_col: str = "n_chars",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(grp, n_docs, ks_ppm) — per-group two-sample Kolmogorov–Smirnov
+    distance between the group's ``val_col`` distribution and the
+    pooled corpus's, in exact integer ppm.  A source whose document-
+    length CDF sits far from the corpus (high ks_ppm) is the classic
+    ingest-bug tripwire: truncation at a fetch limit, boilerplate
+    farms, or a decoder slicing pages in half all shift the length
+    distribution before any content signal fires.
+
+        D(g) = max over corpus-distinct values x of
+               |cum_g(x)·N − cum_all(x)·n_g| · 10⁶ div (n_g·N)
+
+    evaluated on the cross-multiplied integers so no per-engine
+    rounding exists until the single final floor division; group jump
+    points are a subset of corpus jump points (groups pool INTO the
+    corpus), so the corpus-distinct grid covers every jump of both step
+    functions and the max is the true sup.  The multiplications ride
+    DECIMAL(38,0) lanes (cum·N reaches 10²⁴ at web scale — the
+    ``shard_checksums`` overflow rule).
+
+    Scale shape: the corpus collapses to a (group, val) count table in
+    ONE partial-agg groupBy — the only scan of the data; everything
+    after runs on histogram-sized relations (the ``percentile_gate``
+    pattern): the distinct-value table gets its corpus CDF from one
+    ordered window over ≤|distinct vals| rows, the group × value grid
+    is a broadcast cross join bounded by |groups|·|distinct vals|
+    (bucket ``val_col`` upstream — e.g. ``val div 64`` — if the value
+    universe is genuinely unbounded), and the per-group CDF is a window
+    over grid rows, never corpus rows."""
+    gv = (df.groupBy(F.col(group_col).alias("grp"),
+                     F.col(val_col).cast("long").alias("val"))
+          .agg(F.count("*").cast("long").alias("cnt")))
+    vals = (gv.groupBy("val").agg(F.sum("cnt").alias("vcnt"))
+            .withColumn("cum_all",
+                        F.sum("vcnt").over(
+                            Window.orderBy("val")
+                            .rowsBetween(Window.unboundedPreceding, 0))
+                        .cast("long"))
+            .drop("vcnt"))
+    groups = gv.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n_docs"))
+    tot = gv.agg(F.sum("cnt").cast("long").alias("n_tot"))
+    grid = (groups.crossJoin(F.broadcast(vals))
+            .join(gv, ["grp", "val"], "left")
+            .withColumn("cum_g",
+                        F.sum(F.coalesce("cnt", F.lit(0))).over(
+                            Window.partitionBy("grp").orderBy("val")
+                            .rowsBetween(Window.unboundedPreceding, 0))
+                        .cast("long"))
+            .crossJoin(F.broadcast(tot)))
+    d = F.abs(F.col("cum_g").cast("decimal(38,0)") * F.col("n_tot")
+              - F.col("cum_all").cast("decimal(38,0)") * F.col("n_docs"))
+    return (grid.withColumn("_d", d)
+            .groupBy("grp", "n_docs", "n_tot")
+            .agg(F.max("_d").alias("_dmax"))
+            .select("grp", "n_docs",
+                    F.expr("(_dmax * 1000000) div "
+                           "(cast(n_docs as decimal(38,0)) * n_tot)")
+                    .cast("long").alias("ks_ppm")))
+
+
+def length_ks_sql(table: str, group_expr: str = "source",
+                  val_expr: str = "n_chars") -> str:
+    """DuckDB oracle: identical grid + cross-multiplied integer sup
+    (HUGEINT ⊇ DECIMAL(38,0)); final relation ``ks_out``."""
+    return f"""
+ks_gv AS (
+  SELECT {group_expr} AS grp, {val_expr}::BIGINT AS val,
+         count(*)::BIGINT AS cnt
+  FROM {table} GROUP BY 1, 2),
+ks_vals AS (
+  SELECT val, sum(sum(cnt)) OVER (ORDER BY val
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_all
+  FROM ks_gv GROUP BY val),
+ks_groups AS (SELECT grp, sum(cnt)::BIGINT AS n_docs FROM ks_gv GROUP BY grp),
+ks_tot AS (SELECT sum(cnt)::BIGINT AS n_tot FROM ks_gv),
+ks_grid AS (
+  SELECT g.grp, g.n_docs, v.val, v.cum_all, t.n_tot,
+         sum(coalesce(x.cnt, 0)) OVER (PARTITION BY g.grp ORDER BY v.val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_g
+  FROM ks_groups g CROSS JOIN ks_vals v CROSS JOIN ks_tot t
+  LEFT JOIN ks_gv x ON x.grp = g.grp AND x.val = v.val),
+ks_out AS (
+  SELECT grp, n_docs,
+         (max(abs(cum_g::HUGEINT * n_tot - cum_all::HUGEINT * n_docs))
+            * 1000000 // (n_docs::HUGEINT * max(n_tot)))::BIGINT AS ks_ppm
+  FROM ks_grid GROUP BY grp, n_docs)"""

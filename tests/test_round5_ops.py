@@ -846,3 +846,80 @@ def test_recrawl_allocation_invariants(spark):
     assert out.loc["stale_big"].weight == 3 * out.loc["stale_small"].weight
     assert out.loc["stale_big"].alloc == 750
     assert out.loc["stale_small"].alloc == 250
+
+
+# ---------------------------------------------------------------------------
+# interarrival_stats (machine-traffic regularity)
+# ---------------------------------------------------------------------------
+
+def test_interarrival_constant_gap_is_regular(spark):
+    from ai_log_analyzer_spark.functions import temporal as TP
+    rows = ([(i, 1_700_000_000 + i * 60, 1) for i in range(20)] +      # cron: exact 60s
+            [(100 + i, 1_700_000_000 + (i * i * 7) % 10_000, 2)        # bursty
+             for i in range(20)])
+    ev = spark.createDataFrame(rows, "event_id long, es long, user_id long") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"), "user_id")
+    out = {r.key: r for r in TP.interarrival_stats(
+        ev, min_gaps=3).collect()}
+    assert out[1].cv2_ppm == 0 and out[1].is_regular == 1
+    assert out[1].mean_gap_s == 60
+    assert out[2].cv2_ppm > 250_000 and out[2].is_regular == 0
+
+
+def test_interarrival_min_gaps_and_zero_sum_excluded(spark):
+    from ai_log_analyzer_spark.functions import temporal as TP
+    rows = [(1, 1000, 1), (2, 2000, 1),          # key 1: only 1 gap
+            (3, 5000, 2), (4, 5000, 2), (5, 5000, 2), (6, 5000, 2)]  # all-zero gaps
+    ev = spark.createDataFrame(rows, "event_id long, es long, user_id long") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"), "user_id")
+    assert TP.interarrival_stats(ev, min_gaps=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# cocitation_pairs
+# ---------------------------------------------------------------------------
+
+def test_cocitation_known_graph(spark):
+    from ai_log_analyzer_spark.functions import graph as G
+    # srcs 1..3 all cite (10, 11); src 4 cites (10, 12); src 5 cites 12 only
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 11),
+         (4, 10), (4, 12), (5, 12),
+         (1, 10)],                                # duplicate edge must not double-count
+        "src long, dst long")
+    out = {(r.dst_a, r.dst_b): r
+           for r in G.cocitation_pairs(edges, min_co=1).collect()}
+    assert out[(10, 11)].n_co == 3
+    # in(10)={1,2,3,4}, in(11)={1,2,3} → jaccard = 3/4
+    assert out[(10, 11)].jaccard_ppm == 750_000
+    assert out[(10, 12)].n_co == 1
+    # in(12)={4,5} → 1 / (4+2-1)
+    assert out[(10, 12)].jaccard_ppm == 1_000_000 // 5
+    assert (11, 12) not in out                   # no common citer
+    assert G.cocitation_pairs(edges, min_co=2).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# length_ks_stats
+# ---------------------------------------------------------------------------
+
+def test_length_ks_identical_vs_shifted(spark):
+    # group A == the corpus shape it dominates; group C fully shifted
+    rows = ([(i, "A", (i % 10) + 1) for i in range(100)] +
+            [(200 + i, "B", (i % 10) + 1) for i in range(100)] +
+            [(400 + i, "C", 1000 + i) for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.grp: r for r in SA.length_ks_stats(df).collect()}
+    # A and B are identical distributions; their distance from the pooled
+    # corpus is the C mass they lack: sup |CDF| gap = 50/250 at x=10
+    assert out["A"].ks_ppm == out["B"].ks_ppm == 200_000
+    # C is disjoint above everything: at x=10 its CDF is 0, corpus is 200/250
+    assert out["C"].ks_ppm == 800_000
+    assert out["A"].n_docs == 100 and out["C"].n_docs == 50
+
+
+def test_length_ks_single_group_is_zero(spark):
+    rows = [(i, "only", (i * 13) % 97) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = SA.length_ks_stats(df).collect()
+    assert len(out) == 1 and out[0].ks_ppm == 0
