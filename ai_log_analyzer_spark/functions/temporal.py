@@ -273,3 +273,58 @@ ia_out AS (
          (((n_gaps * s2 - s1 * s1) * 1000000 // (s1 * s1))
             < {regular_cv2_ppm})::INT AS is_regular
   FROM ia WHERE n_gaps >= {min_gaps} AND s1 > 0)"""
+
+
+def rate_burst_stats(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", window_s: int = 60,
+                     burst_threshold: int = 10) -> DataFrame:
+    """(key, n_events, max_burst, n_burst_events, is_abusive) —
+    trailing-window rate-limit screening: for every event, the number
+    of the key's events in the closed trailing ``window_s``-second
+    window; a key is flagged when any window exceeds
+    ``burst_threshold``.  The classic DDoS / scraper / token-bucket
+    abuse gate on request logs, expressed as ONE range-frame window —
+    no self-join, no per-event candidate explosion.
+
+    Scale shape: one hash exchange on ``key_col`` + in-partition sort
+    (shared by the range frame and the fold — AQE reuses the
+    exchange), then a partial-aggregable groupBy over the same key.
+    The range frame is computed in a single pass over each partition's
+    sorted run (two pointers), so a hot key costs O(events), not
+    O(events · window).  Second-truncated integer timestamps keep both
+    engines' frame bounds identical (no sub-second rounding drift —
+    the ``interarrival_stats`` lesson)."""
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.unix_timestamp(F.col(ts_col)).cast("long"))
+         .rangeBetween(-(window_s - 1), 0))
+    burst = F.count("*").over(w)
+    per_ev = events.select(F.col(key_col).alias("key"),
+                           burst.cast("long").alias("burst"))
+    return (per_ev.groupBy("key")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.max("burst").alias("max_burst"),
+                 F.sum((F.col("burst") > burst_threshold).cast("long"))
+                 .alias("n_burst_events"))
+            .withColumn("is_abusive",
+                        (F.col("max_burst") > burst_threshold).cast("int")))
+
+
+def rate_burst_sql(events: str, key_expr: str = "user_id",
+                   ts_expr: str = "ts", window_s: int = 60,
+                   burst_threshold: int = 10) -> str:
+    """DuckDB oracle: identical range frame over the second-truncated
+    epoch; final relation ``rb_out``."""
+    return f"""
+rb_ev AS (
+  SELECT {key_expr} AS key,
+         count(*) OVER (PARTITION BY {key_expr}
+                        ORDER BY epoch(date_trunc('second', {ts_expr}))::BIGINT
+                        RANGE BETWEEN {window_s - 1} PRECEDING
+                              AND CURRENT ROW)::BIGINT AS burst
+  FROM {events}),
+rb_out AS (
+  SELECT key, count(*)::BIGINT AS n_events,
+         max(burst)::BIGINT AS max_burst,
+         sum((burst > {burst_threshold})::BIGINT)::BIGINT AS n_burst_events,
+         (max(burst) > {burst_threshold})::INT AS is_abusive
+  FROM rb_ev GROUP BY key)"""

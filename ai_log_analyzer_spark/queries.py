@@ -30,6 +30,7 @@ from .functions import collocations as CL
 from .functions import dedup as D
 from .functions import encodings as EN
 from .functions import graph as G
+from .functions import netenrich as NE
 from .functions import ranking as RK
 from .functions import robots as RB
 from .functions import sampling as SA
@@ -4780,3 +4781,34 @@ def length_ks_gate(spark, sf_dir):
     (functions/sampling.length_ks_stats)."""
     docs = _t(spark, sf_dir, "documents")
     return SA.length_ks_stats(docs)
+
+
+@q("cidr_enrich", """
+WITH """ + NE.cidr_enrich_sql("events") + """
+SELECT * FROM cidr_out
+""")
+def cidr_enrich(spark, sf_dir):
+    """GeoIP/ASN-style longest-prefix CIDR enrichment of the event
+    stream: three broadcast equi-joins on masked network keys (/24 →
+    /16 → /8) + COALESCE precedence — the relational form of the
+    per-row trie lookup; the event side never shuffles until the final
+    bounded groupBy(block_label).  Frozen deterministic dimension so
+    the oracle embeds identical literals
+    (functions/netenrich.cidr_enrich_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return NE.cidr_enrich_stats(ev)
+
+
+@q("rate_burst_flags", """
+WITH """ + TP.rate_burst_sql("events", window_s=86400,
+                             burst_threshold=8) + """
+SELECT * FROM rb_out
+""")
+def rate_burst_flags(spark, sf_dir):
+    """Trailing-window rate-limit screening over the events telemetry:
+    per-event trailing-24h burst count via ONE range-frame window
+    (two-pointer pass per sorted key run — no self-join, no candidate
+    explosion), folded to per-key max burst + abuse flag
+    (functions/temporal.rate_burst_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.rate_burst_stats(ev, window_s=86400, burst_threshold=8)

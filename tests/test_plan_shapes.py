@@ -499,3 +499,31 @@ def test_chi2_rank_is_two_phase(spark):
     # the rank filter prunes before the exchange, gravy on top of the
     # two-phase shape
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_cidr_enrich_is_broadcast_only(spark):
+    """Longest-prefix CIDR enrichment must never sort-merge: all three
+    dimension joins broadcast, the event stream's only exchange is the
+    final bounded groupBy(label), and no Python worker appears."""
+    from ai_log_analyzer_spark.functions import netenrich as NE
+    ev = spark.range(64).select(F.col("id").alias("event_id"),
+                                F.col("id").alias("user_id"))
+    plan = _plan(NE.cidr_enrich_stats(ev))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_rate_burst_single_exchange(spark):
+    """The trailing-window burst screen reuses ONE hash exchange on the
+    key for both the range frame and the per-key fold — no second
+    shuffle, no single-partition window, no Python."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + i * 7, i % 4) for i in range(32)],
+        "event_id long, es long, user_id long") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"), "user_id")
+    plan = _plan(TP.rate_burst_stats(ev))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -923,3 +923,66 @@ def test_length_ks_single_group_is_zero(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     out = SA.length_ks_stats(df).collect()
     assert len(out) == 1 and out[0].ks_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# cidr_enrich_stats (longest-prefix network enrichment)
+# ---------------------------------------------------------------------------
+
+def test_cidr_longest_prefix_precedence(spark):
+    from ai_log_analyzer_spark.functions import netenrich as NE
+    # hand-built ips at every depth: /24 (10.1.2.5), nested /16 (10.3.9.9),
+    # /8-only (172.20.1.1), unmatched (8.8.8.8)
+    def ip(a, b, c, d):
+        return (a << 24) | (b << 16) | (c << 8) | d
+    rows = [(1, ip(10, 1, 2, 5)), (2, ip(10, 3, 9, 9)),
+            (3, ip(172, 20, 1, 1)), (4, ip(8, 8, 8, 8)),
+            (5, ip(10, 1, 2, 200))]                      # same /24 as row 1
+    ev = spark.createDataFrame(rows, "event_id long, ip long") \
+        .withColumn("user_id", F.col("event_id"))
+    out = {r.block_label: r for r in NE.cidr_enrich_stats(
+        ev.withColumn("_fixed_ip", F.col("ip")),
+        ip_col="_fixed_ip").collect()}
+    assert out["dc-2"].prefix_len == 24 and out["dc-2"].n_events == 2
+    assert out["region-3"].prefix_len == 16
+    assert out["net-172"].prefix_len == 8
+    assert out["unmatched"].prefix_len == 0
+
+
+def test_cidr_synthetic_ip_hits_all_depths(spark):
+    from ai_log_analyzer_spark.functions import netenrich as NE
+    ev = spark.range(400).select(
+        F.col("id").alias("event_id"), F.col("id").alias("user_id"))
+    out = NE.cidr_enrich_stats(ev).collect()
+    depths = {r.prefix_len for r in out}
+    assert depths == {24, 16, 8, 0}
+    assert sum(r.n_events for r in out) == 400
+
+
+# ---------------------------------------------------------------------------
+# rate_burst_stats (trailing-window rate-limit screening)
+# ---------------------------------------------------------------------------
+
+def test_rate_burst_flags_hot_key_only(spark):
+    from ai_log_analyzer_spark.functions import temporal as TP
+    base = 1_700_000_000
+    rows = ([(i, base + i, 1) for i in range(6)] +          # 6 events in 6s: burst
+            [(100 + i, base + i * 3600, 2) for i in range(6)])  # 1/hour: calm
+    ev = spark.createDataFrame(rows, "event_id long, es long, user_id long") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"), "user_id")
+    out = {r.key: r for r in TP.rate_burst_stats(
+        ev, window_s=60, burst_threshold=4).collect()}
+    assert out[1].max_burst == 6 and out[1].is_abusive == 1
+    assert out[1].n_burst_events == 2                        # 5th and 6th events
+    assert out[2].max_burst == 1 and out[2].is_abusive == 0
+
+
+def test_rate_burst_window_boundary_closed(spark):
+    from ai_log_analyzer_spark.functions import temporal as TP
+    base = 1_700_000_000
+    # window_s=10 → frame [-9, 0]: event at +9 sees both, event at +10 doesn't
+    rows = [(1, base, 1), (2, base + 9, 1), (3, base + 10, 1)]
+    ev = spark.createDataFrame(rows, "event_id long, es long, user_id long") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"), "user_id")
+    out = TP.rate_burst_stats(ev, window_s=10, burst_threshold=1).collect()[0]
+    assert out.max_burst == 2
