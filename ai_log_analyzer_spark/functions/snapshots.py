@@ -154,3 +154,125 @@ scd2 AS (
                                 ORDER BY version_no) IS NULL AS is_current,
          n_obs
   FROM vers)"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier page-version survival: HOW LONG does a page version live
+# before its content changes?  The recrawl-interval policy question —
+# freshness_decay assumes an exponential lifetime; the KM estimator
+# MEASURES the lifetime distribution nonparametrically, censoring
+# correctly: a version still current at the last observation hasn't
+# died, it's censored, and dropping (or death-counting) those rows
+# biases the curve toward fast-changing pages (Cho & Garcia-Molina
+# 2003 studied exactly this on crawl data).
+#
+# Scale shape: version lifetimes come from scd2_versions (windows
+# partitioned by page key), the censor horizon is a same-key groupBy
+# join at page grain, and EVERYTHING after is computed on the bucketed
+# duration GRID — one groupBy(dur_bucket) with map-side partials, then
+# cumulative windows over grid rows only (the percentile_gate /
+# length_ks pattern: never a window over corpus rows).  Risk sets and
+# death counts are exact integers; the survival product is the one
+# float, computed as exp(Σ ln((n−d)/n)) over the grid in bucket order
+# and rounded to 6 dp (IEEE-identical in both engines at that grid).
+
+
+def km_survival(obs: DataFrame, key_col: str = "page_key",
+                ts_col: str = "snap_ts", fp_col: str = "fp",
+                bucket_s: int = 86400) -> DataFrame:
+    """(dur_bucket, n_at_risk, n_died, n_censored, survival) — the
+    Kaplan-Meier estimate of version lifetime, bucketed to
+    ``bucket_s`` seconds.
+
+    A non-current version dies at ``valid_to`` (duration = valid_to −
+    valid_from); the current version is right-censored at the page's
+    last observation.  At each bucket t: n_at_risk = versions with
+    duration ≥ t (deaths AND same-bucket censorings stay in the risk
+    set — the standard tie convention), and
+
+        S(t) = Π_{u ≤ t} (n_at_risk(u) − n_died(u)) / n_at_risk(u)
+
+    S hits exactly 0.0 when a bucket kills its whole risk set."""
+    vers = scd2_versions(obs, key_col, ts_col, fp_col)
+    last = (obs.groupBy(F.col(key_col).alias("page_key"))
+            .agg(F.max(ts_col).alias("_last")))
+    sec = lambda c: F.unix_timestamp(F.col(c)).cast("long")
+    v = (vers.join(last, "page_key")
+         .select(F.when(F.col("is_current"), 0).otherwise(1)
+                 .cast("long").alias("died"),
+                 (F.when(F.col("is_current"), sec("_last"))
+                  .otherwise(sec("valid_to")) - sec("valid_from"))
+                 .alias("dur_s"))
+         .withColumn("dur_bucket",
+                     F.expr(f"dur_s div {bucket_s}").cast("long")))
+    g = (v.groupBy("dur_bucket")
+         .agg(F.sum("died").cast("long").alias("n_died"),
+              F.count("*").cast("long").alias("_n")))
+    tot = g.agg(F.sum("_n").cast("long").alias("_tot"))
+    w_prev = (Window.orderBy("dur_bucket")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.orderBy("dur_bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    # grid-only windows: unpartitioned by design, bounded by the
+    # distinct-duration-bucket count, never corpus rows
+    risk = (g.crossJoin(F.broadcast(tot))
+            .withColumn("n_at_risk",
+                        (F.col("_tot")
+                         - F.coalesce(F.sum("_n").over(w_prev), F.lit(0)))
+                        .cast("long"))
+            .withColumn("_f", (F.col("n_at_risk") - F.col("n_died"))
+                        / F.col("n_at_risk")))
+    surv = (risk
+            .withColumn("_dead", F.max((F.col("_f") == 0).cast("int"))
+                        .over(w_cum))
+            .withColumn("_lnsum", F.sum(
+                F.when(F.col("_f") > 0, F.log("_f")).otherwise(F.lit(0.0)))
+                .over(w_cum)))
+    return (surv.select(
+        "dur_bucket", "n_at_risk", "n_died",
+        (F.col("_n") - F.col("n_died")).cast("long").alias("n_censored"),
+        F.round(F.when(F.col("_dead") == 1, F.lit(0.0))
+                .otherwise(F.exp("_lnsum")), 6).alias("survival")))
+
+
+def km_survival_sql(obs_cte: str, bucket_s: int = 86400) -> str:
+    """DuckDB oracle continuing from an ``obs_cte`` relation
+    (page_key, snap_ts, fp): identical scd2 chain, censor horizon,
+    integer risk sets and exp-sum-ln survival; final relation
+    ``km_out``."""
+    return f"""{scd2_versions_sql(obs_cte)},
+km_last AS (
+  SELECT page_key, max(snap_ts) AS _last FROM {obs_cte} GROUP BY 1),
+km_v AS (
+  SELECT (CASE WHEN s.is_current THEN 0 ELSE 1 END)::BIGINT AS died,
+         ((CASE WHEN s.is_current
+                THEN epoch(date_trunc('second', l._last))
+                ELSE epoch(date_trunc('second', s.valid_to)) END)::BIGINT
+          - epoch(date_trunc('second', s.valid_from))::BIGINT)
+           // {bucket_s} AS dur_bucket
+  FROM scd2 s JOIN km_last l USING (page_key)),
+km_g AS (
+  SELECT dur_bucket, sum(died)::BIGINT AS n_died,
+         count(*)::BIGINT AS _n
+  FROM km_v GROUP BY 1),
+km_r AS (
+  SELECT dur_bucket, n_died, _n,
+         ((SELECT sum(_n) FROM km_g)
+          - coalesce(sum(_n) OVER (ORDER BY dur_bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0))::BIGINT
+           AS n_at_risk
+  FROM km_g),
+km_out AS (
+  SELECT dur_bucket, n_at_risk, n_died,
+         (_n - n_died)::BIGINT AS n_censored,
+         round(CASE WHEN max((n_at_risk = n_died)::INT)
+                          OVER wc = 1 THEN 0.0
+               ELSE exp(sum(CASE WHEN n_at_risk > n_died
+                                 THEN ln((n_at_risk - n_died)::DOUBLE
+                                         / n_at_risk)
+                                 ELSE 0.0 END) OVER wc) END, 6)
+           AS survival
+  FROM km_r
+  WINDOW wc AS (ORDER BY dur_bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""

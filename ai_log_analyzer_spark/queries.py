@@ -4812,3 +4812,25 @@ def rate_burst_flags(spark, sf_dir):
     (functions/temporal.rate_burst_stats)."""
     ev = _t(spark, sf_dir, "events")
     return TP.rate_burst_stats(ev, window_s=86400, burst_threshold=8)
+
+
+@q("km_survival_curve", """
+WITH obs AS (
+  SELECT user_id AS page_key, ts AS snap_ts, event_type AS fp
+  FROM events),
+""" + SN.km_survival_sql("obs", bucket_s=21600) + """
+SELECT * FROM km_out
+""")
+def km_survival_curve(spark, sf_dir):
+    """Kaplan-Meier survival curve of page-version lifetimes (6-hour
+    buckets) over the SCD2 version history — the measured lifetime
+    distribution that recrawl policy should use where freshness_decay
+    ASSUMES an exponential one; current versions are right-censored at
+    the page's last observation, never death-counted.  Risk sets and
+    death counts are exact integers; cumulative windows run over the
+    duration-bucket grid only (functions/snapshots.km_survival)."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(F.col("user_id").alias("page_key"),
+                    F.col("ts").alias("snap_ts"),
+                    F.col("event_type").alias("fp"))
+    return SN.km_survival(obs, bucket_s=21600)

@@ -986,3 +986,49 @@ def test_rate_burst_window_boundary_closed(spark):
         .select("event_id", F.timestamp_seconds("es").alias("ts"), "user_id")
     out = TP.rate_burst_stats(ev, window_s=10, burst_threshold=1).collect()[0]
     assert out.max_burst == 2
+
+
+# ---------------------------------------------------------------------------
+
+def test_km_survival_hand_computed(spark):
+    """4 pages, bucket=50s: hand-derived risk sets, censoring, and the
+    exact-zero tail when the last bucket kills its whole risk set."""
+    from ai_log_analyzer_spark.functions import snapshots as SN
+    rows = [
+        ("A", 0, "x"), ("A", 100, "y"), ("A", 200, "y"),
+        ("B", 0, "x"),
+        ("C", 0, "x"), ("C", 50, "y"), ("C", 60, "z"),
+        ("D", 0, "w"), ("D", 500, "v"),
+    ]
+    obs = spark.createDataFrame(rows, "page_key string, es long, fp string") \
+        .select("page_key", F.timestamp_seconds("es").alias("snap_ts"), "fp")
+    out = {r.dur_bucket: r for r in
+           SN.km_survival(obs, bucket_s=50).collect()}
+    # versions: A:(x died 100)(y cens 100)  B:(x cens 0)
+    #           C:(x died 50)(y died 10)(z cens 0)  D:(w died 500)(v cens 0)
+    assert set(out) == {0, 1, 2, 10}
+    b0 = out[0]          # C.y dies; B.x, C.z, D.v censored
+    assert (b0.n_at_risk, b0.n_died, b0.n_censored) == (8, 1, 3)
+    assert b0.survival == pytest.approx(0.875)
+    b1 = out[1]          # C.x dies at risk set 4
+    assert (b1.n_at_risk, b1.n_died) == (4, 1)
+    assert b1.survival == pytest.approx(0.65625)
+    b2 = out[2]          # A.x dies, A.y censored, risk set 3
+    assert (b2.n_at_risk, b2.n_died, b2.n_censored) == (3, 1, 1)
+    assert b2.survival == pytest.approx(0.4375)
+    b10 = out[10]        # D.w kills the whole remaining risk set
+    assert (b10.n_at_risk, b10.n_died) == (1, 1)
+    assert b10.survival == 0.0
+
+
+def test_km_survival_censored_never_counted_as_death(spark):
+    """All-current pages (single observation each) → zero deaths, S=1."""
+    from ai_log_analyzer_spark.functions import snapshots as SN
+    rows = [(f"p{i}", 0, "x") for i in range(5)]
+    obs = spark.createDataFrame(rows, "page_key string, es long, fp string") \
+        .select("page_key", F.timestamp_seconds("es").alias("snap_ts"), "fp")
+    out = SN.km_survival(obs, bucket_s=60).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.dur_bucket, r.n_died, r.n_censored) == (0, 0, 5)
+    assert r.survival == pytest.approx(1.0)
