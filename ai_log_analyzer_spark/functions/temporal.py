@@ -328,3 +328,101 @@ rb_out AS (
          sum((burst > {burst_threshold})::BIGINT)::BIGINT AS n_burst_events,
          (max(burst) > {burst_threshold})::INT AS is_abusive
   FROM rb_ev GROUP BY key)"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered multi-step funnel: of the users who did step 1, how many went
+# on to do step 2 strictly later, then step 3 strictly after that — the
+# canonical product/telemetry conversion query every log-analytics
+# engine ships.  Greedy earliest-match is exact here (exchange
+# argument: if ANY in-order assignment of events to steps exists, the
+# one that takes the earliest qualifying event at each step exists
+# too), so the per-user answer is a single fold over the user's
+# time-sorted events.
+#
+# Scale shape: ONE hash exchange on the user key (groupBy collect_list
+# of only the funnel-relevant events — the isin filter prunes the rest
+# at the scan), the fold is a JVM higher-order `aggregate` over each
+# user's sorted array (no Python, no per-step join round-trips, no
+# k-fold re-shuffle), and the stage table is produced by a single
+# conditional-sum aggregation — grid-sized output, k rows.  A user's
+# array is bounded by their own funnel-event count; a runaway hot key
+# (bot) is exactly what rate_burst_stats screens upstream.
+
+
+def funnel_stages(events: DataFrame, steps: tuple[str, ...] = (),
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """(stage_no, step, n_users, conv_ppm) — users reaching each funnel
+    stage in strict event-time order, with exact-integer conversion
+    ppm relative to stage 1.  Ties at the same second do NOT advance
+    the funnel (strict >): second-truncated timestamps keep both
+    engines' comparisons identical."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    k = len(steps)
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rel = (events.where(F.col(type_col).isin(list(steps)))
+           .select(F.col(key_col).alias("key"), sec.alias("t"),
+                   F.col(type_col).alias("e")))
+    per = (rel.groupBy("key")
+           .agg(F.sort_array(F.collect_list(F.struct("t", "e")))
+                .alias("seq")))
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(F.lit(0).cast("int").alias("stage"),
+                    F.lit(-(1 << 62)).cast("long").alias("t"))
+    def _merge(acc, x):
+        nxt = F.element_at(steps_arr, acc["stage"] + 1)
+        adv = ((acc["stage"] < k) & (x["e"] == nxt) & (x["t"] > acc["t"]))
+        return F.when(adv, F.struct((acc["stage"] + 1).cast("int")
+                                    .alias("stage"),
+                                    x["t"].alias("t"))).otherwise(acc)
+    reached = per.select(F.aggregate("seq", init, _merge)["stage"]
+                         .alias("reached"))
+    agg = reached.agg(*[F.sum((F.col("reached") >= i).cast("long"))
+                        .alias(f"n{i}") for i in range(1, k + 1)])
+    stack_args = []
+    for i, s in enumerate(steps, start=1):
+        stack_args += [F.lit(i), F.lit(s), F.col(f"n{i}")]
+    return (agg.select(F.stack(F.lit(k), *stack_args)
+                       .alias("stage_no", "step", "n_users"), F.col("n1"))
+            .select(F.col("stage_no").cast("int"), "step",
+                    F.col("n_users").cast("long"),
+                    F.when(F.col("n1") > 0,
+                           F.expr("n_users * 1000000 div n1"))
+                    .otherwise(F.lit(0)).cast("long").alias("conv_ppm")))
+
+
+def funnel_sql(events: str, steps: tuple[str, ...],
+               key_expr: str = "user_id", ts_expr: str = "ts",
+               type_expr: str = "event_type") -> str:
+    """DuckDB oracle: sequential earliest-match CTE chain (t_{i} = min
+    ts of step i strictly after t_{i-1}) — provably the same greedy
+    assignment; final relation ``fn_out``."""
+    t = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    ctes = [f"""fn_ev AS (
+  SELECT {key_expr} AS key, {t} AS t, {type_expr} AS e
+  FROM {events}
+  WHERE {type_expr} IN ({", ".join(f"'{s}'" for s in steps)})),
+fn_1 AS (
+  SELECT key, min(t) AS t1 FROM fn_ev WHERE e = '{steps[0]}' GROUP BY 1)"""]
+    for i in range(2, len(steps) + 1):
+        ctes.append(f"""fn_{i} AS (
+  SELECT e.key, min(e.t) AS t{i}
+  FROM fn_ev e JOIN fn_{i-1} p USING (key)
+  WHERE e.e = '{steps[i-1]}' AND e.t > p.t{i-1} GROUP BY 1)""")
+    rows = ",\n    ".join(
+        f"({i}, '{s}', (SELECT count(*) FROM fn_{i}))"
+        for i, s in enumerate(steps, start=1))
+    return ",\n".join(ctes) + f""",
+fn_n(stage_no, step, n_users) AS (VALUES
+    {rows}),
+fn_out AS (
+  SELECT stage_no::INT AS stage_no, step,
+         n_users::BIGINT AS n_users,
+         (CASE WHEN first_value(n_users)
+                      OVER (ORDER BY stage_no) > 0
+               THEN n_users * 1000000
+                    // first_value(n_users) OVER (ORDER BY stage_no)
+               ELSE 0 END)::BIGINT AS conv_ppm
+  FROM fn_n)"""

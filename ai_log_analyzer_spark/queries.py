@@ -4834,3 +4834,19 @@ def km_survival_curve(spark, sf_dir):
                     F.col("ts").alias("snap_ts"),
                     F.col("event_type").alias("fp"))
     return SN.km_survival(obs, bucket_s=21600)
+
+
+@q("funnel_conversion", """
+WITH """ + TP.funnel_sql("events", ("view", "click", "purchase")) + """
+SELECT * FROM fn_out
+""")
+def funnel_conversion(spark, sf_dir):
+    """Ordered view→click→purchase conversion funnel over the event
+    telemetry: per-user greedy earliest-match fold (exact by the
+    exchange argument) as a JVM higher-order `aggregate` over each
+    user's time-sorted funnel events — ONE user-key exchange, no
+    per-step join rounds; stage table from a single conditional-sum
+    agg, exact-integer conversion ppm
+    (functions/temporal.funnel_stages)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.funnel_stages(ev, ("view", "click", "purchase"))

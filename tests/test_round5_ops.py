@@ -1032,3 +1032,44 @@ def test_km_survival_censored_never_counted_as_death(spark):
     r = out[0]
     assert (r.dur_bucket, r.n_died, r.n_censored) == (0, 0, 5)
     assert r.survival == pytest.approx(1.0)
+
+
+def test_funnel_stages_ordering_ties_and_greedy(spark):
+    """Strict event-time order: pre-step-1 events and same-second ties
+    never advance; greedy earliest-match means a purchase BEFORE the
+    matched click cannot complete the funnel."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    b = 1_700_000_000
+    rows = [
+        (1, b, "view"), (1, b + 1, "click"), (1, b + 2, "purchase"),
+        (2, b, "click"), (2, b + 1, "view"), (2, b + 2, "purchase"),
+        (3, b, "view"), (3, b, "click"),                  # same-second tie
+        (4, b, "view"), (4, b + 1, "purchase"),           # skipped step
+        (5, b, "click"),                                  # never entered
+        (6, b, "view"), (6, b + 5, "purchase"), (6, b + 10, "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, es long, event_type string") \
+        .select("user_id", F.timestamp_seconds("es").alias("ts"), "event_type")
+    out = {r.stage_no: r for r in TP.funnel_stages(
+        ev, ("view", "click", "purchase")).collect()}
+    assert [out[i].step for i in (1, 2, 3)] == ["view", "click", "purchase"]
+    assert out[1].n_users == 5            # users 1,2,3,4,6 did a view
+    assert out[2].n_users == 2            # 1 and 6 clicked strictly later
+    assert out[3].n_users == 1            # only user 1: 6's purchase precedes
+    assert out[1].conv_ppm == 1_000_000
+    assert out[2].conv_ppm == 400_000
+    assert out[3].conv_ppm == 200_000
+
+
+def test_funnel_stages_user2_cannot_reuse_early_purchase(spark):
+    """user 2's purchase AFTER the view but with no later click stays
+    at stage 1 — the funnel demands each step strictly after the last
+    MATCHED step, not merely after step 1."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    b = 1_700_000_000
+    rows = [(2, b, "click"), (2, b + 1, "view"), (2, b + 2, "purchase")]
+    ev = spark.createDataFrame(rows, "user_id long, es long, event_type string") \
+        .select("user_id", F.timestamp_seconds("es").alias("ts"), "event_type")
+    out = {r.stage_no: r.n_users for r in TP.funnel_stages(
+        ev, ("view", "click", "purchase")).collect()}
+    assert out == {1: 1, 2: 0, 3: 0}
