@@ -426,3 +426,68 @@ fn_out AS (
                     // first_value(n_users) OVER (ORDER BY stage_no)
                ELSE 0 END)::BIGINT AS conv_ppm
   FROM fn_n)"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: group users by their FIRST-activity period, then
+# for each (cohort, period-offset) count how many came back — the
+# other canonical telemetry table next to the funnel, and the one
+# product/ops teams read daily.
+#
+# Scale shape: activity collapses to distinct (user, period) FIRST
+# (one exchange, map-side partial distinct — the raw event stream dies
+# at its own scan), the first-activity groupBy and the activity⨝first
+# join both ride the SAME user-key partitioning, and the final
+# (cohort, offset) aggregate is grid-sized.  Cohort sizes are a
+# per-cohort aggregate of the user-grain table, broadcast back onto
+# the grid.  Exact integer ppm; no floats anywhere.
+
+
+def retention_cohorts(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts",
+                      bucket_s: int = 86400) -> DataFrame:
+    """(cohort_period, period_offset, n_active, n_cohort,
+    retention_ppm) — classic triangle retention at ``bucket_s``-second
+    period grain.  cohort_period = the user's first active period
+    (epoch seconds div bucket); retention_ppm is exact-integer
+    n_active·10⁶ div n_cohort, and the offset-0 row is the cohort
+    itself (ppm = 10⁶ by construction)."""
+    act = (events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_timestamp({ts_col}) div {bucket_s}")
+        .cast("long").alias("p")).distinct())
+    first = act.groupBy("key").agg(F.min("p").alias("cohort"))
+    grid = (act.join(first, "key")
+            .groupBy(F.col("cohort").alias("cohort_period"),
+                     (F.col("p") - F.col("cohort")).alias("period_offset"))
+            .agg(F.countDistinct("key").cast("long").alias("n_active")))
+    sizes = (first.groupBy(F.col("cohort").alias("cohort_period"))
+             .agg(F.count("*").cast("long").alias("n_cohort")))
+    return (grid.join(F.broadcast(sizes), "cohort_period")
+            .select("cohort_period", "period_offset", "n_active",
+                    "n_cohort",
+                    F.expr("n_active * 1000000 div n_cohort")
+                    .cast("long").alias("retention_ppm")))
+
+
+def retention_sql(events: str, key_expr: str = "user_id",
+                  ts_expr: str = "ts", bucket_s: int = 86400) -> str:
+    """DuckDB oracle: identical distinct→first→join→grid chain; final
+    relation ``rt_out``."""
+    p = f"epoch(date_trunc('second', {ts_expr}))::BIGINT // {bucket_s}"
+    return f"""
+rt_act AS (
+  SELECT DISTINCT {key_expr} AS key, {p} AS p FROM {events}),
+rt_first AS (
+  SELECT key, min(p) AS cohort FROM rt_act GROUP BY 1),
+rt_sizes AS (
+  SELECT cohort AS cohort_period, count(*)::BIGINT AS n_cohort
+  FROM rt_first GROUP BY 1),
+rt_grid AS (
+  SELECT f.cohort AS cohort_period, a.p - f.cohort AS period_offset,
+         count(DISTINCT a.key)::BIGINT AS n_active
+  FROM rt_act a JOIN rt_first f USING (key) GROUP BY 1, 2),
+rt_out AS (
+  SELECT g.cohort_period, g.period_offset, g.n_active, s.n_cohort,
+         (g.n_active * 1000000 // s.n_cohort)::BIGINT AS retention_ppm
+  FROM rt_grid g JOIN rt_sizes s USING (cohort_period))"""

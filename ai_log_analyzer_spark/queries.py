@@ -4850,3 +4850,18 @@ def funnel_conversion(spark, sf_dir):
     (functions/temporal.funnel_stages)."""
     ev = _t(spark, sf_dir, "events")
     return TP.funnel_stages(ev, ("view", "click", "purchase"))
+
+
+@q("retention_triangle", """
+WITH """ + TP.retention_sql("events", bucket_s=86400) + """
+SELECT * FROM rt_out
+""")
+def retention_triangle(spark, sf_dir):
+    """Daily cohort-retention triangle over the event telemetry: users
+    grouped by first-active day, per (cohort, day-offset) comeback
+    counts with exact-integer retention ppm.  The raw stream dies at
+    its own scan (distinct (user, period) first); the first-activity
+    agg and the activity join share one user-key exchange; the output
+    is grid-sized (functions/temporal.retention_cohorts)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.retention_cohorts(ev, bucket_s=86400)

@@ -1073,3 +1073,31 @@ def test_funnel_stages_user2_cannot_reuse_early_purchase(spark):
     out = {r.stage_no: r.n_users for r in TP.funnel_stages(
         ev, ("view", "click", "purchase")).collect()}
     assert out == {1: 1, 2: 0, 3: 0}
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """Two cohorts with churn and a comeback gap: day-0 rows are the
+    cohorts themselves; a user inactive on day 1 but back on day 2
+    counts in offset 2, not offset 1."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    d = 86400
+    rows = [
+        # cohort day 0: users 1,2,3
+        (1, 0), (1, d), (1, 2 * d),
+        (2, 10), (2, 2 * d + 5),            # skips day 1, returns day 2
+        (3, 20),                            # churns after day 0
+        # cohort day 1: user 4
+        (4, d + 7), (4, 2 * d + 9),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, es long") \
+        .select("user_id", F.timestamp_seconds("es").alias("ts"))
+    out = {(r.cohort_period, r.period_offset): r
+           for r in TP.retention_cohorts(ev, bucket_s=d).collect()}
+    assert out[(0, 0)].n_active == 3 and out[(0, 0)].retention_ppm == 1_000_000
+    assert out[(0, 1)].n_active == 1            # only user 1
+    assert out[(0, 1)].retention_ppm == 333_333  # exact integer div
+    assert out[(0, 2)].n_active == 2            # users 1 and 2
+    assert out[(0, 2)].retention_ppm == 666_666
+    assert out[(1, 0)].n_active == 1 and out[(1, 0)].n_cohort == 1
+    assert out[(1, 1)].n_active == 1
+    assert set(out) == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 1)}
