@@ -491,3 +491,86 @@ rt_out AS (
   SELECT g.cohort_period, g.period_offset, g.n_active, s.n_cohort,
          (g.n_active * 1000000 // s.n_cohort)::BIGINT AS retention_ppm
   FROM rt_grid g JOIN rt_sizes s USING (cohort_period))"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive deviation screening: flag (type, day, hour) cells
+# whose event count deviates from that type's hour-of-day baseline —
+# the calendar-seasonality anomaly screen (traffic has a daily shape;
+# "3× the usual 4 a.m. rate" is an incident even when the absolute
+# count is small).  Complements rate_burst_stats (trailing-window
+# volume) and interarrival_stats (per-key gap regularity): this one
+# conditions on the clock.
+#
+# Scale shape: the raw stream dies at ONE groupBy onto the
+# (type, day, hour) grid — bounded by types × days × 24, orders of
+# magnitude below the event count; the baseline is an agg OF the grid
+# keyed on (type, hour) (≤ types × 24 rows, broadcast back), and the
+# expected rate treats absent grid cells as zero days by dividing by
+# the GLOBAL observed-day count, not the cell count.  Exact integer
+# ppm ratio; baseline includes the flagged cell (plain seasonal-naive,
+# documented — leave-one-out would subtract the cell from both lanes).
+
+
+def seasonal_deviation(events: DataFrame, type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       spike_ppm: int = 3_000_000) -> DataFrame:
+    """(event_type, day, hour_of_day, n_events, baseline_total, n_days,
+    ratio_ppm, is_spike) — per-hour counts vs the type's hour-of-day
+    mean across all observed days.
+
+        ratio_ppm = n_events · n_days · 10⁶ div baseline_total
+        is_spike  = ratio_ppm > spike_ppm  (3× baseline by default)
+
+    baseline_total = Σ over days of that (type, hour)'s counts; n_days
+    is the global distinct-day count, so days where the cell was
+    silent weigh the baseline down exactly as zeros."""
+    cells = (events.select(F.col(type_col).alias("event_type"),
+                           F.expr(f"unix_timestamp({ts_col}) div 86400")
+                           .cast("long").alias("day"),
+                           F.expr(f"(unix_timestamp({ts_col}) div 3600) % 24")
+                           .cast("int").alias("hour_of_day"))
+             .groupBy("event_type", "day", "hour_of_day")
+             .agg(F.count("*").cast("long").alias("n_events")))
+    base = (cells.groupBy("event_type", "hour_of_day")
+            .agg(F.sum("n_events").cast("long").alias("baseline_total")))
+    ndays = cells.select("day").distinct() \
+        .agg(F.count("*").cast("long").alias("n_days"))
+    return (cells.join(F.broadcast(base), ["event_type", "hour_of_day"])
+            .crossJoin(F.broadcast(ndays))
+            .withColumn("ratio_ppm",
+                        F.expr("n_events * n_days * 1000000"
+                               " div baseline_total").cast("long"))
+            .withColumn("is_spike",
+                        (F.col("ratio_ppm") > spike_ppm).cast("int"))
+            .select("event_type", "day", "hour_of_day", "n_events",
+                    "baseline_total", "n_days", "ratio_ppm", "is_spike"))
+
+
+def seasonal_deviation_sql(events: str, type_expr: str = "event_type",
+                           ts_expr: str = "ts",
+                           spike_ppm: int = 3_000_000) -> str:
+    """DuckDB oracle: identical grid → baseline → ratio chain; final
+    relation ``sd_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+sd_cells AS (
+  SELECT {type_expr} AS event_type, {sec} // 86400 AS day,
+         (({sec} // 3600) % 24)::INT AS hour_of_day,
+         count(*)::BIGINT AS n_events
+  FROM {events} GROUP BY 1, 2, 3),
+sd_base AS (
+  SELECT event_type, hour_of_day,
+         sum(n_events)::BIGINT AS baseline_total
+  FROM sd_cells GROUP BY 1, 2),
+sd_days AS (SELECT count(DISTINCT day)::BIGINT AS n_days FROM sd_cells),
+sd_out AS (
+  SELECT c.event_type, c.day, c.hour_of_day, c.n_events,
+         b.baseline_total, d.n_days,
+         (c.n_events * d.n_days * 1000000 // b.baseline_total)::BIGINT
+           AS ratio_ppm,
+         ((c.n_events * d.n_days * 1000000 // b.baseline_total)
+            > {spike_ppm})::INT AS is_spike
+  FROM sd_cells c
+  JOIN sd_base b USING (event_type, hour_of_day)
+  CROSS JOIN sd_days d)"""

@@ -4865,3 +4865,18 @@ def retention_triangle(spark, sf_dir):
     is grid-sized (functions/temporal.retention_cohorts)."""
     ev = _t(spark, sf_dir, "events")
     return TP.retention_cohorts(ev, bucket_s=86400)
+
+
+@q("seasonal_spikes", """
+WITH """ + TP.seasonal_deviation_sql("events") + """
+SELECT * FROM sd_out
+""")
+def seasonal_spikes(spark, sf_dir):
+    """Seasonal-naive anomaly screen over the event telemetry: each
+    (type, day, hour) cell's count vs that type's hour-of-day baseline
+    across all observed days (absent cells weigh as zero days), flagged
+    above 3x in exact-integer ppm.  The raw stream dies at one groupBy
+    onto the bounded calendar grid; the baseline is an agg OF the grid,
+    broadcast back (functions/temporal.seasonal_deviation)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.seasonal_deviation(ev)

@@ -1101,3 +1101,23 @@ def test_retention_cohorts_hand_computed(spark):
     assert out[(1, 0)].n_active == 1 and out[(1, 0)].n_cohort == 1
     assert out[(1, 1)].n_active == 1
     assert set(out) == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 1)}
+
+
+def test_seasonal_deviation_hand_computed(spark):
+    """Absent cells weigh the baseline as zero days: a type that fired
+    8 events in hour 1 of day 0 and none on day 1 reads 2x its
+    hour-1 baseline on day 0."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    rows = ([(i, 0 * 86400 + 0 * 3600 + i, "a") for i in range(2)]
+            + [(10 + i, 1 * 86400 + 0 * 3600 + i, "a") for i in range(2)]
+            + [(20 + i, 0 * 86400 + 1 * 3600 + i, "a") for i in range(8)])
+    ev = spark.createDataFrame(rows, "event_id long, es long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"), "event_type")
+    out = {(r.day, r.hour_of_day): r for r in
+           TP.seasonal_deviation(ev, spike_ppm=1_500_000).collect()}
+    assert out[(0, 0)].ratio_ppm == 1_000_000      # 2 ev, baseline 4/2 days
+    assert out[(1, 0)].ratio_ppm == 1_000_000
+    r = out[(0, 1)]                                 # 8 ev, baseline 8/2 days
+    assert (r.n_events, r.baseline_total, r.n_days) == (8, 8, 2)
+    assert r.ratio_ppm == 2_000_000 and r.is_spike == 1
+    assert out[(0, 0)].is_spike == 0
