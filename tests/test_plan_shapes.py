@@ -527,3 +527,72 @@ def test_rate_burst_single_exchange(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_funnel_one_user_exchange_no_python(spark):
+    """The funnel fold is a JVM higher-order aggregate over each user's
+    sorted array: one user-key exchange for the collect_list, the stage
+    table from a single conditional-sum agg — no per-step join rounds,
+    no Python workers."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + i * 11, i % 5,
+          ["view", "click", "purchase"][i % 3]) for i in range(30)],
+        "event_id long, es long, user_id long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "user_id", "event_type")
+    plan = _plan(TP.funnel_stages(ev, ("view", "click", "purchase")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_retention_sizes_join_is_broadcast(spark):
+    """Retention's cohort-size restore must broadcast (cohort grid ≪
+    corpus) and the raw stream must die at the distinct — no
+    single-partition exchange anywhere."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + (i % 9) * 86400 + i, i % 6)
+         for i in range(54)],
+        "event_id long, es long, user_id long") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"), "user_id")
+    plan = _plan(TP.retention_cohorts(ev))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_seasonal_deviation_grid_joins_are_broadcast(spark):
+    """Both baseline and day-count restores broadcast onto the calendar
+    grid; no sort-merge join, no Python."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + (i % 5) * 86400 + (i % 24) * 3600, "t%d" % (i % 3))
+         for i in range(60)],
+        "event_id long, es long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"), "event_type")
+    plan = _plan(TP.seasonal_deviation(ev))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_km_survival_windows_only_on_grid(spark):
+    """KM's cumulative windows run on the bucketed duration GRID (after
+    the groupBy), never over version rows: the single-partition
+    exchange must consume a grid-sized aggregate, and the version-grain
+    stages stay hash-partitioned by page key."""
+    from ai_log_analyzer_spark.functions import snapshots as SN
+    obs = spark.createDataFrame(
+        [(f"p{i % 7}", 1_700_000_000 + i * 3600, f"f{i % 3}")
+         for i in range(42)],
+        "page_key string, es long, fp string") \
+        .select("page_key", F.timestamp_seconds("es").alias("snap_ts"), "fp")
+    plan = _plan(SN.km_survival(obs, bucket_s=3600))
+    # grid windows exist (SinglePartition) but only downstream of the
+    # dur_bucket aggregate — assert the version table's key windows
+    # stayed partitioned and no Python appeared
+    assert "hashpartitioning(page_key" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
