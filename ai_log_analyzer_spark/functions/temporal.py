@@ -574,3 +574,364 @@ sd_out AS (
   FROM sd_cells c
   JOIN sd_base b USING (event_type, hour_of_day)
   CROSS JOIN sd_days d)"""
+
+
+# ---------------------------------------------------------------------------
+# Alert-episode collapsing (alert dedup with a cooldown): consecutive
+# identical alerts from the same source within ``cooldown_s`` are ONE
+# episode — the fatigue-reduction primitive every on-call pipeline
+# (Elastalert's realert, PagerDuty's alert grouping) applies between
+# the detector and the pager.  Implemented as sessionization of the
+# (key, type) stream: lag gap → episode-start flag → running-sum
+# episode id — the standard gaps-and-islands plan.
+#
+# Scale shape: ONE hash exchange on (key, type) shared by the lag
+# window, the episode-id running sum, and BOTH downstream groupBys
+# (their keys are supersets of the partition keys, so HashPartitioning
+# already satisfies their clustering — no further exchange).  Equal-
+# second ties need no tie-breaker: the start flag depends only on the
+# multiset of second values, so any tie order yields identical
+# episodes.  Hot keys cost O(their events), not O(events²).
+
+
+def alert_episodes(events: DataFrame, key_col: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   cooldown_s: int = 3600) -> DataFrame:
+    """(key, event_type, n_events, n_episodes, max_episode_events,
+    suppression_ppm) — repeated identical alerts collapsed into
+    episodes separated by gaps > ``cooldown_s``; suppression_ppm is
+    the exact-integer fraction of events a dedup'd pager would NOT
+    send: (n_events - n_episodes) · 10⁶ div n_events."""
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rel = events.select(F.col(key_col).alias("key"),
+                        F.col(type_col).alias("event_type"),
+                        sec.alias("t"))
+    w = Window.partitionBy("key", "event_type").orderBy("t")
+    gap = F.col("t") - F.lag("t").over(w)
+    starts = rel.withColumn(
+        "is_start",
+        (gap.isNull() | (gap > cooldown_s)).cast("long"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eps = starts.withColumn("episode_no", F.sum("is_start").over(wrun))
+    per_ep = (eps.groupBy("key", "event_type", "episode_no")
+              .agg(F.count("*").cast("long").alias("ep_events")))
+    return (per_ep.groupBy("key", "event_type")
+            .agg(F.sum("ep_events").cast("long").alias("n_events"),
+                 F.count("*").cast("long").alias("n_episodes"),
+                 F.max("ep_events").cast("long")
+                 .alias("max_episode_events"))
+            .withColumn("suppression_ppm",
+                        F.expr("(n_events - n_episodes) * 1000000"
+                               " div n_events").cast("long")))
+
+
+def alert_episodes_sql(events: str, key_expr: str = "user_id",
+                       type_expr: str = "event_type",
+                       ts_expr: str = "ts",
+                       cooldown_s: int = 3600) -> str:
+    """DuckDB oracle: identical gaps-and-islands chain; final relation
+    ``ae_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+ae_rel AS (
+  SELECT {key_expr} AS key, {type_expr} AS event_type, {sec} AS t
+  FROM {events}),
+ae_flag AS (
+  SELECT key, event_type, t,
+         (CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w > {cooldown_s}
+               THEN 1 ELSE 0 END)::BIGINT AS is_start
+  FROM ae_rel
+  WINDOW w AS (PARTITION BY key, event_type ORDER BY t)),
+ae_eps AS (
+  SELECT key, event_type,
+         sum(is_start) OVER (PARTITION BY key, event_type ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS episode_no
+  FROM ae_flag),
+ae_per AS (
+  SELECT key, event_type, episode_no, count(*)::BIGINT AS ep_events
+  FROM ae_eps GROUP BY 1, 2, 3),
+ae_out AS (
+  SELECT key, event_type,
+         sum(ep_events)::BIGINT AS n_events,
+         count(*)::BIGINT AS n_episodes,
+         max(ep_events)::BIGINT AS max_episode_events,
+         ((sum(ep_events) - count(*)) * 1000000
+            // sum(ep_events))::BIGINT AS suppression_ppm
+  FROM ae_per GROUP BY 1, 2)"""
+
+
+# ---------------------------------------------------------------------------
+# Template-transition rarity (the relational core of DeepLog, Du et
+# al. CCS 2017): model the per-source stream of template/event types
+# as a first-order Markov chain, then flag transitions whose observed
+# probability is far below their predecessor's norm — "a reboot
+# followed by a checkpoint-load is normal; a reboot followed by a
+# payment event is an incident".  The LSTM in the paper is the
+# sequence model; the screen every production deployment runs first is
+# exactly this count-based transition table.
+#
+# Scale shape: ONE hash exchange on the source key for the lag window
+# (tie-broken on event_id so both engines see identical pairs), then
+# the stream dies at a groupBy onto the (prev, next) transition grid —
+# bounded by (#types)², orders of magnitude below the event count.
+# Row totals are an agg OF the grid, broadcast back.  Exact integer
+# ppm; min-support guard keeps one-off predecessors from flagging.
+
+
+def template_transitions(events: DataFrame, key_col: str = "user_id",
+                         type_col: str = "event_type",
+                         ts_col: str = "ts", id_col: str = "event_id",
+                         rare_ppm: int = 20_000,
+                         min_prev: int = 20) -> DataFrame:
+    """(prev_e, e, n_trans, prev_total, prob_ppm, is_rare) — Markov
+    transition counts over each key's time-ordered event stream;
+    prob_ppm = n_trans · 10⁶ div prev_total, flagged rare when below
+    ``rare_ppm`` with ``prev_total ≥ min_prev`` support."""
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rel = events.select(F.col(key_col).alias("key"), sec.alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("e"))
+    w = Window.partitionBy("key").orderBy("t", "i")
+    pairs = (rel.withColumn("prev_e", F.lag("e").over(w))
+             .filter(F.col("prev_e").isNotNull()))
+    grid = (pairs.groupBy("prev_e", "e")
+            .agg(F.count("*").cast("long").alias("n_trans")))
+    totals = (grid.groupBy("prev_e")
+              .agg(F.sum("n_trans").cast("long").alias("prev_total")))
+    return (grid.join(F.broadcast(totals), "prev_e")
+            .withColumn("prob_ppm",
+                        F.expr("n_trans * 1000000 div prev_total")
+                        .cast("long"))
+            .withColumn("is_rare",
+                        ((F.col("prob_ppm") < rare_ppm) &
+                         (F.col("prev_total") >= min_prev)).cast("int"))
+            .select("prev_e", "e", "n_trans", "prev_total",
+                    "prob_ppm", "is_rare"))
+
+
+def template_transitions_sql(events: str, key_expr: str = "user_id",
+                             type_expr: str = "event_type",
+                             ts_expr: str = "ts",
+                             id_expr: str = "event_id",
+                             rare_ppm: int = 20_000,
+                             min_prev: int = 20) -> str:
+    """DuckDB oracle: identical lag → grid → totals chain; final
+    relation ``tt_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+tt_rel AS (
+  SELECT {key_expr} AS key, {sec} AS t, {id_expr} AS i,
+         {type_expr} AS e
+  FROM {events}),
+tt_pairs AS (
+  SELECT * FROM (
+    SELECT e, lag(e) OVER (PARTITION BY key ORDER BY t, i) AS prev_e
+    FROM tt_rel) WHERE prev_e IS NOT NULL),
+tt_grid AS (
+  SELECT prev_e, e, count(*)::BIGINT AS n_trans
+  FROM tt_pairs GROUP BY 1, 2),
+tt_tot AS (
+  SELECT prev_e, sum(n_trans)::BIGINT AS prev_total
+  FROM tt_grid GROUP BY 1),
+tt_out AS (
+  SELECT g.prev_e, g.e, g.n_trans, t.prev_total,
+         (g.n_trans * 1000000 // t.prev_total)::BIGINT AS prob_ppm,
+         ((g.n_trans * 1000000 // t.prev_total) < {rare_ppm}
+            AND t.prev_total >= {min_prev})::INT AS is_rare
+  FROM tt_grid g JOIN tt_tot t USING (prev_e))"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point screening (Page 1954) over per-type hourly event
+# volume: the one-sided cumulative-sum control chart that detects a
+# SUSTAINED level shift (a slow leak, a partial outage, a new crawler)
+# that per-hour threshold screens miss because no single hour is
+# extreme.  The recurrence S_t = max(0, S_{t-1} + x_t - k) is made
+# window-expressible through the classic identity
+#
+#     S_t = P_t - min(0, min_{i ≤ t} P_i),   P_t = Σ_{i ≤ t} (x_i - k)
+#
+# so the whole chart is a cumulative sum plus a cumulative min — two
+# frames over ONE sort, no recursion, no UDF.
+#
+# Scale shape: the raw stream dies at one groupBy onto the (type,
+# hour) calendar grid, which is then DENSIFIED (sequence over the
+# global hour range × observed types — silent hours must pull the
+# chart down, else an outage right after a burst never registers);
+# every window runs on the bounded grid only.  Milli-unit exact
+# integers throughout; counts · 10³ stays far under int64 at 10¹²
+# docs (DECIMAL(38) is the documented escape above that).
+
+
+def cusum_drift(events: DataFrame, type_col: str = "event_type",
+                ts_col: str = "ts", slack_div: int = 4,
+                h_factor: int = 5) -> DataFrame:
+    """(event_type, hour_idx, n_events, mean_milli, cusum_milli,
+    is_drift) — one-sided CUSUM of hourly counts vs the type's mean
+    rate.  k (the slack) = mean_milli div ``slack_div``; decision
+    interval h = ``h_factor`` · mean_milli; all milli-unit integers so
+    the DuckDB oracle hashes identically."""
+    cells = (events.select(F.col(type_col).alias("event_type"),
+                           F.expr(f"unix_timestamp({ts_col}) div 3600")
+                           .cast("long").alias("hour_idx"))
+             .groupBy("event_type", "hour_idx")
+             .agg(F.count("*").cast("long").alias("n_events")))
+    rngrow = cells.agg(F.min("hour_idx").alias("h0"),
+                       F.max("hour_idx").alias("h1"))
+    rng = rngrow.select(F.explode(F.sequence("h0", "h1")).alias("hour_idx"))
+    # per-type mean over the DENSE series = type total div global hour
+    # span — computed from the sparse grid + the 1-row range, so the
+    # dense relation is derived exactly once (no duplicated subtree)
+    means = (cells.groupBy("event_type")
+             .agg(F.sum("n_events").cast("long").alias("tot"))
+             .crossJoin(F.broadcast(rngrow))
+             .select("event_type",
+                     F.expr("tot * 1000 div (h1 - h0 + 1)")
+                     .cast("long").alias("mean_milli")))
+    dense = (means.crossJoin(F.broadcast(rng))
+             .join(cells, ["event_type", "hour_idx"], "left")
+             .select("event_type", "hour_idx",
+                     F.coalesce("n_events", F.lit(0)).cast("long")
+                     .alias("n_events"), "mean_milli"))
+    w = Window.partitionBy("event_type").orderBy("hour_idx") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = (F.col("n_events") * 1000 - F.col("mean_milli")
+           - F.expr(f"mean_milli div {slack_div}"))
+    charted = (dense
+               .withColumn("p", F.sum(dev).over(w))
+               .withColumn("cusum_milli",
+                           (F.col("p") -
+                            F.least(F.lit(0).cast("long"),
+                                    F.min("p").over(w))).cast("long")))
+    return (charted
+            .withColumn("is_drift",
+                        ((F.col("cusum_milli") >
+                          h_factor * F.col("mean_milli")) &
+                         (F.col("mean_milli") > 0)).cast("int"))
+            .select("event_type", "hour_idx", "n_events", "mean_milli",
+                    "cusum_milli", "is_drift"))
+
+
+def cusum_drift_sql(events: str, type_expr: str = "event_type",
+                    ts_expr: str = "ts", slack_div: int = 4,
+                    h_factor: int = 5) -> str:
+    """DuckDB oracle: identical densified grid + cumsum/cummin chart;
+    final relation ``cu_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+cu_cells AS (
+  SELECT {type_expr} AS event_type, {sec} // 3600 AS hour_idx,
+         count(*)::BIGINT AS n_events
+  FROM {events} GROUP BY 1, 2),
+cu_rng AS (
+  SELECT unnest(generate_series(min(hour_idx), max(hour_idx)))
+           AS hour_idx
+  FROM cu_cells),
+cu_dense AS (
+  SELECT t.event_type, r.hour_idx,
+         coalesce(c.n_events, 0)::BIGINT AS n_events
+  FROM (SELECT DISTINCT event_type FROM cu_cells) t
+  CROSS JOIN cu_rng r
+  LEFT JOIN cu_cells c USING (event_type, hour_idx)),
+cu_means AS (
+  SELECT event_type,
+         (sum(n_events) * 1000 // count(*))::BIGINT AS mean_milli
+  FROM cu_dense GROUP BY 1),
+cu_p AS (
+  SELECT d.event_type, d.hour_idx, d.n_events, m.mean_milli,
+         sum(d.n_events * 1000 - m.mean_milli
+             - m.mean_milli // {slack_div}) OVER w AS p
+  FROM cu_dense d JOIN cu_means m USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.hour_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cu_chart AS (
+  SELECT event_type, hour_idx, n_events, mean_milli, p,
+         min(p) OVER (PARTITION BY event_type ORDER BY hour_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS runmin
+  FROM cu_p),
+cu_out AS (
+  SELECT event_type, hour_idx, n_events, mean_milli,
+         (p - least(0, runmin))::BIGINT AS cusum_milli,
+         ((p - least(0, runmin)) > {h_factor} * mean_milli
+            AND mean_milli > 0)::INT AS is_drift
+  FROM cu_chart)"""
+
+
+# ---------------------------------------------------------------------------
+# First-seen novelty screening: "this source just emitted an event
+# type it has NEVER emitted before, and almost nobody else emits it"
+# — the never-before-seen-template detector that log platforms
+# (Sentry's new-issue alert, DataDog's new log pattern) fire before
+# any statistical model has enough history to score.  Pure grid
+# algebra: per-(key, type) first-occurrence epoch, the corpus clock's
+# max, and the type's key-support, each an agg riding the same
+# exchange or a broadcast scalar.
+#
+# Scale shape: ONE hash exchange on (key, type) for the min/count
+# groupBy; the type-support table is an agg OF that grid (types-sized,
+# broadcast back); the global max timestamp is a 1-row broadcast.  The
+# output is key×type-grain — the same footprint as the per-key tables
+# rate_burst / interarrival already emit.
+
+
+def first_seen_novelty(events: DataFrame, key_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       recent_s: int = 7 * 86400,
+                       rare_keys: int = 3) -> DataFrame:
+    """(key, event_type, first_sec, n_events, type_n_keys, is_new,
+    is_novel) — is_new: the pair's first occurrence falls within the
+    trailing ``recent_s`` of the corpus clock; is_novel: additionally
+    the type is emitted by ≤ ``rare_keys`` keys in total."""
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rel = events.select(F.col(key_col).alias("key"),
+                        F.col(type_col).alias("event_type"),
+                        sec.alias("t"))
+    grid = (rel.groupBy("key", "event_type")
+            .agg(F.min("t").alias("first_sec"),
+                 F.count("*").cast("long").alias("n_events")))
+    support = (grid.groupBy("event_type")
+               .agg(F.count("*").cast("long").alias("type_n_keys")))
+    clock = rel.agg(F.max("t").alias("max_sec"))
+    out = (grid.join(F.broadcast(support), "event_type")
+           .crossJoin(F.broadcast(clock))
+           .withColumn("is_new",
+                       (F.col("first_sec") >
+                        F.col("max_sec") - recent_s).cast("int"))
+           .withColumn("is_novel",
+                       ((F.col("first_sec") >
+                         F.col("max_sec") - recent_s) &
+                        (F.col("type_n_keys") <= rare_keys)).cast("int")))
+    return out.select("key", "event_type", "first_sec", "n_events",
+                      "type_n_keys", "is_new", "is_novel")
+
+
+def first_seen_novelty_sql(events: str, key_expr: str = "user_id",
+                           type_expr: str = "event_type",
+                           ts_expr: str = "ts",
+                           recent_s: int = 7 * 86400,
+                           rare_keys: int = 3) -> str:
+    """DuckDB oracle: identical grid + support + clock chain; final
+    relation ``fs_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+fs_rel AS (
+  SELECT {key_expr} AS key, {type_expr} AS event_type, {sec} AS t
+  FROM {events}),
+fs_grid AS (
+  SELECT key, event_type, min(t) AS first_sec,
+         count(*)::BIGINT AS n_events
+  FROM fs_rel GROUP BY 1, 2),
+fs_sup AS (
+  SELECT event_type, count(*)::BIGINT AS type_n_keys
+  FROM fs_grid GROUP BY 1),
+fs_clock AS (SELECT max(t) AS max_sec FROM fs_rel),
+fs_out AS (
+  SELECT g.key, g.event_type, g.first_sec, g.n_events, s.type_n_keys,
+         (g.first_sec > c.max_sec - {recent_s})::INT AS is_new,
+         (g.first_sec > c.max_sec - {recent_s}
+            AND s.type_n_keys <= {rare_keys})::INT AS is_novel
+  FROM fs_grid g JOIN fs_sup s USING (event_type)
+  CROSS JOIN fs_clock c)"""

@@ -4880,3 +4880,68 @@ def seasonal_spikes(spark, sf_dir):
     broadcast back (functions/temporal.seasonal_deviation)."""
     ev = _t(spark, sf_dir, "events")
     return TP.seasonal_deviation(ev)
+
+
+@q("alert_episodes", """
+WITH """ + TP.alert_episodes_sql("events", cooldown_s=3600) + """
+SELECT * FROM ae_out
+""")
+def alert_episodes(spark, sf_dir):
+    """Alert-episode collapsing (Elastalert-realert-style dedup with a
+    1-hour cooldown) over the event telemetry: gaps-and-islands
+    sessionization of each (key, type) stream — lag gap → start flag →
+    running-sum episode id — folded to per-pair episode counts and the
+    exact-integer suppression ppm a dedup'd pager achieves.  ONE hash
+    exchange on (key, type) shared by both windows and both groupBys
+    (superset grouping keys ride the same partitioning)
+    (functions/temporal.alert_episodes)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.alert_episodes(ev, cooldown_s=3600)
+
+
+@q("template_transitions", """
+WITH """ + TP.template_transitions_sql("events") + """
+SELECT * FROM tt_out
+""")
+def template_transitions(spark, sf_dir):
+    """Markov transition-rarity screen over per-source event-type
+    streams (the count-based core of DeepLog, Du et al. CCS 2017): lag
+    pairs per time-ordered key stream (tie-broken on event_id so both
+    engines see identical pairs), collapsed onto the (prev, next)
+    transition grid with exact-integer conditional ppm and a
+    min-support rare flag.  The stream dies at the (#types)²-bounded
+    grid; row totals broadcast back
+    (functions/temporal.template_transitions)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.template_transitions(ev)
+
+
+@q("cusum_drift", """
+WITH """ + TP.cusum_drift_sql("events") + """
+SELECT * FROM cu_out
+""")
+def cusum_drift(spark, sf_dir):
+    """One-sided CUSUM control chart (Page 1954) over per-type hourly
+    event volume, detecting sustained level shifts no single-hour
+    threshold sees.  The max(0, ·) recurrence is made
+    window-expressible via S_t = P_t − min(0, running-min P): one
+    cumulative sum + one cumulative min over a DENSIFIED calendar grid
+    (silent hours pull the chart down); milli-unit exact integers
+    (functions/temporal.cusum_drift)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.cusum_drift(ev)
+
+
+@q("first_seen_novelty", """
+WITH """ + TP.first_seen_novelty_sql("events") + """
+SELECT * FROM fs_out
+""")
+def first_seen_novelty(spark, sf_dir):
+    """Never-before-seen-pattern screen (the new-issue alert every log
+    platform fires before any model has history): per-(key, type)
+    first-occurrence epoch vs the corpus clock's trailing week, with a
+    type-support rarity qualifier.  One (key, type) exchange; the
+    support table and the 1-row clock broadcast back
+    (functions/temporal.first_seen_novelty)."""
+    ev = _t(spark, sf_dir, "events")
+    return TP.first_seen_novelty(ev)

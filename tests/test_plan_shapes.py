@@ -596,3 +596,86 @@ def test_km_survival_windows_only_on_grid(spark):
     # stayed partitioned and no Python appeared
     assert "hashpartitioning(page_key" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_alert_episodes_one_pair_exchange_no_python(spark):
+    """Sessionization windows and BOTH downstream groupBys ride ONE
+    (key, type) hash exchange — superset grouping keys satisfy the
+    existing partitioning; no SinglePartition, no Python workers."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + i * 13, i % 4, "t%d" % (i % 3))
+         for i in range(40)],
+        "event_id long, es long, user_id long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "user_id", "event_type")
+    plan = _plan(TP.alert_episodes(ev))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_template_transitions_grid_only_exchanges(spark):
+    """One key exchange for the lag window; every later exchange is of
+    the (#types)²-bounded grid; totals restore by broadcast — no
+    sort-merge join, no Python."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + i * 17, i % 5, "t%d" % (i % 4))
+         for i in range(60)],
+        "event_id long, es long, user_id long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "user_id", "event_type")
+    df = TP.template_transitions(ev)
+    df.collect()   # AQE final plan: the grid exchange must be REUSED
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+    # count real exchange nodes only (a ReusedExchange line embeds the
+    # reused node's description)
+    assert plan.count("+- Exchange hashpartitioning") <= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_cusum_drift_raw_stream_dies_at_grid(spark):
+    """The raw stream dies at ONE groupBy onto the calendar grid; the
+    densify joins and every window run grid-side only (the window sort
+    never partitions the raw stream), and no Python appears."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + (i % 30) * 3600 + i, "t%d" % (i % 3))
+         for i in range(90)],
+        "event_id long, es long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "event_type")
+    df = TP.cusum_drift(ev)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan, plan  # types × hour range
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # SinglePartition exchanges carry only the bounded 4-value
+    # (min, max) hour-range agg — ≤2 because ExistingRDD test inputs
+    # don't canonicalize for exchange reuse (parquet scans do; the
+    # second instance is a ReusedExchange on the real source path)
+    assert plan.count("Exchange SinglePartition") - plan.count(
+        "ReusedExchange [min") <= 2, plan
+    # the raw stream must never sort: every Window runs on the grid
+    assert all("es#" not in l for l in plan.splitlines()
+               if "Sort [" in l and "event_id" in l), plan
+
+
+def test_first_seen_novelty_broadcast_restores(spark):
+    """Support table and the 1-row corpus clock broadcast back onto the
+    (key, type) grid; the grid itself takes one hash exchange."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + i * 19, i % 6, "t%d" % (i % 4))
+         for i in range(48)],
+        "event_id long, es long, user_id long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "user_id", "event_type")
+    plan = _plan(TP.first_seen_novelty(ev))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

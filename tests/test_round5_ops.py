@@ -1121,3 +1121,127 @@ def test_seasonal_deviation_hand_computed(spark):
     assert (r.n_events, r.baseline_total, r.n_days) == (8, 8, 2)
     assert r.ratio_ppm == 2_000_000 and r.is_spike == 1
     assert out[(0, 0)].is_spike == 0
+
+
+# ---------------------------------------------------------------------------
+# telemetry screens: alert_episodes / template_transitions /
+# cusum_drift / first_seen_novelty
+# ---------------------------------------------------------------------------
+
+def _ts_events(spark, rows, schema="user_id long, es long, event_type string"):
+    return (spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+
+
+def test_alert_episodes_hand_computed(spark):
+    """Gaps ≤ cooldown chain into one episode; a gap of exactly
+    cooldown+1 starts a new one; same-second duplicates never split;
+    types sessionize independently."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    rows = [
+        (1, 0, "err"), (1, 50, "err"), (1, 120, "err"),   # gaps 50, 70
+        (1, 500, "err"),                                  # gap 380 > 100
+        (1, 0, "warn"),
+        (2, 0, "err"), (2, 101, "err"),                   # gap 101 > 100
+        (3, 10, "err"), (3, 10, "err"),                   # same-second tie
+    ]
+    ev = _ts_events(spark, rows)
+    out = {(r.key, r.event_type): r
+           for r in TP.alert_episodes(ev, cooldown_s=100).collect()}
+    r = out[(1, "err")]
+    assert (r.n_events, r.n_episodes, r.max_episode_events) == (4, 2, 3)
+    assert r.suppression_ppm == 500_000
+    assert out[(1, "warn")].n_episodes == 1
+    r2 = out[(2, "err")]
+    assert (r2.n_events, r2.n_episodes, r2.suppression_ppm) == (2, 2, 0)
+    r3 = out[(3, "err")]
+    assert (r3.n_events, r3.n_episodes, r3.max_episode_events) == (2, 1, 2)
+    assert r3.suppression_ppm == 500_000
+
+
+def test_template_transitions_hand_computed(spark):
+    """Transition grid, conditional ppm, min-support guard, and the
+    event_id tie-break at equal seconds."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    rows = [  # (event_id, user, sec, type)
+        (1, 1, 0, "a"), (2, 1, 10, "b"), (3, 1, 20, "a"),
+        (4, 1, 30, "b"), (5, 1, 40, "a"), (6, 1, 50, "c"),
+        (7, 2, 0, "a"), (8, 2, 10, "b"),
+        (9, 4, 100, "x"), (10, 4, 100, "y"),  # tie: id orders x before y
+    ]
+    ev = (spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    out = {(r.prev_e, r.e): r for r in TP.template_transitions(
+        ev, rare_ppm=300_000, min_prev=3).collect()}
+    assert out[("a", "b")].n_trans == 3 and out[("a", "b")].prev_total == 4
+    assert out[("a", "b")].prob_ppm == 750_000
+    assert out[("a", "b")].is_rare == 0
+    assert out[("a", "c")].prob_ppm == 250_000
+    assert out[("a", "c")].is_rare == 1          # rare with support
+    assert out[("b", "a")].prob_ppm == 1_000_000
+    assert out[("b", "a")].is_rare == 0          # prev_total 2 < min_prev
+    assert ("x", "y") in out and ("y", "x") not in out
+
+
+def test_cusum_drift_matches_textbook_recurrence(spark):
+    """The window identity S_t = P_t - min(0, running-min P) must equal
+    the classic recurrence S_t = max(0, S_{t-1} + x·1000 - mean - k)
+    on an irregular series with silent (densified) hours."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    rows = []
+    eid = 0
+    counts = {0: 1, 2: 5, 3: 2, 7: 9, 8: 9, 9: 9}   # hours 1,4,5,6 silent
+    for h, c in counts.items():
+        for j in range(c):
+            rows.append((eid, 3600 * h + j, "t"))
+            eid += 1
+    ev = (spark.createDataFrame(rows, "event_id long, es long, event_type string")
+          .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    got = {r.hour_idx: r for r in TP.cusum_drift(ev).collect()}
+    assert len(got) == 10                          # densified 0..9
+    dense = [counts.get(h, 0) for h in range(10)]
+    mean = sum(dense) * 1000 // len(dense)
+    k = mean // 4
+    s = 0
+    for h, x in enumerate(dense):
+        s = max(0, s + x * 1000 - mean - k)
+        assert got[h].cusum_milli == s, (h, got[h].cusum_milli, s)
+        assert got[h].n_events == x
+        assert got[h].mean_milli == mean
+        assert got[h].is_drift == int(s > 5 * mean and mean > 0)
+
+
+def test_cusum_drift_flags_sustained_shift(spark):
+    """20 quiet hours then 4 hours at 25x must trip the decision
+    interval during the shift, never before it."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    rows = []
+    eid = 0
+    for h in range(24):
+        for j in range(2 if h < 20 else 50):
+            rows.append((eid, 3600 * h + j, "svc"))
+            eid += 1
+    ev = (spark.createDataFrame(rows, "event_id long, es long, event_type string")
+          .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    out = {r.hour_idx: r.is_drift for r in TP.cusum_drift(ev).collect()}
+    assert all(out[h] == 0 for h in range(21))
+    assert all(out[h] == 1 for h in (21, 22, 23))
+
+
+def test_first_seen_novelty_hand_computed(spark):
+    """is_new keys off the corpus clock's trailing window; is_novel
+    additionally demands the type be near-unique across keys."""
+    from ai_log_analyzer_spark.functions import temporal as TP
+    rows = [(1, 10, "a"), (2, 20, "a"), (1, 950, "b"),
+            (3, 990, "c"), (2, 40, "c"), (1, 1000, "a")]
+    ev = _ts_events(spark, rows)
+    out = {(r.key, r.event_type): r for r in TP.first_seen_novelty(
+        ev, recent_s=100, rare_keys=1).collect()}
+    assert len(out) == 5
+    assert out[(1, "a")].first_sec == 10 and out[(1, "a")].n_events == 2
+    assert out[(1, "a")].is_new == 0
+    assert out[(1, "b")].is_new == 1 and out[(1, "b")].is_novel == 1
+    assert out[(3, "c")].is_new == 1 and out[(3, "c")].is_novel == 0
+    assert out[(3, "c")].type_n_keys == 2
+    assert out[(2, "c")].is_new == 0
