@@ -1,0 +1,326 @@
+"""Incident-response analytics over the event telemetry: multiwindow
+SLO burn-rate alerting, alert correlation (pairwise lift), and spike
+attribution (which key drove the anomalous hour).
+
+These are the three queries an on-call runs AFTER a detector fires —
+"is this burning error budget fast enough to page?", "what else always
+fires with this?", and "who caused it?" — re-expressed as pure
+Catalyst grid algebra with exact-integer ppm so every one of them has
+a hash-checkable DuckDB oracle.
+
+Scale contract shared by all three: the raw event stream dies at ONE
+groupBy onto a bounded grid (hours, (key, hour, type) baskets, or the
+(type, hour) calendar), and every window/join after that runs on the
+grid or on a broadcast restore.  No Python workers, no collect, no
+single-partition sort of anything event-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Multiwindow SLO burn-rate (Google SRE workbook ch. 5): page only
+# when BOTH a short and a long trailing window burn error budget above
+# the threshold — the short window gives fast detection, the long one
+# suppresses blips that self-heal.  Ratios are exact-integer ppm; the
+# trailing windows are RANGE frames over the DENSIFIED hour grid (a
+# silent hour contributes zeros, so a burst followed by silence decays
+# the long window exactly).
+
+
+def burn_rate(events: DataFrame, error_type: str = "error",
+              type_col: str = "event_type", ts_col: str = "ts",
+              long_hours: int = 6,
+              burn_ppm: int = 100_000) -> DataFrame:
+    """(hour_idx, err_1h, tot_1h, ratio_1h_ppm, err_nh, tot_nh,
+    ratio_nh_ppm, is_burn) — hourly error ratio and the trailing
+    ``long_hours`` ratio, flagged when BOTH exceed ``burn_ppm``.
+
+    Scale shape: the stream dies at one groupBy onto the hour grid
+    (conditional sums — no second scan for the error lane); the grid
+    is densified from its own (min, max) 1-row agg so the range frames
+    see silent hours as zeros; both trailing sums share ONE
+    unpartitioned-but-grid-sized window (hours-of-history rows, never
+    event rows — a year is 8,760 rows, driver-safe by 5 orders of
+    magnitude)."""
+    hours = (events.select(
+        F.expr(f"unix_timestamp({ts_col}) div 3600").cast("long")
+        .alias("hour_idx"),
+        (F.col(type_col) == error_type).cast("long").alias("is_err"))
+        .groupBy("hour_idx")
+        .agg(F.sum("is_err").cast("long").alias("err_1h"),
+             F.count("*").cast("long").alias("tot_1h")))
+    rngrow = hours.agg(F.min("hour_idx").alias("h0"),
+                       F.max("hour_idx").alias("h1"))
+    rng = rngrow.select(F.explode(F.sequence("h0", "h1")).alias("hour_idx"))
+    dense = (rng.join(hours, "hour_idx", "left")
+             .select("hour_idx",
+                     F.coalesce("err_1h", F.lit(0)).cast("long")
+                     .alias("err_1h"),
+                     F.coalesce("tot_1h", F.lit(0)).cast("long")
+                     .alias("tot_1h")))
+    w = (Window.orderBy("hour_idx")
+         .rangeBetween(-(long_hours - 1), 0))
+    out = (dense
+           .withColumn("err_nh", F.sum("err_1h").over(w).cast("long"))
+           .withColumn("tot_nh", F.sum("tot_1h").over(w).cast("long"))
+           .withColumn("ratio_1h_ppm",
+                       F.when(F.col("tot_1h") > 0,
+                              F.expr("err_1h * 1000000 div tot_1h"))
+                       .otherwise(F.lit(0)).cast("long"))
+           .withColumn("ratio_nh_ppm",
+                       F.when(F.col("tot_nh") > 0,
+                              F.expr("err_nh * 1000000 div tot_nh"))
+                       .otherwise(F.lit(0)).cast("long")))
+    return (out.withColumn(
+        "is_burn",
+        ((F.col("ratio_1h_ppm") > burn_ppm) &
+         (F.col("ratio_nh_ppm") > burn_ppm)).cast("int"))
+        .select("hour_idx", "err_1h", "tot_1h", "ratio_1h_ppm",
+                "err_nh", "tot_nh", "ratio_nh_ppm", "is_burn"))
+
+
+def burn_rate_sql(events: str, error_type: str = "error",
+                  type_expr: str = "event_type", ts_expr: str = "ts",
+                  long_hours: int = 6,
+                  burn_ppm: int = 100_000) -> str:
+    """DuckDB oracle: identical grid → densify → range-frame chain;
+    final relation ``br_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+br_hours AS (
+  SELECT {sec} // 3600 AS hour_idx,
+         sum(({type_expr} = '{error_type}')::BIGINT)::BIGINT AS err_1h,
+         count(*)::BIGINT AS tot_1h
+  FROM {events} GROUP BY 1),
+br_rng AS (
+  SELECT unnest(generate_series(min(hour_idx), max(hour_idx)))
+           AS hour_idx
+  FROM br_hours),
+br_dense AS (
+  SELECT r.hour_idx, coalesce(h.err_1h, 0)::BIGINT AS err_1h,
+         coalesce(h.tot_1h, 0)::BIGINT AS tot_1h
+  FROM br_rng r LEFT JOIN br_hours h USING (hour_idx)),
+br_win AS (
+  SELECT hour_idx, err_1h, tot_1h,
+         sum(err_1h) OVER w::BIGINT AS err_nh,
+         sum(tot_1h) OVER w::BIGINT AS tot_nh
+  FROM br_dense
+  WINDOW w AS (ORDER BY hour_idx
+               RANGE BETWEEN {long_hours - 1} PRECEDING
+                     AND CURRENT ROW)),
+br_out AS (
+  SELECT hour_idx, err_1h, tot_1h,
+         (CASE WHEN tot_1h > 0 THEN err_1h * 1000000 // tot_1h
+               ELSE 0 END)::BIGINT AS ratio_1h_ppm,
+         err_nh, tot_nh,
+         (CASE WHEN tot_nh > 0 THEN err_nh * 1000000 // tot_nh
+               ELSE 0 END)::BIGINT AS ratio_nh_ppm,
+         ((CASE WHEN tot_1h > 0 THEN err_1h * 1000000 // tot_1h
+                ELSE 0 END) > {burn_ppm}
+          AND (CASE WHEN tot_nh > 0 THEN err_nh * 1000000 // tot_nh
+                    ELSE 0 END) > {burn_ppm})::INT AS is_burn
+  FROM br_win)"""
+
+
+# ---------------------------------------------------------------------------
+# Alert correlation via pairwise lift (market-basket analysis,
+# Agrawal et al. SIGMOD 1993, on telemetry baskets): which alert types
+# co-fire in the same (key, hour) far beyond independence — the
+# grouping signal alert-dedup platforms use to fold cascades into one
+# incident.  basket = distinct (key, hour); lift(a,b) = P(a∧b) /
+# (P(a)·P(b)) in exact ppm.
+#
+# Scale shape: the stream dies at the distinct onto (key, hour, type)
+# baskets (one exchange, map-side partial distinct); the pair
+# expansion is the output-sensitive self-join on the basket key —
+# C(types-in-basket, 2) per basket, bounded by the type-alphabet, the
+# same shape as cocitation_pairs; singleton counts are a grid agg
+# broadcast back twice.
+
+
+def alert_correlation(events: DataFrame, key_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      bucket_s: int = 3600, min_co: int = 2,
+                      lift_ppm: int = 1_500_000) -> DataFrame:
+    """(a, b, n_co, n_a, n_b, n_baskets, lift_ppm, is_correlated) for
+    unordered type pairs a < b sharing ≥ ``min_co`` (key, bucket)
+    baskets; lift_ppm = n_co · n_baskets · 10⁶ div (n_a · n_b)."""
+    baskets = (events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_timestamp({ts_col}) div {bucket_s}").cast("long")
+        .alias("b"),
+        F.col(type_col).alias("e")).distinct())
+    singles = (baskets.groupBy("e")
+               .agg(F.count("*").cast("long").alias("n")))
+    total = (baskets.select("key", "b").distinct()
+             .agg(F.count("*").cast("long").alias("n_baskets")))
+    l = baskets.select("key", "b", F.col("e").alias("a"))
+    r = baskets.select("key", "b", F.col("e").alias("b_e"))
+    pairs = (l.join(r, ["key", "b"])
+             .filter(F.col("a") < F.col("b_e"))
+             .groupBy("a", F.col("b_e").alias("b"))
+             .agg(F.count("*").cast("long").alias("n_co"))
+             .filter(F.col("n_co") >= min_co))
+    sa = singles.select(F.col("e").alias("a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("e").alias("b"), F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+            .crossJoin(F.broadcast(total))
+            .withColumn("lift_ppm",
+                        F.expr("n_co * n_baskets * 1000000"
+                               " div (n_a * n_b)").cast("long"))
+            .withColumn("is_correlated",
+                        (F.col("lift_ppm") > lift_ppm).cast("int"))
+            .select("a", "b", "n_co", "n_a", "n_b", "n_baskets",
+                    "lift_ppm", "is_correlated"))
+
+
+def alert_correlation_sql(events: str, key_expr: str = "user_id",
+                          type_expr: str = "event_type",
+                          ts_expr: str = "ts", bucket_s: int = 3600,
+                          min_co: int = 2,
+                          lift_ppm: int = 1_500_000) -> str:
+    """DuckDB oracle: identical basket → pair → lift chain; final
+    relation ``ac_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+ac_baskets AS (
+  SELECT DISTINCT {key_expr} AS key, {sec} // {bucket_s} AS b,
+         {type_expr} AS e
+  FROM {events}),
+ac_singles AS (
+  SELECT e, count(*)::BIGINT AS n FROM ac_baskets GROUP BY 1),
+ac_total AS (
+  SELECT count(*)::BIGINT AS n_baskets
+  FROM (SELECT DISTINCT key, b FROM ac_baskets)),
+ac_pairs AS (
+  SELECT l.e AS a, r.e AS b, count(*)::BIGINT AS n_co
+  FROM ac_baskets l JOIN ac_baskets r USING (key, b)
+  WHERE l.e < r.e GROUP BY 1, 2
+  HAVING count(*) >= {min_co}),
+ac_out AS (
+  SELECT p.a, p.b, p.n_co, sa.n AS n_a, sb.n AS n_b, t.n_baskets,
+         (p.n_co * t.n_baskets * 1000000 // (sa.n * sb.n))::BIGINT
+           AS lift_ppm,
+         ((p.n_co * t.n_baskets * 1000000 // (sa.n * sb.n))
+            > {lift_ppm})::INT AS is_correlated
+  FROM ac_pairs p
+  JOIN ac_singles sa ON sa.e = p.a
+  JOIN ac_singles sb ON sb.e = p.b
+  CROSS JOIN ac_total t)"""
+
+
+# ---------------------------------------------------------------------------
+# Spike attribution (Adtributor, Bhagwan et al. NSDI 2014, reduced to
+# its one-dimension core): for each type's WORST hour, which keys
+# contributed a larger share of that hour than their steady-state
+# share of the type — the drilldown an on-call does by hand, as one
+# deterministic relational pass.
+#
+# Scale shape: (type, hour) counts are grid-sized; the per-type argmax
+# is a window over the grid (ties broken to the earliest hour, both
+# engines); only events IN a spike hour are re-aggregated per key —
+# the second pass's input is one hour per type, not the corpus; the
+# per-key type totals ride the same (type, key) exchange.
+
+
+def spike_attribution(events: DataFrame, key_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      driver_excess_ppm: int = 100_000) -> DataFrame:
+    """(event_type, spike_hour, key, n_in_spike, spike_total, n_type,
+    type_total, share_ppm, baseline_ppm, excess_ppm, is_driver) — for
+    each type's max-count hour (earliest on ties), every contributing
+    key's share of the spike vs its steady-state share of the type;
+    excess_ppm = share − baseline, flagged above
+    ``driver_excess_ppm``."""
+    rel = events.select(F.col(type_col).alias("event_type"),
+                        F.col(key_col).alias("key"),
+                        F.expr(f"unix_timestamp({ts_col}) div 3600")
+                        .cast("long").alias("hour_idx"))
+    cells = (rel.groupBy("event_type", "hour_idx")
+             .agg(F.count("*").cast("long").alias("n")))
+    wr = Window.partitionBy("event_type") \
+        .orderBy(F.desc("n"), F.asc("hour_idx"))
+    spikes = (cells.withColumn("rk", F.row_number().over(wr))
+              .filter(F.col("rk") == 1)
+              .select("event_type", F.col("hour_idx").alias("spike_hour"),
+                      F.col("n").alias("spike_total")))
+    per_key_type = (rel.groupBy("event_type", "key")
+                    .agg(F.count("*").cast("long").alias("n_type")))
+    type_totals = (per_key_type.groupBy("event_type")
+                   .agg(F.sum("n_type").cast("long").alias("type_total")))
+    spikes_k = spikes.withColumnRenamed("spike_hour", "hour_idx")
+    in_spike = (rel.join(F.broadcast(spikes_k), ["event_type", "hour_idx"])
+                .groupBy("event_type",
+                         F.col("hour_idx").alias("spike_hour"),
+                         "key", "spike_total")
+                .agg(F.count("*").cast("long").alias("n_in_spike")))
+    return (in_spike
+            .join(per_key_type, ["event_type", "key"])
+            .join(F.broadcast(type_totals), "event_type")
+            .withColumn("share_ppm",
+                        F.expr("n_in_spike * 1000000 div spike_total")
+                        .cast("long"))
+            .withColumn("baseline_ppm",
+                        F.expr("n_type * 1000000 div type_total")
+                        .cast("long"))
+            .withColumn("excess_ppm",
+                        (F.col("share_ppm") -
+                         F.col("baseline_ppm")).cast("long"))
+            .withColumn("is_driver",
+                        (F.col("excess_ppm") > driver_excess_ppm)
+                        .cast("int"))
+            .select("event_type", "spike_hour", "key", "n_in_spike",
+                    "spike_total", "n_type", "type_total", "share_ppm",
+                    "baseline_ppm", "excess_ppm", "is_driver"))
+
+
+def spike_attribution_sql(events: str, key_expr: str = "user_id",
+                          type_expr: str = "event_type",
+                          ts_expr: str = "ts",
+                          driver_excess_ppm: int = 100_000) -> str:
+    """DuckDB oracle: identical argmax → spike-hour re-agg → share
+    chain; final relation ``sp_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+sp_rel AS (
+  SELECT {type_expr} AS event_type, {key_expr} AS key,
+         {sec} // 3600 AS hour_idx
+  FROM {events}),
+sp_cells AS (
+  SELECT event_type, hour_idx, count(*)::BIGINT AS n
+  FROM sp_rel GROUP BY 1, 2),
+sp_spikes AS (
+  SELECT event_type, hour_idx AS spike_hour, n AS spike_total
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, hour_idx ASC)
+                    AS rk
+        FROM sp_cells) WHERE rk = 1),
+sp_pkt AS (
+  SELECT event_type, key, count(*)::BIGINT AS n_type
+  FROM sp_rel GROUP BY 1, 2),
+sp_tt AS (
+  SELECT event_type, sum(n_type)::BIGINT AS type_total
+  FROM sp_pkt GROUP BY 1),
+sp_in AS (
+  SELECT r.event_type, s.spike_hour, r.key, s.spike_total,
+         count(*)::BIGINT AS n_in_spike
+  FROM sp_rel r JOIN sp_spikes s
+    ON r.event_type = s.event_type AND r.hour_idx = s.spike_hour
+  GROUP BY 1, 2, 3, 4),
+sp_out AS (
+  SELECT i.event_type, i.spike_hour, i.key, i.n_in_spike,
+         i.spike_total, k.n_type, t.type_total,
+         (i.n_in_spike * 1000000 // i.spike_total)::BIGINT AS share_ppm,
+         (k.n_type * 1000000 // t.type_total)::BIGINT AS baseline_ppm,
+         ((i.n_in_spike * 1000000 // i.spike_total)
+          - (k.n_type * 1000000 // t.type_total))::BIGINT AS excess_ppm,
+         (((i.n_in_spike * 1000000 // i.spike_total)
+           - (k.n_type * 1000000 // t.type_total))
+            > {driver_excess_ppm})::INT AS is_driver
+  FROM sp_in i
+  JOIN sp_pkt k ON k.event_type = i.event_type AND k.key = i.key
+  JOIN sp_tt t ON t.event_type = i.event_type)"""

@@ -39,6 +39,7 @@ from .functions import similarity as S
 from .functions import sketches as SK
 from .functions import crawlfunnel as CF
 from .functions import htmlmeta as HM
+from .functions import incidents as IC
 from .functions import maincontent as MC
 from .functions import sitemaps as SM
 from .functions import snapshots as SN
@@ -4945,3 +4946,52 @@ def first_seen_novelty(spark, sf_dir):
     (functions/temporal.first_seen_novelty)."""
     ev = _t(spark, sf_dir, "events")
     return TP.first_seen_novelty(ev)
+
+
+@q("burn_rate_alerts", """
+WITH """ + IC.burn_rate_sql("events") + """
+SELECT * FROM br_out
+""")
+def burn_rate_alerts(spark, sf_dir):
+    """Multiwindow SLO burn-rate alerting (Google SRE workbook ch. 5):
+    hourly error ratio AND the trailing-6h ratio must both exceed the
+    budget-burn threshold before paging — fast detection, blip
+    suppression.  The stream dies at one conditional-sum groupBy onto
+    the hour grid; the grid densifies from its own 1-row range so
+    silent hours decay the long window exactly; the only
+    unpartitioned window runs over hours-of-history rows
+    (functions/incidents.burn_rate)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.burn_rate(ev)
+
+
+@q("alert_correlation", """
+WITH """ + IC.alert_correlation_sql("events") + """
+SELECT * FROM ac_out
+""")
+def alert_correlation(spark, sf_dir):
+    """Alert-correlation lift (market-basket analysis on telemetry
+    baskets): unordered type pairs co-firing in the same (key, hour)
+    beyond independence, exact-integer lift ppm — the cascade-folding
+    signal behind incident grouping.  Stream dies at the distinct onto
+    baskets; pair expansion is the output-sensitive basket self-join
+    (cocitation's shape); singleton counts broadcast back
+    (functions/incidents.alert_correlation)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.alert_correlation(ev)
+
+
+@q("spike_attribution", """
+WITH """ + IC.spike_attribution_sql("events") + """
+SELECT * FROM sp_out
+""")
+def spike_attribution(spark, sf_dir):
+    """Spike attribution (Adtributor's one-dimension core, NSDI 2014):
+    for each type's worst hour, every key's spike share vs its
+    steady-state share of the type, excess in exact ppm — the on-call
+    drilldown as one relational pass.  Per-type argmax is a window
+    over the (type, hour) grid (earliest hour on ties); only spike-
+    hour events re-aggregate per key; type totals broadcast back
+    (functions/incidents.spike_attribution)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.spike_attribution(ev)

@@ -679,3 +679,54 @@ def test_first_seen_novelty_broadcast_restores(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_burn_rate_window_is_grid_sized(spark):
+    """The stream dies at the hour-grid groupBy; the only
+    unpartitioned window and SinglePartition exchanges run over
+    hours-of-history rows (plus the bounded 1-row range agg) — and no
+    Python appears."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + (i % 20) * 3600 + i,
+          "error" if i % 7 == 0 else "view") for i in range(80)],
+        "event_id long, es long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "event_type")
+    plan = _plan(IC.burn_rate(ev))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # raw stream partially aggregates map-side before its one exchange
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+def test_alert_correlation_broadcast_restores(spark):
+    """Pair counts join singleton counts and the basket total by
+    broadcast; the basket self-join is the only non-broadcast join."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + (i % 6) * 3600, i % 5, "t%d" % (i % 4))
+         for i in range(60)],
+        "event_id long, es long, user_id long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "user_id", "event_type")
+    plan = _plan(IC.alert_correlation(ev))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan   # 1-row total
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_spike_attribution_spike_join_is_broadcast(spark):
+    """The spike table (one row per type) and the type totals broadcast
+    onto the stream/grid; no Python, no SinglePartition of event-sized
+    relations (the argmax window partitions by type)."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + (i % 8) * 3600 + i, i % 5, "t%d" % (i % 3))
+         for i in range(80)],
+        "event_id long, es long, user_id long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "user_id", "event_type")
+    plan = _plan(IC.spike_attribution(ev))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -1245,3 +1245,108 @@ def test_first_seen_novelty_hand_computed(spark):
     assert out[(3, "c")].is_new == 1 and out[(3, "c")].is_novel == 0
     assert out[(3, "c")].type_n_keys == 2
     assert out[(2, "c")].is_new == 0
+
+
+# ---------------------------------------------------------------------------
+# incident analytics: burn_rate / alert_correlation / spike_attribution
+# ---------------------------------------------------------------------------
+
+def test_burn_rate_multiwindow_hand_computed(spark):
+    """A one-hour error blip must NOT page (long window dilutes it); a
+    sustained burn must; silent hours decay the long window as zeros."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = []
+    # hours 0-5: 10 ok events each.  hour 2: +3 errors (blip).
+    # hours 10-12 (after silence 6-9): 5 ok + 5 errors each (burn).
+    eid = 0
+    for h in range(6):
+        for j in range(10):
+            rows.append((eid, 3600 * h + j, "view")); eid += 1
+    for j in range(3):
+        rows.append((eid, 3600 * 2 + 100 + j, "error")); eid += 1
+    for h in (10, 11, 12):
+        for j in range(5):
+            rows.append((eid, 3600 * h + j, "view")); eid += 1
+        for j in range(5):
+            rows.append((eid, 3600 * h + 50 + j, "error")); eid += 1
+    ev = _ts_events(spark, rows, "event_id long, es long, event_type string")
+    out = {r.hour_idx: r for r in IC.burn_rate(
+        ev, long_hours=6, burn_ppm=100_000).collect()}
+    assert len(out) == 13                       # densified 0..12
+    # blip hour: 3/13 short ≈ 230769 ppm > bar, but 6h window
+    # (h 0-2: 3 errors / 33 events) ≈ 90909 ppm < bar → no page
+    assert out[2].ratio_1h_ppm == 230_769
+    assert out[2].ratio_nh_ppm == 90_909 and out[2].is_burn == 0
+    # silent hour: zero totals, zero ratios
+    assert out[7].tot_1h == 0 and out[7].ratio_1h_ppm == 0
+    # sustained burn at hour 12: short 500000; 6h window covers
+    # hours 7-12 = 15 errors / 30 events = 500000 → page
+    assert out[12].ratio_1h_ppm == 500_000
+    assert out[12].ratio_nh_ppm == 500_000 and out[12].is_burn == 1
+    # hour 10: 6h window h5..10 = 5 err / 20 tot = 250000 → also burns
+    assert out[10].is_burn == 1
+
+
+def test_alert_correlation_lift_hand_computed(spark):
+    """Types always co-firing lift above independence; a pair sharing
+    one basket dies at min_co; lift is exact ppm."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = []
+    eid = 0
+    # baskets (key=1..4, hour 0): a+b co-fire in 2 of 4 baskets;
+    # c fires alone in the other two; d once with a (below min_co)
+    for k, types in [(1, ["a", "b"]), (2, ["a", "b"]),
+                     (3, ["c"]), (4, ["c", "a", "d"])]:
+        for t in types:
+            rows.append((eid, k, 10 + eid, t)); eid += 1
+    ev = (spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    out = {(r.a, r.b): r for r in IC.alert_correlation(
+        ev, bucket_s=3600, min_co=2, lift_ppm=1_200_000).collect()}
+    assert set(out) == {("a", "b")}            # (a,d)/(a,c) co=1 < min_co
+    r = out[("a", "b")]
+    assert (r.n_co, r.n_a, r.n_b, r.n_baskets) == (2, 3, 2, 4)
+    # lift = 2·4·1e6 / (3·2) = 1333333 ppm > 1.2 → correlated
+    assert r.lift_ppm == 1_333_333 and r.is_correlated == 1
+
+
+def test_spike_attribution_hand_computed(spark):
+    """The worst hour picks the earliest on ties; a key overweighted
+    in the spike hour relative to its steady-state share is the
+    driver."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = []
+    eid = 0
+    # type 'err': hour 0 has 2 events (u1, u2); hour 5 has 8 events,
+    # 6 from u9 (the driver), 2 from u1
+    for u, h in [(1, 0), (2, 0)] + [(9, 5)] * 6 + [(1, 5)] * 2:
+        rows.append((eid, u, 3600 * h + eid, "err")); eid += 1
+    ev = (spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    out = {r.key: r for r in IC.spike_attribution(
+        ev, driver_excess_ppm=100_000).collect()}
+    assert all(r.spike_hour == 5 and r.spike_total == 8
+               for r in out.values())
+    assert set(out) == {9, 1}                  # u2 absent from spike hour
+    r9 = out[9]
+    assert r9.share_ppm == 750_000             # 6/8
+    assert r9.baseline_ppm == 600_000          # 6/10
+    assert r9.excess_ppm == 150_000 and r9.is_driver == 1
+    r1 = out[1]
+    assert r1.share_ppm == 250_000 and r1.baseline_ppm == 300_000
+    assert r1.excess_ppm == -50_000 and r1.is_driver == 0
+
+
+def test_spike_attribution_tie_breaks_to_earliest_hour(spark):
+    """Two hours at the same max count: the earlier one is the spike
+    on both engines."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [(0, 1, 100, "x"), (1, 2, 200, "x"),
+            (2, 1, 3600 + 100, "x"), (3, 2, 3600 + 200, "x")]
+    ev = (spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    out = IC.spike_attribution(ev).collect()
+    assert all(r.spike_hour == 0 for r in out)
