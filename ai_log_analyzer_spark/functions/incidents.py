@@ -324,3 +324,77 @@ sp_out AS (
   FROM sp_in i
   JOIN sp_pkt k ON k.event_type = i.event_type AND k.key = i.key
   JOIN sp_tt t ON t.event_type = i.event_type)"""
+
+
+# ---------------------------------------------------------------------------
+# Per-type latency percentiles — the p50/p95/p99 dashboard row.
+# Percentile-by-sort is the classic skew trap (one hot type = one
+# mega-sort-partition); quantizing the measure to milli-units first
+# collapses the stream to a (type, milli-value) histogram whose
+# cumulative window is O(distinct values), not O(events) — the exact
+# discrete-percentile analogue of a t-digest, with none of the sketch
+# error (token_percentiles' shape, applied to the measure column).
+# Discrete percentile: p_q = min{v : cum_count(v) ≥ ceil(q·n)}.
+
+
+def latency_percentiles(events: DataFrame, group_col: str = "event_type",
+                        value_col: str = "value") -> DataFrame:
+    """(event_type, n_events, mean_milli, p50_milli, p95_milli,
+    p99_milli, max_milli) — exact discrete percentiles of the
+    milli-quantized measure per type.  Quantization is
+    round(value·1000) cast to long — bit-identical on both engines for
+    finite positive doubles."""
+    vm = F.round(F.col(value_col) * 1000).cast("long")
+    hist = (events.select(F.col(group_col).alias("grp"), vm.alias("v"))
+            .groupBy("grp", "v").agg(F.count("*").alias("c")))
+    wcum = Window.partitionBy("grp").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("grp")
+    h = (hist.withColumn("cum", F.sum("c").over(wcum))
+         .withColumn("n", F.sum("c").over(wtot))
+         .withColumn("tot", F.sum(F.col("v") * F.col("c")).over(wtot)))
+    # ceil(q·n) in exact integers: ceil(a/b) = -floordiv(-a, b)
+    def need(num: int, den: int):
+        return -F.floor(F.lit(-num) * F.col("n") / den)
+    return (h.groupBy("grp")
+            .agg(F.max("n").cast("long").alias("n_events"),
+                 F.expr("max(tot) div max(n)").cast("long")
+                 .alias("mean_milli"),
+                 F.min(F.when(F.col("cum") >= need(1, 2), F.col("v")))
+                 .cast("long").alias("p50_milli"),
+                 F.min(F.when(F.col("cum") >= need(19, 20), F.col("v")))
+                 .cast("long").alias("p95_milli"),
+                 F.min(F.when(F.col("cum") >= need(99, 100), F.col("v")))
+                 .cast("long").alias("p99_milli"),
+                 F.max("v").cast("long").alias("max_milli"))
+            .withColumnRenamed("grp", "event_type"))
+
+
+def latency_percentiles_sql(events: str, group_expr: str = "event_type",
+                            value_expr: str = "value") -> str:
+    """DuckDB oracle: identical histogram → cumulative → threshold
+    chain; final relation ``lp_out``."""
+    return f"""
+lp_hist AS (
+  SELECT {group_expr} AS grp,
+         CAST(round({value_expr} * 1000) AS BIGINT) AS v,
+         count(*)::BIGINT AS c
+  FROM {events} GROUP BY 1, 2),
+lp_cum AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS n,
+         sum(v * c) OVER (PARTITION BY grp) AS tot
+  FROM lp_hist),
+lp_out AS (
+  SELECT grp AS event_type, max(n)::BIGINT AS n_events,
+         (max(tot) // max(n))::BIGINT AS mean_milli,
+         min(CASE WHEN cum >= -floor(-n / 2.0) THEN v END)::BIGINT
+           AS p50_milli,
+         min(CASE WHEN cum >= -floor(-19.0 * n / 20.0) THEN v END)::BIGINT
+           AS p95_milli,
+         min(CASE WHEN cum >= -floor(-99.0 * n / 100.0) THEN v END)::BIGINT
+           AS p99_milli,
+         max(v)::BIGINT AS max_milli
+  FROM lp_cum GROUP BY grp)"""

@@ -4995,3 +4995,19 @@ def spike_attribution(spark, sf_dir):
     (functions/incidents.spike_attribution)."""
     ev = _t(spark, sf_dir, "events")
     return IC.spike_attribution(ev)
+
+
+@q("latency_percentiles", """
+WITH """ + IC.latency_percentiles_sql("events") + """
+SELECT * FROM lp_out
+""")
+def latency_percentiles(spark, sf_dir):
+    """The p50/p95/p99 observability dashboard row, exact and
+    skew-proof: the measure quantizes to milli-units and the stream
+    collapses to a (type, milli-value) histogram — cumulative windows
+    then run over distinct values, not events (a t-digest's shape with
+    zero sketch error).  Discrete percentile p_q = min{v : cum ≥
+    ceil(q·n)} in exact integer arithmetic
+    (functions/incidents.latency_percentiles)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.latency_percentiles(ev)

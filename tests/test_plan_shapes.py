@@ -730,3 +730,21 @@ def test_spike_attribution_spike_join_is_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_latency_percentiles_window_is_histogram_sized(spark):
+    """The cumulative window partitions by type over the milli-value
+    HISTOGRAM (post-groupBy), never the event stream; no global
+    single-partition sort, no Python."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + i, "t%d" % (i % 3), (i % 17) / 7.0)
+         for i in range(60)],
+        "event_id long, es long, event_type string, value double") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "event_type", "value")
+    plan = _plan(IC.latency_percentiles(ev))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # map-side partial agg before the histogram exchange
+    assert "partial_count" in plan or "partial" in plan.lower(), plan

@@ -1350,3 +1350,35 @@ def test_spike_attribution_tie_breaks_to_earliest_hour(spark):
         .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
     out = IC.spike_attribution(ev).collect()
     assert all(r.spike_hour == 0 for r in out)
+
+
+def test_latency_percentiles_hand_computed(spark):
+    """Discrete percentiles off the milli-histogram: p50 of ten values
+    is the 5th smallest (ceil rule); p95/p99 of ten are the max."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    vals = [0.010, 0.020, 0.030, 0.040, 0.050,
+            0.060, 0.070, 0.080, 0.090, 1.000]
+    rows = [(i, 100 + i, "api", vals[i]) for i in range(10)]
+    ev = (spark.createDataFrame(
+        rows, "event_id long, es long, event_type string, value double")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    r = IC.latency_percentiles(ev).collect()[0]
+    assert r.event_type == "api" and r.n_events == 10
+    assert r.p50_milli == 50          # cum >= ceil(10/2)=5 → 5th value
+    assert r.p95_milli == 1000        # ceil(9.5)=10 → the max
+    assert r.p99_milli == 1000
+    assert r.max_milli == 1000
+    assert r.mean_milli == (sum(int(round(v * 1000)) for v in vals)) // 10
+
+
+def test_latency_percentiles_duplicate_values_collapse(spark):
+    """Duplicates collapse into one histogram row; percentiles stay
+    exact through the collapsed cumulative counts."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [(i, 100 + i, "q", 0.005 if i < 7 else 0.100)
+            for i in range(8)]
+    ev = (spark.createDataFrame(
+        rows, "event_id long, es long, event_type string, value double")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    r = IC.latency_percentiles(ev).collect()[0]
+    assert r.p50_milli == 5 and r.p95_milli == 100 and r.n_events == 8
