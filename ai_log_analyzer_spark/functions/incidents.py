@@ -398,3 +398,132 @@ lp_out AS (
            AS p99_milli,
          max(v)::BIGINT AS max_milli
   FROM lp_cum GROUP BY grp)"""
+
+
+# ---------------------------------------------------------------------------
+# Tail-based sampling decision table (OpenTelemetry tail-sampling
+# processor semantics): keep EVERY session that contains an error,
+# and a deterministic hash fraction of the error-free rest — the
+# ingest-cost lever observability pipelines pull first, evaluated
+# retrospectively so the keep decision is session-complete (that is
+# what "tail" means: decide after the session is over, not per-event).
+#
+# Scale shape: one groupBy onto (key, session-bucket) sessions with a
+# conditional error sum; the keep rule is a pure projection on the
+# session grid (hash32 is the md5-derived kernel both engines share);
+# the decision fold is a bounded groupBy(keep_reason).  The raw stream
+# is touched exactly once.
+
+
+def tail_sampling(events: DataFrame, key_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  error_type: str = "error", bucket_s: int = 3600,
+                  sample_num: int = 1, sample_den: int = 10) -> DataFrame:
+    """(keep_reason, n_sessions, n_events, pct_sessions_ppm) with
+    keep_reason ∈ 'error' | 'sampled' | 'dropped' — error sessions
+    always kept; error-free sessions kept when
+    hash32(key||'|'||bucket) % sample_den < sample_num (deterministic,
+    engine-portable); ppm shares are exact integers."""
+    from .hashing import hash32
+    sess = (events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_timestamp({ts_col}) div {bucket_s}").cast("long")
+        .alias("b"),
+        (F.col(type_col) == error_type).cast("long").alias("is_err"))
+        .groupBy("key", "b")
+        .agg(F.sum("is_err").alias("n_err"),
+             F.count("*").cast("long").alias("n_ev")))
+    h = F.pmod(hash32(F.concat(F.col("key").cast("string"), F.lit("|"),
+                               F.col("b").cast("string"))),
+               F.lit(sample_den))
+    lab = (F.when(F.col("n_err") > 0, F.lit("error"))
+           .when(h < sample_num, F.lit("sampled"))
+           .otherwise(F.lit("dropped")))
+    per = (sess.withColumn("keep_reason", lab)
+           .groupBy("keep_reason")
+           .agg(F.count("*").cast("long").alias("n_sessions"),
+                F.sum("n_ev").cast("long").alias("n_events")))
+    tot = per.agg(F.sum("n_sessions").cast("long").alias("tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .withColumn("pct_sessions_ppm",
+                        F.expr("n_sessions * 1000000 div tot")
+                        .cast("long"))
+            .select("keep_reason", "n_sessions", "n_events",
+                    "pct_sessions_ppm"))
+
+
+def tail_sampling_sql(events: str, key_expr: str = "user_id",
+                      type_expr: str = "event_type", ts_expr: str = "ts",
+                      error_type: str = "error", bucket_s: int = 3600,
+                      sample_num: int = 1, sample_den: int = 10) -> str:
+    """DuckDB oracle: identical session → hash rule → fold chain; final
+    relation ``ts_out``."""
+    from .hashing import hash32_sql
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    hx = hash32_sql(f"key::VARCHAR || '|' || b::VARCHAR")
+    return f"""
+ts_sess AS (
+  SELECT {key_expr} AS key, {sec} // {bucket_s} AS b,
+         sum(({type_expr} = '{error_type}')::BIGINT) AS n_err,
+         count(*)::BIGINT AS n_ev
+  FROM {events} GROUP BY 1, 2),
+ts_lab AS (
+  SELECT CASE WHEN n_err > 0 THEN 'error'
+              WHEN {hx} % {sample_den} < {sample_num} THEN 'sampled'
+              ELSE 'dropped' END AS keep_reason,
+         n_ev
+  FROM ts_sess),
+ts_per AS (
+  SELECT keep_reason, count(*)::BIGINT AS n_sessions,
+         sum(n_ev)::BIGINT AS n_events
+  FROM ts_lab GROUP BY 1),
+ts_tot AS (SELECT sum(n_sessions)::BIGINT AS tot FROM ts_per),
+ts_out AS (
+  SELECT p.keep_reason, p.n_sessions, p.n_events,
+         (p.n_sessions * 1000000 // t.tot)::BIGINT AS pct_sessions_ppm
+  FROM ts_per p CROSS JOIN ts_tot t)"""
+
+
+# ---------------------------------------------------------------------------
+# Alert exemplars: for each (type, flagged-or-not severity lane) the
+# deterministic FIRST example — what every alert UI shows next to the
+# count, chosen by min event id so reruns and both engines agree.
+# min_by/arg_min is the single-pass idiom; no window, no sort of the
+# stream, one bounded-output aggregate.
+
+
+def alert_exemplars(events: DataFrame, type_col: str = "event_type",
+                    id_col: str = "event_id", key_col: str = "user_id",
+                    ts_col: str = "ts") -> DataFrame:
+    """(event_type, n_events, n_keys, exemplar_id, exemplar_key,
+    exemplar_sec) — per type: counts, distinct keys, and the
+    min-event-id exemplar's (id, key, second) fetched in the SAME
+    single aggregate via min_by (no join-back, no window)."""
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rel = events.select(F.col(type_col).alias("event_type"),
+                        F.col(id_col).alias("i"),
+                        F.col(key_col).alias("k"), sec.alias("t"))
+    return (rel.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("k").cast("long").alias("n_keys"),
+                 F.min("i").cast("long").alias("exemplar_id"),
+                 F.min_by("k", "i").cast("long").alias("exemplar_key"),
+                 F.min_by("t", "i").cast("long").alias("exemplar_sec")))
+
+
+def alert_exemplars_sql(events: str, type_expr: str = "event_type",
+                        id_expr: str = "event_id",
+                        key_expr: str = "user_id",
+                        ts_expr: str = "ts") -> str:
+    """DuckDB oracle: arg_min mirrors min_by; final relation
+    ``ax_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+ax_out AS (
+  SELECT {type_expr} AS event_type,
+         count(*)::BIGINT AS n_events,
+         count(DISTINCT {key_expr})::BIGINT AS n_keys,
+         min({id_expr})::BIGINT AS exemplar_id,
+         arg_min({key_expr}, {id_expr})::BIGINT AS exemplar_key,
+         arg_min({sec}, {id_expr})::BIGINT AS exemplar_sec
+  FROM {events} GROUP BY 1)"""

@@ -5011,3 +5011,31 @@ def latency_percentiles(spark, sf_dir):
     (functions/incidents.latency_percentiles)."""
     ev = _t(spark, sf_dir, "events")
     return IC.latency_percentiles(ev)
+
+
+@q("tail_sampling_stats", """
+WITH """ + IC.tail_sampling_sql("events") + """
+SELECT * FROM ts_out
+""")
+def tail_sampling_stats(spark, sf_dir):
+    """Tail-based sampling decision table (OpenTelemetry tail-sampler
+    semantics): error sessions always kept, a deterministic
+    hash32-fraction of clean sessions sampled, the rest dropped —
+    decided retrospectively on session-complete (key, hour) groups.
+    One pass over the stream onto the session grid, pure-projection
+    keep rule, bounded fold (functions/incidents.tail_sampling)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.tail_sampling(ev)
+
+
+@q("alert_exemplars", """
+WITH """ + IC.alert_exemplars_sql("events") + """
+SELECT * FROM ax_out
+""")
+def alert_exemplars(spark, sf_dir):
+    """Per-type counts + the deterministic min-event-id exemplar (id,
+    key, second) every alert UI shows next to the number — min_by /
+    arg_min in ONE aggregate, no join-back, no window, no stream sort
+    (functions/incidents.alert_exemplars)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.alert_exemplars(ev)

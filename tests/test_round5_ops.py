@@ -1382,3 +1382,49 @@ def test_latency_percentiles_duplicate_values_collapse(spark):
         .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
     r = IC.latency_percentiles(ev).collect()[0]
     assert r.p50_milli == 5 and r.p95_milli == 100 and r.n_events == 8
+
+
+def test_tail_sampling_error_sessions_always_kept(spark):
+    """A session with one error among many events is kept as 'error';
+    clean sessions split deterministically between sampled/dropped and
+    the ppm shares sum to 1e6 (up to floor)."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = []
+    eid = 0
+    for k in range(20):                       # 20 clean sessions
+        for j in range(3):
+            rows.append((eid, k, 100 + j, "view")); eid += 1
+    rows.append((eid, 99, 200, "error")); eid += 1   # 1 error session
+    rows.append((eid, 99, 201, "view")); eid += 1
+    ev = (spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    out = {r.keep_reason: r for r in IC.tail_sampling(
+        ev, sample_num=1, sample_den=10).collect()}
+    assert out["error"].n_sessions == 1 and out["error"].n_events == 2
+    n_clean = (out.get("sampled").n_sessions if "sampled" in out else 0) \
+        + (out.get("dropped").n_sessions if "dropped" in out else 0)
+    assert n_clean == 20
+    assert sum(r.pct_sessions_ppm for r in out.values()) \
+        >= 1_000_000 - len(out)
+    # determinism: the same input yields the identical decision table
+    out2 = {r.keep_reason: r.n_sessions for r in IC.tail_sampling(
+        ev, sample_num=1, sample_den=10).collect()}
+    assert out2 == {k: r.n_sessions for k, r in out.items()}
+
+
+def test_alert_exemplars_min_by_is_deterministic(spark):
+    """The exemplar is the min-event-id row's payload, independent of
+    partition order."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [(5, 7, 500, "a"), (2, 3, 200, "a"), (9, 1, 900, "a"),
+            (4, 6, 400, "b")]
+    ev = (spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es")
+        .repartition(4))
+    out = {r.event_type: r for r in IC.alert_exemplars(ev).collect()}
+    a = out["a"]
+    assert (a.exemplar_id, a.exemplar_key, a.exemplar_sec) == (2, 3, 200)
+    assert a.n_events == 3 and a.n_keys == 3
+    assert out["b"].exemplar_id == 4
