@@ -527,3 +527,161 @@ ax_out AS (
          arg_min({key_expr}, {id_expr})::BIGINT AS exemplar_key,
          arg_min({sec}, {id_expr})::BIGINT AS exemplar_sec
   FROM {events} GROUP BY 1)"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured telemetry schema coverage: which JSON property keys
+# each event type actually carries, and how consistently — the
+# schema-drift tripwire for the freeform `props` bag (a producer that
+# stops sending a key, or starts sending a new one, shows up here
+# before any consumer breaks).  json_object_keys (Spark) / json_keys
+# (DuckDB) agree on the key multiset; the stream dies at one groupBy
+# onto the (type, key) grid.
+
+
+def json_key_coverage(events: DataFrame, type_col: str = "event_type",
+                      props_col: str = "props",
+                      drift_ppm: int = 1_000_000) -> DataFrame:
+    """(event_type, key, n_with_key, n_events, coverage_ppm,
+    is_partial) — per type, each JSON key's presence count over the
+    type's event count; is_partial flags keys below full coverage
+    (coverage_ppm < ``drift_ppm``)."""
+    rel = events.select(F.col(type_col).alias("event_type"),
+                        F.col(props_col).alias("p"))
+    totals = (rel.groupBy("event_type")
+              .agg(F.count("*").cast("long").alias("n_events")))
+    keys = (rel.select("event_type",
+                       F.explode(F.json_object_keys("p")).alias("key"))
+            .groupBy("event_type", "key")
+            .agg(F.count("*").cast("long").alias("n_with_key")))
+    return (keys.join(F.broadcast(totals), "event_type")
+            .withColumn("coverage_ppm",
+                        F.expr("n_with_key * 1000000 div n_events")
+                        .cast("long"))
+            .withColumn("is_partial",
+                        (F.col("coverage_ppm") < drift_ppm).cast("int"))
+            .select("event_type", "key", "n_with_key", "n_events",
+                    "coverage_ppm", "is_partial"))
+
+
+def json_key_coverage_sql(events: str, type_expr: str = "event_type",
+                          props_expr: str = "props",
+                          drift_ppm: int = 1_000_000) -> str:
+    """DuckDB oracle: json_keys mirror; final relation ``jk_out``."""
+    return f"""
+jk_tot AS (
+  SELECT {type_expr} AS event_type, count(*)::BIGINT AS n_events
+  FROM {events} GROUP BY 1),
+jk_keys AS (
+  SELECT {type_expr} AS event_type, unnest(json_keys({props_expr})) AS key
+  FROM {events}),
+jk_grid AS (
+  SELECT event_type, key, count(*)::BIGINT AS n_with_key
+  FROM jk_keys GROUP BY 1, 2),
+jk_out AS (
+  SELECT g.event_type, g.key, g.n_with_key, t.n_events,
+         (g.n_with_key * 1000000 // t.n_events)::BIGINT AS coverage_ppm,
+         ((g.n_with_key * 1000000 // t.n_events) < {drift_ppm})::INT
+           AS is_partial
+  FROM jk_grid g JOIN jk_tot t USING (event_type))"""
+
+
+# ---------------------------------------------------------------------------
+# Incident summary capstone: the one-row-per-type incident digest a
+# pager links to — counts + deterministic exemplar, the worst hour and
+# its top driver key, and the most-correlated co-firing type —
+# composed from alert_exemplars, spike_attribution, and
+# alert_correlation.  The oracle composes the same three SQL
+# generators verbatim (their CTE prefixes are disjoint by design), so
+# the capstone is hash-checked end-to-end through the same kernels.
+#
+# Scale shape: all three inputs are type- or (type, key)-grain grids;
+# the top-driver and top-partner reductions are rank-1 windows over
+# those grids (excess desc / lift desc, deterministic tie-breaks); the
+# final assembly is broadcast joins of type-grain tables.
+
+
+def incident_summary(events: DataFrame, key_col: str = "user_id",
+                     type_col: str = "event_type", ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """(event_type, n_events, n_keys, exemplar_id, spike_hour,
+    spike_total, top_driver_key, top_driver_excess_ppm, top_partner,
+    top_partner_lift_ppm) — partner columns NULL when no correlated
+    pair survived min-co support."""
+    ex = alert_exemplars(events, type_col=type_col, id_col=id_col,
+                         key_col=key_col, ts_col=ts_col) \
+        .select("event_type", "n_events", "n_keys", "exemplar_id")
+    sp = spike_attribution(events, key_col=key_col, type_col=type_col,
+                           ts_col=ts_col)
+    wd = Window.partitionBy("event_type") \
+        .orderBy(F.desc("excess_ppm"), F.asc("key"))
+    drivers = (sp.withColumn("rk", F.row_number().over(wd))
+               .filter(F.col("rk") == 1)
+               .select("event_type", "spike_hour", "spike_total",
+                       F.col("key").alias("top_driver_key"),
+                       F.col("excess_ppm")
+                       .alias("top_driver_excess_ppm")))
+    ac = alert_correlation(events, key_col=key_col, type_col=type_col,
+                           ts_col=ts_col)
+    both = (ac.select(F.col("a").alias("event_type"),
+                      F.col("b").alias("partner"), "lift_ppm")
+            .unionByName(ac.select(F.col("b").alias("event_type"),
+                                   F.col("a").alias("partner"),
+                                   "lift_ppm")))
+    wp = Window.partitionBy("event_type") \
+        .orderBy(F.desc("lift_ppm"), F.asc("partner"))
+    partners = (both.withColumn("rk", F.row_number().over(wp))
+                .filter(F.col("rk") == 1)
+                .select("event_type",
+                        F.col("partner").alias("top_partner"),
+                        F.col("lift_ppm").alias("top_partner_lift_ppm")))
+    return (ex.join(F.broadcast(drivers), "event_type")
+            .join(F.broadcast(partners), "event_type", "left")
+            .select("event_type", "n_events", "n_keys", "exemplar_id",
+                    "spike_hour", "spike_total", "top_driver_key",
+                    "top_driver_excess_ppm", "top_partner",
+                    "top_partner_lift_ppm"))
+
+
+def incident_summary_sql(events: str, key_expr: str = "user_id",
+                         type_expr: str = "event_type",
+                         ts_expr: str = "ts",
+                         id_expr: str = "event_id") -> str:
+    """DuckDB oracle: the three component generators composed verbatim
+    (disjoint CTE prefixes) + rank-1 reductions; final relation
+    ``is_out``."""
+    return (alert_exemplars_sql(events, type_expr=type_expr,
+                                id_expr=id_expr, key_expr=key_expr,
+                                ts_expr=ts_expr) + ",\n"
+            + spike_attribution_sql(events, key_expr=key_expr,
+                                    type_expr=type_expr,
+                                    ts_expr=ts_expr) + ",\n"
+            + alert_correlation_sql(events, key_expr=key_expr,
+                                    type_expr=type_expr,
+                                    ts_expr=ts_expr) + f""",
+is_drv AS (
+  SELECT event_type, spike_hour, spike_total,
+         key AS top_driver_key, excess_ppm AS top_driver_excess_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY excess_ppm DESC, key ASC)
+                    AS rk
+        FROM sp_out) WHERE rk = 1),
+is_both AS (
+  SELECT a AS event_type, b AS partner, lift_ppm FROM ac_out
+  UNION ALL
+  SELECT b AS event_type, a AS partner, lift_ppm FROM ac_out),
+is_ptn AS (
+  SELECT event_type, partner AS top_partner,
+         lift_ppm AS top_partner_lift_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY lift_ppm DESC, partner ASC)
+                    AS rk
+        FROM is_both) WHERE rk = 1),
+is_out AS (
+  SELECT x.event_type, x.n_events, x.n_keys, x.exemplar_id,
+         d.spike_hour, d.spike_total, d.top_driver_key,
+         d.top_driver_excess_ppm, p.top_partner,
+         p.top_partner_lift_ppm
+  FROM ax_out x
+  JOIN is_drv d USING (event_type)
+  LEFT JOIN is_ptn p USING (event_type))""")

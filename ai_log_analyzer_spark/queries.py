@@ -5039,3 +5039,34 @@ def alert_exemplars(spark, sf_dir):
     (functions/incidents.alert_exemplars)."""
     ev = _t(spark, sf_dir, "events")
     return IC.alert_exemplars(ev)
+
+
+@q("json_key_coverage", """
+WITH """ + IC.json_key_coverage_sql("events") + """
+SELECT * FROM jk_out
+""")
+def json_key_coverage(spark, sf_dir):
+    """Semi-structured schema-coverage table over the freeform props
+    bag: per (type, JSON key) presence counts and exact coverage ppm —
+    the drift tripwire that catches a producer dropping or adding a
+    key before any consumer breaks.  json_object_keys/json_keys agree
+    on the key multiset; one groupBy onto the (type, key) grid, totals
+    broadcast back (functions/incidents.json_key_coverage)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.json_key_coverage(ev)
+
+
+@q("incident_summary", """
+WITH """ + IC.incident_summary_sql("events") + """
+SELECT * FROM is_out
+""")
+def incident_summary(spark, sf_dir):
+    """Incident digest capstone — one row per type: counts +
+    deterministic exemplar, the worst hour with its top driver key
+    (rank-1 by excess, tie to smallest key), and the most-correlated
+    co-firing type (rank-1 by lift, tie to smallest partner) —
+    composed from alert_exemplars ⨝ spike_attribution ⨝
+    alert_correlation; the oracle composes the same three SQL
+    generators verbatim (functions/incidents.incident_summary)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.incident_summary(ev)

@@ -1428,3 +1428,54 @@ def test_alert_exemplars_min_by_is_deterministic(spark):
     assert (a.exemplar_id, a.exemplar_key, a.exemplar_sec) == (2, 3, 200)
     assert a.n_events == 3 and a.n_keys == 3
     assert out["b"].exemplar_id == 4
+
+
+def test_json_key_coverage_partial_key_flags(spark):
+    """A key present in only some of a type's events reads partial
+    coverage in exact ppm; full-coverage keys don't flag."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [(1, 10, "a", '{"k": 1, "v": 2}'),
+            (2, 20, "a", '{"k": 3}'),
+            (3, 30, "a", '{"k": 5, "v": 9}'),
+            (4, 40, "b", '{"z": 0}')]
+    ev = (spark.createDataFrame(
+        rows, "event_id long, es long, event_type string, props string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    out = {(r.event_type, r.key): r
+           for r in IC.json_key_coverage(ev).collect()}
+    assert out[("a", "k")].coverage_ppm == 1_000_000
+    assert out[("a", "k")].is_partial == 0
+    assert out[("a", "v")].n_with_key == 2
+    assert out[("a", "v")].coverage_ppm == 666_666
+    assert out[("a", "v")].is_partial == 1
+    assert out[("b", "z")].coverage_ppm == 1_000_000
+
+
+def test_incident_summary_composes_components(spark):
+    """The capstone row carries the exemplar, the spike driver (rank-1
+    by excess, tie to smallest key), and the best partner; a type with
+    no surviving correlation pair keeps NULL partner columns."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = []
+    eid = 0
+    # types a+b co-fire in 3 baskets (keys 1-3, hour 0) → partners;
+    # type c fires alone (no pair survives min_co=2)
+    for k in (1, 2, 3):
+        rows.append((eid, k, 100 + eid, "a")); eid += 1
+        rows.append((eid, k, 100 + eid, "b")); eid += 1
+    rows.append((eid, 8, 100, "c")); eid += 1
+    # spike hour for c: hour 5 with driver key 9
+    for j in range(4):
+        rows.append((eid, 9, 5 * 3600 + j, "c")); eid += 1
+    ev = (spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    out = {r.event_type: r for r in IC.incident_summary(ev).collect()}
+    assert out["a"].top_partner == "b" and out["b"].top_partner == "a"
+    assert out["a"].top_partner_lift_ppm == out["b"].top_partner_lift_ppm
+    c = out["c"]
+    assert c.top_partner is None and c.top_partner_lift_ppm is None
+    assert c.spike_hour == 5 and c.spike_total == 4
+    assert c.top_driver_key == 9
+    assert c.exemplar_id == 6          # first c event has id 6
+    assert c.n_events == 5 and c.n_keys == 2
