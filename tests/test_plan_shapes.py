@@ -748,3 +748,34 @@ def test_latency_percentiles_window_is_histogram_sized(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
     # map-side partial agg before the histogram exchange
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_json_key_coverage_totals_join_is_broadcast(spark):
+    """Key explode feeds one (type, key) grid groupBy; totals broadcast
+    back; no Python (json_object_keys is a JVM expression)."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + i, "t%d" % (i % 3), '{"k": 1}')
+         for i in range(30)],
+        "event_id long, es long, event_type string, props string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "event_type", "props")
+    plan = _plan(IC.json_key_coverage(ev))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_incident_summary_assembly_is_broadcast_joins(spark):
+    """The capstone assembles type-grain tables by broadcast; rank-1
+    windows partition by type (never single-partition); no Python."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000 + (i % 8) * 3600 + i, i % 5, "t%d" % (i % 3))
+         for i in range(80)],
+        "event_id long, es long, user_id long, event_type string") \
+        .select("event_id", F.timestamp_seconds("es").alias("ts"),
+                "user_id", "event_type")
+    plan = _plan(IC.incident_summary(ev))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
