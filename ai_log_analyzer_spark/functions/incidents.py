@@ -685,3 +685,128 @@ is_out AS (
   FROM ax_out x
   JOIN is_drv d USING (event_type)
   LEFT JOIN is_ptn p USING (event_type))""")
+
+
+# ---------------------------------------------------------------------------
+# At-least-once delivery audit: duplicate event-id detection — the
+# ingest-hygiene table that tells you whether the upstream bus
+# re-delivered, and how badly, before any consumer dedups.  One
+# groupBy onto the id grid, one bounded global fold.
+
+
+def delivery_dedup_stats(events: DataFrame,
+                         id_col: str = "event_id") -> DataFrame:
+    """(n_rows, n_ids, n_dup_ids, n_dup_rows, max_copies, dup_ppm) —
+    one summary row; dup_ppm = redundant rows · 10⁶ div total rows."""
+    per_id = (events.groupBy(F.col(id_col).alias("i"))
+              .agg(F.count("*").cast("long").alias("c")))
+    return (per_id.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_ids"),
+        F.sum((F.col("c") > 1).cast("long")).cast("long")
+        .alias("n_dup_ids"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dup_rows"),
+        F.max("c").cast("long").alias("max_copies"))
+        .withColumn("dup_ppm",
+                    F.expr("n_dup_rows * 1000000 div n_rows")
+                    .cast("long")))
+
+
+def delivery_dedup_stats_sql(events: str,
+                             id_expr: str = "event_id") -> str:
+    """DuckDB oracle; final relation ``dd_out``."""
+    return f"""
+dd_per AS (
+  SELECT {id_expr} AS i, count(*)::BIGINT AS c
+  FROM {events} GROUP BY 1),
+dd_out AS (
+  SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_ids,
+         sum((c > 1)::BIGINT)::BIGINT AS n_dup_ids,
+         sum(c - 1)::BIGINT AS n_dup_rows,
+         max(c)::BIGINT AS max_copies,
+         (sum(c - 1) * 1000000 // sum(c))::BIGINT AS dup_ppm
+  FROM dd_per)"""
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness profile: how out-of-order the stream actually is
+# — the measurement that should SET the streaming watermark delay
+# (too short drops late data, too long bloats state).  Arrival order
+# is proxied by the monotone ingest id; per key, an event's lateness
+# is the running max event-time at its arrival minus its own event
+# time.  The lateness values collapse to a histogram (distinct
+# lateness seconds, bounded by the disorder span — not the stream),
+# and the global discrete percentiles run over that histogram; the
+# single-partition window is histogram-sized, documented.
+
+
+def lateness_profile(events: DataFrame, key_col: str = "user_id",
+                     id_col: str = "event_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """(n_events, n_late, late_ppm, p50_late_s, p95_late_s,
+    p99_late_s, max_late_s) — one summary row; p_q over lateness
+    seconds, discrete rule p_q = min{v : cum ≥ ceil(q·n)}."""
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = (Window.partitionBy(key_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    late = (events.select(F.col(key_col), F.col(id_col), sec.alias("t"))
+            .withColumn("late", (F.max("t").over(w) - F.col("t"))
+                        .cast("long")))
+    hist = late.groupBy("late").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("late") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h = (hist.withColumn("cum", F.sum("c").over(wcum))
+         .withColumn("n", F.sum("c").over(
+             Window.partitionBy())))
+    def need(num: int, den: int):
+        return -F.floor(F.lit(-num) * F.col("n") / den)
+    return (h.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late") > 0, F.col("c"))
+              .otherwise(F.lit(0))).cast("long").alias("n_late"),
+        F.min(F.when(F.col("cum") >= need(1, 2), F.col("late")))
+        .cast("long").alias("p50_late_s"),
+        F.min(F.when(F.col("cum") >= need(19, 20), F.col("late")))
+        .cast("long").alias("p95_late_s"),
+        F.min(F.when(F.col("cum") >= need(99, 100), F.col("late")))
+        .cast("long").alias("p99_late_s"),
+        F.max("late").cast("long").alias("max_late_s"))
+        .withColumn("late_ppm",
+                    F.expr("n_late * 1000000 div n_events").cast("long"))
+        .select("n_events", "n_late", "late_ppm", "p50_late_s",
+                "p95_late_s", "p99_late_s", "max_late_s"))
+
+
+def lateness_profile_sql(events: str, key_expr: str = "user_id",
+                         id_expr: str = "event_id",
+                         ts_expr: str = "ts") -> str:
+    """DuckDB oracle: identical running-max → histogram → percentile
+    chain; final relation ``lt_out``."""
+    sec = f"epoch(date_trunc('second', {ts_expr}))::BIGINT"
+    return f"""
+lt_late AS (
+  SELECT (max({sec}) OVER (PARTITION BY {key_expr} ORDER BY {id_expr}
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+          - {sec})::BIGINT AS late
+  FROM {events}),
+lt_hist AS (
+  SELECT late, count(*)::BIGINT AS c FROM lt_late GROUP BY 1),
+lt_cum AS (
+  SELECT late, c,
+         sum(c) OVER (ORDER BY late ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM lt_hist),
+lt_out AS (
+  SELECT max(n)::BIGINT AS n_events,
+         sum(CASE WHEN late > 0 THEN c ELSE 0 END)::BIGINT AS n_late,
+         (sum(CASE WHEN late > 0 THEN c ELSE 0 END) * 1000000
+            // max(n))::BIGINT AS late_ppm,
+         min(CASE WHEN cum >= -floor(-n / 2.0) THEN late END)::BIGINT
+           AS p50_late_s,
+         min(CASE WHEN cum >= -floor(-19.0 * n / 20.0) THEN late END)
+           ::BIGINT AS p95_late_s,
+         min(CASE WHEN cum >= -floor(-99.0 * n / 100.0) THEN late END)
+           ::BIGINT AS p99_late_s,
+         max(late)::BIGINT AS max_late_s
+  FROM lt_cum)"""

@@ -5070,3 +5070,32 @@ def incident_summary(spark, sf_dir):
     generators verbatim (functions/incidents.incident_summary)."""
     ev = _t(spark, sf_dir, "events")
     return IC.incident_summary(ev)
+
+
+@q("delivery_dedup_stats", """
+WITH """ + IC.delivery_dedup_stats_sql("events") + """
+SELECT * FROM dd_out
+""")
+def delivery_dedup_stats(spark, sf_dir):
+    """At-least-once delivery audit: duplicate event-id incidence in
+    one summary row (redundant-row ppm, worst copy count) — the ingest
+    hygiene check before any consumer dedups.  One groupBy onto the id
+    grid + a bounded global fold
+    (functions/incidents.delivery_dedup_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.delivery_dedup_stats(ev)
+
+
+@q("lateness_profile", """
+WITH """ + IC.lateness_profile_sql("events") + """
+SELECT * FROM lt_out
+""")
+def lateness_profile(spark, sf_dir):
+    """Watermark lateness profile: per-key event-time disorder against
+    arrival order (monotone ingest id), folded to the global lateness
+    histogram and exact discrete p50/p95/p99 — the measurement that
+    should SET a streaming watermark delay.  The single-partition
+    cumulative window is histogram-sized (distinct lateness seconds),
+    never stream-sized (functions/incidents.lateness_profile)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.lateness_profile(ev)

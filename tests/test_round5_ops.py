@@ -1479,3 +1479,41 @@ def test_incident_summary_composes_components(spark):
     assert c.top_driver_key == 9
     assert c.exemplar_id == 6          # first c event has id 6
     assert c.n_events == 5 and c.n_keys == 2
+
+
+def test_delivery_dedup_stats_hand_computed(spark):
+    """Three copies of one id and two of another: dup ids, redundant
+    rows, worst copy count, exact ppm."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [(1, 1, 10, "a"), (1, 1, 11, "a"), (1, 1, 12, "a"),
+            (2, 1, 20, "a"), (2, 1, 21, "a"),
+            (3, 2, 30, "b"), (4, 2, 40, "b")]
+    ev = (spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string")
+        .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    r = IC.delivery_dedup_stats(ev).collect()[0]
+    assert (r.n_rows, r.n_ids, r.n_dup_ids) == (7, 4, 2)
+    assert (r.n_dup_rows, r.max_copies) == (3, 3)
+    assert r.dup_ppm == 428_571
+
+
+def test_lateness_profile_hand_computed(spark):
+    """Lateness = running-max event time at arrival minus own event
+    time, per key; in-order keys contribute zeros."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [
+        # key 1 arrives in id order with ts 100, 50, 120, 110:
+        # late = 0, 50, 0, 10
+        (1, 1, 100), (2, 1, 50), (3, 1, 120), (4, 1, 110),
+        # key 2 fully in order: late = 0, 0
+        (5, 2, 10), (6, 2, 20),
+    ]
+    ev = (spark.createDataFrame(rows, "event_id long, user_id long, es long")
+          .withColumn("ts", F.timestamp_seconds("es")).drop("es"))
+    r = IC.lateness_profile(ev).collect()[0]
+    assert r.n_events == 6 and r.n_late == 2
+    assert r.late_ppm == 333_333
+    # sorted lateness: 0,0,0,0,10,50 → p50 = 0 (3rd), p95/p99 = 50
+    assert r.p50_late_s == 0
+    assert r.p95_late_s == 50 and r.p99_late_s == 50
+    assert r.max_late_s == 50
