@@ -5099,3 +5099,31 @@ def lateness_profile(spark, sf_dir):
     never stream-sized (functions/incidents.lateness_profile)."""
     ev = _t(spark, sf_dir, "events")
     return IC.lateness_profile(ev)
+
+
+# ── data-layout planning (functions/layout.py) ─────────────────────────
+
+from .functions import layout as _LY
+
+
+@q("zorder_layout", _LY.zorder_layout_sql("events"))
+def zorder_layout_q(spark, sf_dir):
+    """Z-order vs time-cut layout audit over events: per-(layout, file)
+    min/max extents of the user-hash and hour predicate dimensions —
+    the parquet min/max pruning widths that decide how much of a
+    100-TB store a point lookup scans.  Morton key in exact integer
+    arithmetic (engine-portable), one ≤128-group aggregate
+    (functions/layout.zorder_layout)."""
+    from .functions import layout as LY
+    return LY.zorder_layout(_t(spark, sf_dir, "events"))
+
+
+@q("range_partition_bounds", _LY.range_partition_bounds_sql("events"))
+def range_partition_bounds_q(spark, sf_dir):
+    """Exact equi-depth range-partition boundaries (16 tiles over
+    (value, event_id)) for sorted writes — RangePartitioner's job
+    without its sampling drift: range-bucketed distributed rank +
+    exact NTILE arithmetic; oracle is DuckDB's ntile() window
+    (functions/layout.range_partition_bounds)."""
+    from .functions import layout as LY
+    return LY.range_partition_bounds(_t(spark, sf_dir, "events"))

@@ -779,3 +779,32 @@ def test_incident_summary_assembly_is_broadcast_joins(spark):
     plan = _plan(IC.incident_summary(ev))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_zorder_layout_single_aggregate_no_python(spark):
+    """Layout audit = projection + one ≤128-group aggregate; the corpus
+    time-bounds join is a broadcast (1 row); zero Python nodes."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    ev = spark.range(500).selectExpr(
+        "id as event_id", "cast(id * 7 % 100 as long) as user_id",
+        "timestamp_micros(1700000000000000 + id * 60000000) as ts")
+    plan = _plan(LY.zorder_layout(ev))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_range_partition_bounds_no_global_window(spark):
+    """The distributed rank partitions its window by range bucket —
+    no single-partition global window (the RangePartitioner-without-
+    sampling claim); the base-offset join is broadcast."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    ev = spark.range(1000).selectExpr(
+        "id as event_id", "cast(id * 37 % 500 as double) / 100 as value")
+    plan = _plan(LY.range_partition_bounds(ev, k=16))
+    # a global window shows as 'Window [...], [v ASC ...]' with no
+    # partitionBy → its exchange is SinglePartition
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

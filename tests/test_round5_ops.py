@@ -1517,3 +1517,62 @@ def test_lateness_profile_hand_computed(spark):
     assert r.p50_late_s == 0
     assert r.p95_late_s == 50 and r.p99_late_s == 50
     assert r.max_late_s == 50
+
+
+# ── data-layout planning (functions/layout.py) ─────────────────────────
+
+def test_morton_key_is_a_grid_bijection(spark):
+    """The arithmetic Morton key maps the 64×64 grid 1:1 onto
+    [0, 4096) and its div-64 file covers exactly an 8×8 tile."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    grid = spark.range(64).selectExpr("id as x").crossJoin(
+        spark.range(64).selectExpr("id as y"))
+    z = grid.select(LY._morton(F.col("x"), F.col("y")).alias("z"),
+                    "x", "y")
+    stats = z.agg(F.countDistinct("z"), F.min("z"), F.max("z")).collect()[0]
+    assert tuple(stats) == (4096, 0, 4095)
+    tile = (z.withColumn("f", F.expr("z div 64"))
+            .groupBy("f")
+            .agg((F.max("x") - F.min("x") + 1).alias("wx"),
+                 (F.max("y") - F.min("y") + 1).alias("wy"),
+                 F.count("*").alias("n")))
+    bad = tile.where("wx != 8 or wy != 8 or n != 64").count()
+    assert bad == 0 and tile.count() == 64
+
+
+def test_zorder_layout_bounds_both_dims(spark):
+    """Under the Z-order layout every file's x and y widths are ≤ 8;
+    row totals are conserved across both layouts."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    n = 5000
+    ev = spark.range(n).selectExpr(
+        "id as event_id",
+        "cast(id * 977 % 4096 as long) as user_id",
+        "timestamp_micros(1700000000000000 + id * 3600000000) as ts")
+    out = LY.zorder_layout(ev).cache()
+    zf = out.where("layout = 'zorder'")
+    assert zf.where("width_x > 8 or width_y > 8").count() == 0
+    totals = {r.layout: r.s for r in
+              out.groupBy("layout").agg(F.sum("n_rows").alias("s")).collect()}
+    assert totals == {"time": n, "zorder": n}
+    # the time-cut layout leaves user extents unbounded (≫ 8) on this
+    # user-shuffled stream — the pruning argument the audit exists for
+    worst = out.where("layout = 'time'").agg(F.max("width_x")).collect()[0][0]
+    assert worst > 8
+
+
+def test_range_partition_bounds_exact_ntile(spark):
+    """Tiles are NTILE-exact: first n%k tiles one row larger, bounds
+    non-overlapping and monotone, all rows covered."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    n, k = 1003, 16
+    ev = spark.range(n).selectExpr(
+        "id as event_id",
+        "cast((id * 37 % 500) as double) / 100 as value")
+    out = LY.range_partition_bounds(ev, k=k).orderBy("tile").collect()
+    assert [r.tile for r in out] == list(range(1, k + 1))
+    q, rem = divmod(n, k)
+    assert [r.n_rows for r in out] == [q + 1] * rem + [q] * (k - rem)
+    for a, b in zip(out, out[1:]):
+        assert a.hi_cents <= b.lo_cents
+    assert sum(r.n_rows for r in out) == n
