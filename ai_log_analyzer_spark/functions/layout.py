@@ -1,8 +1,8 @@
 """Data-layout planning for 100-TB log/corpus stores.
 
-Two operators over the ``events`` table — the physical-design step a
-petabyte log store runs BEFORE any of the query operators in this
-package, because it decides how much data those queries ever touch:
+Three operators — the physical-design steps a petabyte log store runs
+BEFORE any of the query operators in this package, because they decide
+how much data those queries ever touch:
 
 - ``zorder_layout``: multi-dimensional clustering audit.  Events are
   assigned to files under two layouts — the naive ingestion layout
@@ -24,6 +24,16 @@ package, because it decides how much data those queries ever touch:
   value-exact.  At scale the whole operator is one projection plus one
   64-file-per-layout aggregate: a single shuffle of (layout, file_id)
   pre-aggregated map-side to ≤128 groups.
+
+- ``compaction_plan``: the small-files maintenance pass (Delta/Iceberg
+  ``OPTIMIZE`` bin-packing): roll a partition directory's file listing
+  in file order, cutting a new compaction group every time the running
+  byte total crosses ``target_bytes`` — per-directory windowed prefix
+  sums (every directory plans in parallel; no global window), one
+  shuffle keyed by directory.  Small files are THE operational failure
+  mode of a 100-TB parquet store (a 10⁶-file table pays listing +
+  footer + task-schedule cost per file); the plan output is the merge
+  manifest a maintenance job executes.
 
 - ``range_partition_bounds``: exact equi-depth range-partition
   boundaries (k tiles over (value, event_id)) for sorted writes.
@@ -139,6 +149,64 @@ SELECT layout, file_id, count(*) AS n_rows,
        max(x) - min(x) + 1 AS width_x,
        max(y) - min(y) + 1 AS width_y
 FROM stacked GROUP BY layout, file_id
+"""
+
+
+DOCS_PER_FILE = 20
+TARGET_BYTES = 2_000     # test-corpus scale; production: 128 MB-1 GB
+
+
+def compaction_plan(docs: DataFrame, source_col: str = "source",
+                    id_col: str = "doc_id", bytes_col: str = "n_chars",
+                    docs_per_file: int = DOCS_PER_FILE,
+                    target_bytes: int = TARGET_BYTES) -> DataFrame:
+    """Small-files compaction manifest (module docstring).  Synthetic
+    file listing: every ``docs_per_file`` consecutive doc_ids within a
+    source = one file with bytes = sum(bytes_col).  Output one row per
+    file: source, file_idx, n_docs, bytes, is_small, grp (the
+    compaction group the maintenance job merges it into)."""
+    files = (docs.select(F.col(source_col).alias("source"),
+                         F.expr(f"{id_col} div {docs_per_file}")
+                         .alias("file_idx"),
+                         F.col(bytes_col).cast("long").alias("b"))
+             .groupBy("source", "file_idx")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("b").alias("bytes")))
+    # per-directory prefix sum: window partitioned by source — every
+    # directory plans independently and in parallel; group = how many
+    # target multiples the running total BEFORE this file has crossed
+    w = (Window.partitionBy("source").orderBy("file_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    return (files.withColumn("is_small",
+                             F.col("bytes") < F.lit(target_bytes))
+            .withColumn("_cum", cum_before)
+            # `div` = exact integral division (a directory's running
+            # byte total can exceed the 2^53 double-exact range)
+            .withColumn("grp", F.expr(f"_cum div {target_bytes}"))
+            .drop("_cum"))
+
+
+def compaction_plan_sql(table: str = "documents",
+                        source_expr: str = "source",
+                        id_expr: str = "doc_id",
+                        bytes_expr: str = "n_chars",
+                        docs_per_file: int = DOCS_PER_FILE,
+                        target_bytes: int = TARGET_BYTES) -> str:
+    return f"""
+WITH files AS (
+  SELECT {source_expr} AS source,
+         ({id_expr}) // {docs_per_file} AS file_idx,
+         count(*) AS n_docs,
+         sum(({bytes_expr})::BIGINT)::BIGINT AS bytes
+  FROM {table} GROUP BY 1, 2
+)
+SELECT source, file_idx, n_docs, bytes,
+       bytes < {target_bytes} AS is_small,
+       (coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {target_bytes})::BIGINT AS grp
+FROM files
 """
 
 

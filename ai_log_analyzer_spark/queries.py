@@ -5127,3 +5127,15 @@ def range_partition_bounds_q(spark, sf_dir):
     (functions/layout.range_partition_bounds)."""
     from .functions import layout as LY
     return LY.range_partition_bounds(_t(spark, sf_dir, "events"))
+
+
+@q("compaction_plan", _LY.compaction_plan_sql("documents"))
+def compaction_plan_q(spark, sf_dir):
+    """Small-files compaction manifest (Delta/Iceberg OPTIMIZE
+    bin-packing): per-directory file listing rolled in file order,
+    cutting a merge group each time the running byte total crosses the
+    target — per-source windowed prefix sums, every directory planned
+    in parallel, one shuffle keyed by directory
+    (functions/layout.compaction_plan)."""
+    from .functions import layout as LY
+    return LY.compaction_plan(_t(spark, sf_dir, "documents"))

@@ -808,3 +808,15 @@ def test_range_partition_bounds_no_global_window(spark):
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_compaction_plan_windows_partition_by_directory(spark):
+    """The compaction prefix sum is per-directory: its window exchange
+    hashes on source — never SinglePartition; zero Python nodes."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    docs = spark.range(2000).selectExpr(
+        "id as doc_id", "concat('s', id % 7) as source",
+        "cast(id % 300 + 10 as long) as n_chars")
+    plan = _plan(LY.compaction_plan(docs))
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -1576,3 +1576,40 @@ def test_range_partition_bounds_exact_ntile(spark):
     for a, b in zip(out, out[1:]):
         assert a.hi_cents <= b.lo_cents
     assert sum(r.n_rows for r in out) == n
+
+
+def test_compaction_plan_groups_accumulate_to_target(spark):
+    """Groups cut exactly where the running per-source byte total
+    crosses target multiples; files stay in file order within groups;
+    every small file is flagged."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    # source a: files of 10,10,10,10 bytes (ids 0..79, 2 docs/file of
+    # 5 bytes) target 25 → cum-before 0,10,20,30 → grps 0,0,0,1
+    rows = [(i, "a", 5) for i in range(80)] + \
+           [(100 + i, "b", 30) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = LY.compaction_plan(docs, docs_per_file=20, target_bytes=25) \
+        .orderBy("source", "file_idx").collect()
+    a = [(r.file_idx, r.bytes, r.grp, r.is_small) for r in out
+         if r.source == "a"]
+    assert a == [(0, 100, 0, False), (1, 100, 4, False),
+                 (2, 100, 8, False), (3, 100, 12, False)]
+    # b: ids 100-139 → file 5 (100..119) and 6 (120..139), 600 B each
+    b = [(r.file_idx, r.bytes, r.grp, r.is_small) for r in out
+         if r.source == "b"]
+    assert b == [(5, 600, 0, False), (6, 600, 24, False)]
+    # small-file flagging: single tiny file
+    tiny = spark.createDataFrame([(0, "c", 3)],
+                                 "doc_id long, source string, n_chars long")
+    t = LY.compaction_plan(tiny, docs_per_file=20, target_bytes=25).collect()[0]
+    assert t.is_small and t.grp == 0 and t.n_docs == 1
+    # small files MERGE: 5 files × 20 B, target 25 → cum-before
+    # 0,20,40,60,80 → grps 0,0,1,2,3 (first two coalesce)
+    small = spark.createDataFrame(
+        [(i, "d", 1) for i in range(100)],
+        "doc_id long, source string, n_chars long")
+    d = [(r.file_idx, r.grp, r.is_small) for r in
+         LY.compaction_plan(small, docs_per_file=20, target_bytes=25)
+         .orderBy("file_idx").collect()]
+    assert d == [(0, 0, True), (1, 0, True), (2, 1, True),
+                 (3, 2, True), (4, 3, True)]
