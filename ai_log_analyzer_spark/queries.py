@@ -5139,3 +5139,28 @@ def compaction_plan_q(spark, sf_dir):
     (functions/layout.compaction_plan)."""
     from .functions import layout as LY
     return LY.compaction_plan(_t(spark, sf_dir, "documents"))
+
+
+from .functions import salting as _SAL
+
+
+@q("skew_profile", _SAL.skew_profile_sql("events", "user_id"))
+def skew_profile_q(spark, sf_dir):
+    """Shuffle-skew pre-flight audit on the prospective user_id shuffle
+    key: key-grid size, hottest/coldest key, exact top-1 share ppm, and
+    the recommended salt factor (ceil(max/avg)) to pass to salted_agg —
+    one map-side-combining groupBy + a bounded grid fold
+    (functions/salting.skew_profile)."""
+    from .functions import salting as SAL
+    return SAL.skew_profile(_t(spark, sf_dir, "events"), "user_id")
+
+
+@q("delta_bitwidth_audit", _LY.delta_bitwidth_audit_sql("events"))
+def delta_bitwidth_audit_q(spark, sf_dir):
+    """Parquet DELTA_BINARY_PACKED sizing audit: per row-group-sized
+    block, the max |Δµs| between id-adjacent timestamps and the exact
+    bit width delta encoding needs vs 64-bit raw — bit widths via
+    length(bin(x)), exact in both engines; per-block lag windows, one
+    exchange (functions/layout.delta_bitwidth_audit)."""
+    from .functions import layout as LY
+    return LY.delta_bitwidth_audit(_t(spark, sf_dir, "events"))

@@ -820,3 +820,27 @@ def test_compaction_plan_windows_partition_by_directory(spark):
     plan = _plan(LY.compaction_plan(docs))
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_skew_profile_two_bounded_exchanges(spark):
+    """Key-grid groupBy with map-side partials + a bounded global fold;
+    zero Python nodes."""
+    from ai_log_analyzer_spark.functions import salting as SAL
+    df = spark.range(5000).selectExpr("id as event_id",
+                                      "cast(id % 13 as long) as k")
+    plan = _plan(SAL.skew_profile(df, "k"))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # partial_count proves the first aggregate combines map-side
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_delta_bitwidth_audit_windows_partition_by_block(spark):
+    """Lag windows hash on the block key — never SinglePartition; no
+    Python nodes."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    ev = spark.range(5000).selectExpr(
+        "id as event_id",
+        "timestamp_micros(1700000000000000 + id * 777) as ts")
+    plan = _plan(LY.delta_bitwidth_audit(ev))
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -1613,3 +1613,38 @@ def test_compaction_plan_groups_accumulate_to_target(spark):
          .orderBy("file_idx").collect()]
     assert d == [(0, 0, True), (1, 0, True), (2, 1, True),
                  (3, 2, True), (4, 3, True)]
+
+
+def test_skew_profile_hand_computed(spark):
+    """Grid 3 keys over 10 rows: counts 6,3,1 → top1 600000 ppm,
+    rec_salts = ceil(6 / (10/3)) = 2."""
+    from ai_log_analyzer_spark.functions import salting as SAL
+    rows = [(i, "a") for i in range(6)] + [(6, "b"), (7, "b"), (8, "b"),
+                                           (9, "c")]
+    df = spark.createDataFrame(rows, "event_id long, k string")
+    r = SAL.skew_profile(df, "k").collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_count, r.min_count) == (3, 10, 6, 1)
+    assert r.top1_share_ppm == 600_000
+    assert r.rec_salts == 2
+    # uniform key → no salting recommended
+    u = spark.createDataFrame([(i, i % 4) for i in range(8)],
+                              "event_id long, k long")
+    assert SAL.skew_profile(u, "k").collect()[0].rec_salts == 1
+
+
+def test_delta_bitwidth_audit_hand_computed(spark):
+    """Block of ts 0,3,10,10 µs → deltas 3,7,0 → max 7 → 3 bits;
+    single-row block → max delta 0 → 1 bit; out-of-order rows use
+    |Δ|."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    rows = [(0, 0), (1, 3), (2, 10), (3, 10),     # block 0
+            (1000, 5),                             # block 1: single row
+            (2000, 100), (2001, 68)]               # block 2: |Δ| = 32
+    ev = spark.createDataFrame(rows, "event_id long, es long") \
+        .selectExpr("event_id", "timestamp_micros(es) as ts")
+    out = {r.blk: r for r in LY.delta_bitwidth_audit(ev).collect()}
+    assert out[0].max_abs_delta_us == 7 and out[0].delta_bits == 3
+    assert out[1].max_abs_delta_us == 0 and out[1].delta_bits == 1
+    assert out[2].max_abs_delta_us == 32 and out[2].delta_bits == 6
+    assert out[0].savings_ppm == (64 - 3) * 1_000_000 // 64
+    assert all(r.raw_bits == 64 for r in out.values())
