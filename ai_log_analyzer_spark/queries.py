@@ -5164,3 +5164,38 @@ def delta_bitwidth_audit_q(spark, sf_dir):
     exchange (functions/layout.delta_bitwidth_audit)."""
     from .functions import layout as LY
     return LY.delta_bitwidth_audit(_t(spark, sf_dir, "events"))
+
+
+# ── planner statistics (functions/stats.py) ────────────────────────────
+
+from .functions import stats as _ST
+
+_STATS_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+@q("table_stats_profile", _ST.table_stats_profile_sql("lineitem", _STATS_COLS))
+def table_stats_profile_q(spark, sf_dir):
+    """ANALYZE-style per-column statistics over the fact table in ONE
+    shared-scan job: rows / non-nulls / exact NDV / min / max per key
+    column — the inputs Catalyst's CBO plans joins from; every partial
+    folds map-side (functions/stats.table_stats_profile)."""
+    from .functions import stats as ST
+    return ST.table_stats_profile(_t(spark, sf_dir, "lineitem"),
+                                  _STATS_COLS)
+
+
+@q("join_filter_audit", _ST.join_filter_audit_sql(
+    "lineitem", "(SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')",
+    "l_orderkey", "o_orderkey"))
+def join_filter_audit_q(spark, sf_dir):
+    """Runtime-filter (DPP/bloom) payoff audit for lineitem ⨝ urgent
+    orders: exact key-grid overlap and the ppm of fact ROWS a pushed
+    build-side filter keeps — both sides collapse to distinct keys
+    before any join, so fact rows never shuffle
+    (functions/stats.join_filter_audit)."""
+    from .functions import stats as ST
+    from pyspark.sql import functions as F
+    orders = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") == "1-URGENT")
+    return ST.join_filter_audit(_t(spark, sf_dir, "lineitem"), orders,
+                                "l_orderkey", "o_orderkey")

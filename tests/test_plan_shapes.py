@@ -844,3 +844,15 @@ def test_delta_bitwidth_audit_windows_partition_by_block(spark):
     plan = _plan(LY.delta_bitwidth_audit(ev))
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_join_filter_audit_distinct_before_join(spark):
+    """Both sides reduce to key grids before the join: the join input
+    exchanges carry aggregate output, and no Python nodes appear."""
+    from ai_log_analyzer_spark.functions import stats as ST
+    probe = spark.range(10000).selectExpr("cast(id % 500 as long) as k")
+    build = spark.range(300).selectExpr("id as k")
+    plan = _plan(ST.join_filter_audit(probe, build, "k", "k"))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # partial aggregation on the probe side collapses rows map-side
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan

@@ -1648,3 +1648,31 @@ def test_delta_bitwidth_audit_hand_computed(spark):
     assert out[2].max_abs_delta_us == 32 and out[2].delta_bits == 6
     assert out[0].savings_ppm == (64 - 3) * 1_000_000 // 64
     assert all(r.raw_bits == 64 for r in out.values())
+
+
+# ── planner statistics (functions/stats.py) ────────────────────────────
+
+def test_table_stats_profile_hand_computed(spark):
+    from ai_log_analyzer_spark.functions import stats as ST
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, None), (3, 30)], "a long, b long")
+    out = {r.col_name: r for r in
+           ST.table_stats_profile(df, ["a", "b"]).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_rows, a.n_nonnull, a.ndv, a.min_val, a.max_val) \
+        == (4, 4, 3, 1, 3)
+    assert (b.n_rows, b.n_nonnull, b.ndv, b.min_val, b.max_val) \
+        == (4, 3, 2, 10, 30)
+
+
+def test_join_filter_audit_hand_computed(spark):
+    """Probe rows 1,1,2,2,2,3; build keys {2,9} → common 1 of 3 probe
+    keys, 3 of 6 rows survive → 500000 ppm."""
+    from ai_log_analyzer_spark.functions import stats as ST
+    probe = spark.createDataFrame([(1,), (1,), (2,), (2,), (2,), (3,)],
+                                  "k long")
+    build = spark.createDataFrame([(2,), (9,)], "k long")
+    r = ST.join_filter_audit(probe, build, "k", "k").collect()[0]
+    assert (r.ndv_probe, r.ndv_build, r.ndv_common) == (3, 2, 1)
+    assert (r.probe_rows, r.surviving_rows) == (6, 3)
+    assert r.selectivity_ppm == 500_000
