@@ -5199,3 +5199,33 @@ def join_filter_audit_q(spark, sf_dir):
         .where(F.col("o_orderpriority") == "1-URGENT")
     return ST.join_filter_audit(_t(spark, sf_dir, "lineitem"), orders,
                                 "l_orderkey", "o_orderkey")
+
+
+# ── data contracts (functions/contracts.py) ────────────────────────────
+
+from .functions import contracts as _CT
+
+
+@q("fk_integrity_audit", _CT.fk_integrity_audit_sql())
+def fk_integrity_audit_q(spark, sf_dir):
+    """Referential-integrity audit across the star schema's FK edges:
+    per edge, dangling keys/rows and exact ppm — child collapses to a
+    per-key count grid and the parent to a distinct grid BEFORE the
+    join, so fact rows never shuffle; zero violations = the pass state
+    (functions/contracts.fk_integrity_audit)."""
+    from .functions import contracts as CT
+    tables = CT.load_tables(
+        spark, sf_dir,
+        ["lineitem", "orders", "customer", "nation", "supplier"])
+    return CT.fk_integrity_audit(tables)
+
+
+@q("data_contract_audit", _CT.data_contract_audit_sql("events"))
+def data_contract_audit_q(spark, sf_dir):
+    """dbt-test / CHECK-constraint audit over events: per frozen rule
+    (value ≥ 0, enum membership, ts window, id range, JSON-parses),
+    violation counts and exact ppm — every rule a conditional sum of
+    ONE shared-scan aggregate; NULLs count as violations
+    (functions/contracts.data_contract_audit)."""
+    from .functions import contracts as CT
+    return CT.data_contract_audit(_t(spark, sf_dir, "events"))

@@ -856,3 +856,18 @@ def test_join_filter_audit_distinct_before_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
     # partial aggregation on the probe side collapses rows map-side
     assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_data_contract_audit_is_one_scan(spark):
+    """All rules ride one aggregate over one scan — a single pair of
+    HashAggregates (partial + final), no joins, no Python nodes."""
+    from ai_log_analyzer_spark.functions import contracts as CT
+    ev = spark.range(1000).selectExpr(
+        "id as event_id", "cast(id as double) as value",
+        "'click' as event_type",
+        "cast('2024-06-01' as timestamp_ntz) as ts",
+        "cast(id % 10 as long) as user_id",
+        "'{\"k\": 1}' as props")
+    plan = _plan(CT.data_contract_audit(ev))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

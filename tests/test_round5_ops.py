@@ -1676,3 +1676,49 @@ def test_join_filter_audit_hand_computed(spark):
     assert (r.ndv_probe, r.ndv_build, r.ndv_common) == (3, 2, 1)
     assert (r.probe_rows, r.surviving_rows) == (6, 3)
     assert r.selectivity_ppm == 500_000
+
+
+# ── data contracts (functions/contracts.py) ────────────────────────────
+
+def test_fk_integrity_audit_counts_danglers(spark):
+    """Child keys {1:2 rows, 2:1, 9:3}; parent {1,2} → key 9 dangles
+    with 3 rows → 500000 ppm on 6 rows."""
+    from ai_log_analyzer_spark.functions import contracts as CT
+    child = spark.createDataFrame([(1,), (1,), (2,), (9,), (9,), (9,)],
+                                  "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    edges = [("child->parent", "c", "fk", "p", "pk")]
+    r = CT.fk_integrity_audit({"c": child, "p": parent},
+                              edges=edges).collect()[0]
+    assert r.edge == "child->parent"
+    assert (r.child_rows, r.n_child_keys) == (6, 3)
+    assert (r.dangling_keys, r.dangling_rows) == (1, 3)
+    assert r.dangling_ppm == 500_000
+
+
+def test_data_contract_audit_flags_every_rule(spark):
+    """One clean row + one violator per rule (incl. a NULL value, which
+    must count as a violation)."""
+    from ai_log_analyzer_spark.functions import contracts as CT
+    rows = [
+        (0, 1.0, "click", "2024-06-01 00:00:00", 5, '{"k": 1}'),   # clean
+        (1, -2.0, "click", "2024-06-01 00:00:00", 5, '{"k": 1}'),  # value
+        (2, None, "click", "2024-06-01 00:00:00", 5, '{"k": 1}'),  # null value
+        (3, 1.0, "hack", "2024-06-01 00:00:00", 5, '{"k": 1}'),    # enum
+        (4, 1.0, "view", "2031-01-01 00:00:00", 5, '{"k": 1}'),    # ts window
+        (5, 1.0, "view", "2024-06-01 00:00:00", -7, '{"k": 1}'),   # id range
+        (6, 1.0, "view", "2024-06-01 00:00:00", 5, "not json"),    # json
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, value double, event_type string, "
+              "s string, user_id long, props string") \
+        .selectExpr("event_id", "value", "event_type",
+                    "cast(s as timestamp_ntz) as ts", "user_id", "props")
+    out = {r.rule: r for r in CT.data_contract_audit(ev).collect()}
+    assert all(r.n_rows == 7 for r in out.values())
+    assert out["value_nonnegative"].violations == 2      # -2 and NULL
+    assert out["type_in_enum"].violations == 1
+    assert out["ts_in_window"].violations == 1
+    assert out["user_id_in_range"].violations == 1
+    assert out["props_json_object"].violations == 1
+    assert out["type_in_enum"].violation_ppm == 1_000_000 // 7
