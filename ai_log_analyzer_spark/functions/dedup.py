@@ -1776,3 +1776,51 @@ def split_leakage_audit(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     return (cells.groupBy("split_a", "split_b")
             .agg(F.count("*").cast("long").alias("n_pairs"))
             .withColumn("is_leak", F.col("split_a") != F.col("split_b")))
+
+
+def dup_size_histogram(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Dedup impact report: the exact-duplicate GROUP-SIZE histogram a
+    curation run publishes before deciding to dedup at all.
+
+    One row per group size s: how many fingerprint groups have exactly
+    s member docs (n_groups), the rows they hold (n_rows = s·groups),
+    the rows exact dedup would remove ((s−1)·groups), and that removal
+    as exact ppm of the corpus.  s=1 rows quantify the unique mass;
+    the s≥2 tail is the dedup payoff curve.
+
+    Shape: fingerprint groupBy (map-side partials) → size groupBy over
+    GROUP-count rows (already ≤ n_docs, collapses to the handful of
+    distinct sizes) → 1-row corpus total broadcast back.  Nothing after
+    the first exchange is corpus-sized."""
+    sizes = (df.select(F.md5(F.col(text_col)).alias("fp"))
+             .groupBy("fp").agg(F.count(F.lit(1)).alias("s")))
+    hist = sizes.groupBy("s").agg(F.count(F.lit(1)).alias("n_groups"))
+    total = hist.agg(F.sum(F.expr("s * n_groups")).alias("n_total"))
+    return (hist.crossJoin(F.broadcast(total))
+            .select(F.col("s").alias("group_size"), "n_groups",
+                    F.expr("s * n_groups").alias("n_rows"),
+                    F.expr("(s - 1) * n_groups").alias("removable_rows"),
+                    F.expr("(s - 1) * n_groups * 1000000 div n_total")
+                    .alias("removable_ppm")))
+
+
+def dup_size_histogram_sql(table: str = "documents",
+                           text_expr: str = "text",
+                           id_expr: str = "doc_id") -> str:
+    return f"""
+WITH sizes AS (
+  SELECT md5({text_expr}) AS fp, count(*) AS s
+  FROM {table} GROUP BY 1
+), hist AS (
+  SELECT s, count(*) AS n_groups FROM sizes GROUP BY s
+), total AS (
+  SELECT sum(s * n_groups) AS n_total FROM hist
+)
+SELECT s::BIGINT AS group_size, n_groups,
+       (s * n_groups)::BIGINT AS n_rows,
+       ((s - 1) * n_groups)::BIGINT AS removable_rows,
+       ((s - 1) * n_groups * 1000000 // n_total)::BIGINT
+         AS removable_ppm
+FROM hist, total
+"""

@@ -810,3 +810,75 @@ lt_out AS (
            ::BIGINT AS p99_late_s,
          max(late)::BIGINT AS max_late_s
   FROM lt_cum)"""
+
+
+# ---------------------------------------------------------------------------
+# Ingestion completeness: did every producer deliver every hour?  The
+# first dashboard a pipeline on-call checks — per event type, the
+# observed (type, hour) cells vs the corpus's full hour span, exact
+# coverage ppm, and the LONGEST silent stretch (internal gaps between
+# observed hours, plus the edge gaps to the corpus bounds).  The raw
+# stream dies at one distinct onto the (type, hour) grid; the gap
+# window runs per type over grid rows only.
+
+
+def ingestion_completeness(events: DataFrame,
+                           type_col: str = "event_type",
+                           ts_col: str = "ts") -> DataFrame:
+    """(event_type, span_hours, observed_hours, missing_hours,
+    coverage_ppm, max_gap_hours) — one row per type; expectation is
+    the GLOBAL corpus hour span (every producer, every hour)."""
+    hour = F.expr(f"unix_timestamp({ts_col}) div 3600")
+    cells = (events.select(F.col(type_col).alias("t"), hour.alias("h"))
+             .distinct())
+    bounds = cells.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    w = Window.partitionBy("t").orderBy("h")
+    gap = F.col("h") - F.lag("h").over(w) - 1
+    g = (cells.withColumn("internal_gap", gap)
+         .groupBy("t")
+         .agg(F.count(F.lit(1)).alias("observed_hours"),
+              F.min("h").alias("first_h"), F.max("h").alias("last_h"),
+              F.coalesce(F.max("internal_gap"), F.lit(0))
+              .alias("max_internal_gap")))
+    return (g.crossJoin(F.broadcast(bounds))
+            .select(F.col("t").alias("event_type"),
+                    (F.col("hi") - F.col("lo") + 1).alias("span_hours"),
+                    "observed_hours",
+                    (F.col("hi") - F.col("lo") + 1
+                     - F.col("observed_hours")).alias("missing_hours"),
+                    F.expr("observed_hours * 1000000 div (hi - lo + 1)")
+                    .alias("coverage_ppm"),
+                    F.greatest(F.col("max_internal_gap"),
+                               F.col("first_h") - F.col("lo"),
+                               F.col("hi") - F.col("last_h"))
+                    .cast("long").alias("max_gap_hours")))
+
+
+def ingestion_completeness_sql(events: str, type_expr: str = "event_type",
+                               ts_expr: str = "ts") -> str:
+    """DuckDB oracle; final relation ``cov_out``."""
+    hour = f"(epoch(date_trunc('second', {ts_expr}))::BIGINT // 3600)"
+    return f"""
+cov_cells AS (
+  SELECT DISTINCT {type_expr} AS t, {hour} AS h FROM {events}),
+cov_bounds AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM cov_cells),
+cov_gaps AS (
+  SELECT t, h, h - lag(h) OVER (PARTITION BY t ORDER BY h) - 1
+           AS internal_gap
+  FROM cov_cells),
+cov_g AS (
+  SELECT t, count(*) AS observed_hours, min(h) AS first_h,
+         max(h) AS last_h,
+         coalesce(max(internal_gap), 0) AS max_internal_gap
+  FROM cov_gaps GROUP BY t),
+cov_out AS (
+  SELECT t AS event_type, (hi - lo + 1)::BIGINT AS span_hours,
+         observed_hours,
+         (hi - lo + 1 - observed_hours)::BIGINT AS missing_hours,
+         (observed_hours * 1000000 // (hi - lo + 1))::BIGINT
+           AS coverage_ppm,
+         greatest(max_internal_gap, first_h - lo, hi - last_h)::BIGINT
+           AS max_gap_hours
+  FROM cov_g, cov_bounds)
+"""

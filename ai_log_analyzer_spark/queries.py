@@ -5229,3 +5229,27 @@ def data_contract_audit_q(spark, sf_dir):
     (functions/contracts.data_contract_audit)."""
     from .functions import contracts as CT
     return CT.data_contract_audit(_t(spark, sf_dir, "events"))
+
+
+@q("ingestion_completeness", """
+WITH """ + IC.ingestion_completeness_sql("events") + """
+SELECT * FROM cov_out
+""")
+def ingestion_completeness_q(spark, sf_dir):
+    """Ingestion-completeness dashboard: per event type, observed
+    (type, hour) cells vs the corpus hour span — exact coverage ppm
+    and the longest silent stretch (internal + edge gaps).  Stream
+    dies at one distinct onto the bounded grid; gap windows run on
+    grid rows (functions/incidents.ingestion_completeness)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.ingestion_completeness(ev)
+
+
+@q("dup_size_histogram", D.dup_size_histogram_sql("documents"))
+def dup_size_histogram_q(spark, sf_dir):
+    """Dedup impact report: exact-duplicate group-size histogram with
+    per-size removable rows and exact ppm of corpus — fingerprint
+    groupBy then size groupBy over group-count rows; nothing after the
+    first exchange is corpus-sized
+    (functions/dedup.dup_size_histogram)."""
+    return D.dup_size_histogram(_t(spark, sf_dir, "documents"))

@@ -871,3 +871,18 @@ def test_data_contract_audit_is_one_scan(spark):
     plan = _plan(CT.data_contract_audit(ev))
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_ingestion_completeness_grid_only_windows(spark):
+    """The stream dies at one distinct onto the (type, hour) grid; the
+    gap window partitions by type (no SinglePartition for it), the
+    bounds join is broadcast, no Python nodes."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    ev = spark.range(5000).selectExpr(
+        "concat('t', id % 4) as event_type",
+        "cast(timestamp_seconds(1700000000 + id * 600) as timestamp_ntz)"
+        " as ts")
+    plan = _plan(IC.ingestion_completeness(ev))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -1722,3 +1722,36 @@ def test_data_contract_audit_flags_every_rule(spark):
     assert out["user_id_in_range"].violations == 1
     assert out["props_json_object"].violations == 1
     assert out["type_in_enum"].violation_ppm == 1_000_000 // 7
+
+
+def test_ingestion_completeness_hand_computed(spark):
+    """Corpus hours 0..5 (span 6).  Type a observed {0,1,5} → missing
+    3, internal gap 3 (2,3,4), edge gaps 0/0 → max 3.  Type b observed
+    {3} → missing 5, edge gaps 3 and 2 → max 3."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [("a", 0), ("a", 0), ("a", 1), ("a", 5), ("b", 3)]
+    ev = (spark.createDataFrame(rows, "event_type string, h long")
+          .selectExpr("event_type",
+                      "cast(timestamp_seconds(h * 3600) as timestamp_ntz)"
+                      " as ts"))
+    out = {r.event_type: r for r in
+           IC.ingestion_completeness(ev).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.span_hours, a.observed_hours, a.missing_hours) == (6, 3, 3)
+    assert a.coverage_ppm == 500_000 and a.max_gap_hours == 3
+    assert (b.span_hours, b.observed_hours, b.missing_hours) == (6, 1, 5)
+    assert b.max_gap_hours == 3
+
+
+def test_dup_size_histogram_hand_computed(spark):
+    """Texts: x×3, y×2, z×1 → sizes {3:1, 2:1, 1:1}; removable 2+1 of
+    6 rows → 333333 and 166666 ppm."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    rows = [(0, "x"), (1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.group_size: r for r in D.dup_size_histogram(docs).collect()}
+    assert out[3].n_groups == 1 and out[3].removable_rows == 2
+    assert out[3].removable_ppm == 333_333
+    assert out[2].removable_rows == 1 and out[2].removable_ppm == 166_666
+    assert out[1].n_groups == 1 and out[1].removable_rows == 0
+    assert sum(r.n_rows for r in out.values()) == 6
