@@ -882,3 +882,87 @@ cov_out AS (
            AS max_gap_hours
   FROM cov_g, cov_bounds)
 """
+
+
+# ---------------------------------------------------------------------------
+# Pipeline health scorecard — the data-SLO digest a pipeline publishes
+# per batch: ingestion coverage, contract violations, delivery
+# duplication, and event-time disorder, each reduced to ONE number
+# judged against a frozen threshold.  The four components are the
+# existing audits (ingestion_completeness, contracts.
+# data_contract_audit, delivery_dedup_stats, lateness_profile); each
+# folds to a single row before the union, so the scorecard costs
+# exactly what its components cost.  The DuckDB oracle composes the
+# same four SQL generators verbatim (disjoint CTE prefixes cov_/dc_/
+# dd_/lt_ by design).
+
+HEALTH_COVERAGE_MIN_PPM = 900_000   # every producer ≥ 90% of hours
+HEALTH_CONTRACT_MAX_PPM = 0         # any contract violation fails
+HEALTH_DUP_MAX_PPM = 1_000          # ≤ 0.1% redundant deliveries
+HEALTH_LATE_P99_MAX_S = 3_600      # watermarkable within an hour
+
+
+def pipeline_health(events: DataFrame) -> DataFrame:
+    """(check_name, value, threshold, ok) — four rows (module docstring).
+    For coverage the check passes when value ≥ threshold; for the
+    other three when value ≤ threshold."""
+    from .contracts import data_contract_audit
+    cov = (ingestion_completeness(events)
+           .agg(F.min("coverage_ppm").cast("long").alias("value"))
+           .select(F.lit("ingestion_coverage_min_ppm").alias("check_name"),
+                   "value",
+                   F.lit(HEALTH_COVERAGE_MIN_PPM).cast("long")
+                   .alias("threshold"),
+                   (F.col("value") >= HEALTH_COVERAGE_MIN_PPM)
+                   .alias("ok")))
+    dc = (data_contract_audit(events)
+          .agg(F.max("violation_ppm").cast("long").alias("value"))
+          .select(F.lit("contract_violation_max_ppm").alias("check_name"),
+                  "value",
+                  F.lit(HEALTH_CONTRACT_MAX_PPM).cast("long")
+                  .alias("threshold"),
+                  (F.col("value") <= HEALTH_CONTRACT_MAX_PPM)
+                  .alias("ok")))
+    dd = (delivery_dedup_stats(events)
+          .select(F.lit("delivery_dup_ppm").alias("check_name"),
+                  F.col("dup_ppm").cast("long").alias("value"),
+                  F.lit(HEALTH_DUP_MAX_PPM).cast("long")
+                  .alias("threshold"),
+                  (F.col("dup_ppm") <= HEALTH_DUP_MAX_PPM).alias("ok")))
+    lt = (lateness_profile(events)
+          .select(F.lit("lateness_p99_s").alias("check_name"),
+                  F.col("p99_late_s").cast("long").alias("value"),
+                  F.lit(HEALTH_LATE_P99_MAX_S).cast("long")
+                  .alias("threshold"),
+                  (F.col("p99_late_s") <= HEALTH_LATE_P99_MAX_S)
+                  .alias("ok")))
+    return cov.unionByName(dc).unionByName(dd).unionByName(lt)
+
+
+def pipeline_health_sql(events: str) -> str:
+    """DuckDB oracle: composes the four component generators verbatim;
+    final relation ``ph_out``."""
+    from .contracts import data_contract_audit_sql
+    return (ingestion_completeness_sql(events) + ",\n"
+            + f"dc_rules AS ({data_contract_audit_sql(events)}),\n"
+            + delivery_dedup_stats_sql(events) + ",\n"
+            + lateness_profile_sql(events) + ",\n"
+            + f"""
+ph_out AS (
+  SELECT 'ingestion_coverage_min_ppm' AS check_name,
+         min(coverage_ppm)::BIGINT AS value,
+         {HEALTH_COVERAGE_MIN_PPM}::BIGINT AS threshold,
+         min(coverage_ppm) >= {HEALTH_COVERAGE_MIN_PPM} AS ok
+  FROM cov_out
+  UNION ALL
+  SELECT 'contract_violation_max_ppm', max(violation_ppm)::BIGINT,
+         {HEALTH_CONTRACT_MAX_PPM}::BIGINT,
+         max(violation_ppm) <= {HEALTH_CONTRACT_MAX_PPM} FROM dc_rules
+  UNION ALL
+  SELECT 'delivery_dup_ppm', dup_ppm::BIGINT,
+         {HEALTH_DUP_MAX_PPM}::BIGINT,
+         dup_ppm <= {HEALTH_DUP_MAX_PPM} FROM dd_out
+  UNION ALL
+  SELECT 'lateness_p99_s', p99_late_s::BIGINT,
+         {HEALTH_LATE_P99_MAX_S}::BIGINT,
+         p99_late_s <= {HEALTH_LATE_P99_MAX_S} FROM lt_out)""")

@@ -5253,3 +5253,19 @@ def dup_size_histogram_q(spark, sf_dir):
     first exchange is corpus-sized
     (functions/dedup.dup_size_histogram)."""
     return D.dup_size_histogram(_t(spark, sf_dir, "documents"))
+
+
+@q("pipeline_health", """
+WITH """ + IC.pipeline_health_sql("events") + """
+SELECT * FROM ph_out
+""")
+def pipeline_health_q(spark, sf_dir):
+    """The 200th contract query — the data-SLO scorecard a pipeline
+    publishes per batch: ingestion coverage, contract violations,
+    delivery duplication, and event-time disorder, each folded to one
+    number judged against a frozen threshold; composes four existing
+    audits, each already 1-row before the union, and the oracle
+    composes the same four SQL generators verbatim
+    (functions/incidents.pipeline_health)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.pipeline_health(ev)

@@ -1755,3 +1755,28 @@ def test_dup_size_histogram_hand_computed(spark):
     assert out[2].removable_rows == 1 and out[2].removable_ppm == 166_666
     assert out[1].n_groups == 1 and out[1].removable_rows == 0
     assert sum(r.n_rows for r in out.values()) == 6
+
+
+def test_pipeline_health_scorecard_flags_failures(spark):
+    """A stream with a duplicated id, a contract violation, and a
+    2/6-hour coverage hole fails exactly those checks."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [
+        (0, 1.0, "click", 0, 5, '{"k": 1}'),
+        (0, 1.0, "click", 0, 5, '{"k": 1}'),       # duplicate id
+        (1, -3.0, "click", 1, 5, '{"k": 1}'),      # contract violation
+        (2, 1.0, "view", 5, 5, '{"k": 1}'),        # hours {0,1,5}: 50%
+    ]
+    ev = (spark.createDataFrame(
+        rows, "event_id long, value double, event_type string, "
+              "h long, user_id long, props string")
+        .selectExpr("event_id", "value", "event_type",
+                    "cast(timestamp_seconds(h * 3600) as timestamp_ntz)"
+                    " as ts", "user_id", "props"))
+    out = {r.check_name: r for r in IC.pipeline_health(ev).collect()}
+    assert len(out) == 4
+    assert not out["ingestion_coverage_min_ppm"].ok      # 50% < 90%
+    assert not out["contract_violation_max_ppm"].ok
+    assert not out["delivery_dup_ppm"].ok                # 250000 ppm
+    assert out["delivery_dup_ppm"].value == 250_000
+    assert out["lateness_p99_s"].ok                      # in order
