@@ -886,3 +886,26 @@ def test_ingestion_completeness_grid_only_windows(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
         plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_table_stats_profile_is_one_scan(spark):
+    """Every column's stats ride one aggregate over one scan — no
+    joins, no Python nodes (Expand for multi-distinct is expected)."""
+    from ai_log_analyzer_spark.functions import stats as ST
+    df = spark.range(2000).selectExpr("id as a", "id % 7 as b")
+    plan = _plan(ST.table_stats_profile(df, ["a", "b"]))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_dup_size_histogram_broadcast_total(spark):
+    """The corpus total joins back as a broadcast single row; no
+    Python nodes; no sort-merge join."""
+    from ai_log_analyzer_spark.functions import dedup as D
+    docs = spark.range(3000).selectExpr(
+        "id as doc_id", "concat('t', id % 700) as text")
+    plan = _plan(D.dup_size_histogram(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -1780,3 +1780,19 @@ def test_pipeline_health_scorecard_flags_failures(spark):
     assert not out["delivery_dup_ppm"].ok                # 250000 ppm
     assert out["delivery_dup_ppm"].value == 250_000
     assert out["lateness_p99_s"].ok                      # in order
+
+
+def test_layout_ops_empty_input(spark):
+    """Empty inputs yield empty results with the right schema — no
+    crashes from the min/max bounds paths."""
+    from ai_log_analyzer_spark.functions import layout as LY
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp_ntz, value double")
+    assert LY.zorder_layout(ev).count() == 0
+    assert LY.delta_bitwidth_audit(ev).count() == 0
+    rb = LY.range_partition_bounds(ev)
+    assert rb.count() == 0
+    assert set(rb.columns) == {"tile", "n_rows", "lo_cents", "hi_cents"}
+    docs = spark.createDataFrame([],
+                                 "doc_id long, source string, n_chars long")
+    assert LY.compaction_plan(docs).count() == 0
