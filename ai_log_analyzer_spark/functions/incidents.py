@@ -966,3 +966,137 @@ ph_out AS (
   SELECT 'lateness_p99_s', p99_late_s::BIGINT,
          {HEALTH_LATE_P99_MAX_S}::BIGINT,
          p99_late_s <= {HEALTH_LATE_P99_MAX_S} FROM lt_out)""")
+
+
+# ---------------------------------------------------------------------------
+# Apdex (Application Performance Index): the industry-standard
+# satisfaction score over a latency-like measure — satisfied
+# (value ≤ T), tolerating (T < value ≤ 4T), frustrated (> 4T);
+# score = (satisfied + tolerating/2) / total.  Exact integers
+# throughout: apdex_ppm = (2·sat + tol)·10⁶ div (2·total), so the /2
+# never leaves integer arithmetic.  One conditional-sum groupBy onto
+# the type grid — the cheapest possible shape.
+
+APDEX_T_CENTS = 10_000           # T in value-cents (value ≤ 100.00)
+
+
+def apdex_score(events: DataFrame, group_col: str = "event_type",
+                value_col: str = "value",
+                t_cents: int = APDEX_T_CENTS) -> DataFrame:
+    """(event_type, n, satisfied, tolerating, frustrated, apdex_ppm)
+    per group; measure compared in exact cents."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (events
+            .select(F.col(group_col).alias("event_type"),
+                    cents.alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("v") <= t_cents, 1).otherwise(0))
+                 .alias("satisfied"),
+                 F.sum(F.when((F.col("v") > t_cents) &
+                              (F.col("v") <= 4 * t_cents), 1)
+                       .otherwise(0)).alias("tolerating"),
+                 F.sum(F.when(F.col("v") > 4 * t_cents, 1).otherwise(0))
+                 .alias("frustrated"))
+            .withColumn("apdex_ppm",
+                        F.expr("(2 * satisfied + tolerating) * 1000000 "
+                               "div (2 * n)")))
+
+
+def apdex_score_sql(events: str, group_expr: str = "event_type",
+                    value_expr: str = "value",
+                    t_cents: int = APDEX_T_CENTS) -> str:
+    v = f"round(({value_expr}) * 100)::BIGINT"
+    return f"""
+SELECT {group_expr} AS event_type, count(*) AS n,
+       sum(CASE WHEN {v} <= {t_cents} THEN 1 ELSE 0 END)::BIGINT
+         AS satisfied,
+       sum(CASE WHEN {v} > {t_cents} AND {v} <= {4 * t_cents}
+                THEN 1 ELSE 0 END)::BIGINT AS tolerating,
+       sum(CASE WHEN {v} > {4 * t_cents} THEN 1 ELSE 0 END)::BIGINT
+         AS frustrated,
+       ((2 * sum(CASE WHEN {v} <= {t_cents} THEN 1 ELSE 0 END)
+         + sum(CASE WHEN {v} > {t_cents} AND {v} <= {4 * t_cents}
+               THEN 1 ELSE 0 END)) * 1000000
+        // (2 * count(*)))::BIGINT AS apdex_ppm
+FROM {events} WHERE {value_expr} IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day volume movers: per producer type, the densified daily
+# count grid (silent days are real zeros, not missing rows) and the
+# exact day-over-day change in ppm of the prior day — the "top
+# movers" screen that catches a producer silently halving its volume.
+# The stream dies at one groupBy onto the (type, day) grid; the
+# calendar densifies via sequence/generate_series over the tiny
+# global day span, and the lag window runs on grid rows.
+
+MOVER_THRESHOLD_PPM = 500_000    # flag |change| ≥ 50% of prior day
+
+
+def volume_movers(events: DataFrame, type_col: str = "event_type",
+                  ts_col: str = "ts",
+                  threshold_ppm: int = MOVER_THRESHOLD_PPM) -> DataFrame:
+    """(event_type, day_idx, n, prev_n, change_ppm, is_mover) per
+    densified (type, day) cell except each type's first day;
+    change_ppm = (n − prev)·10⁶ div prev, NULL when prev = 0 (flagged
+    as a mover when n > 0 — appearance from silence)."""
+    day = F.expr(f"unix_timestamp({ts_col}) div 86400")
+    counts = (events.select(F.col(type_col).alias("t"), day.alias("d"))
+              .groupBy("t", "d").agg(F.count(F.lit(1)).alias("n")))
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    types = counts.select("t").distinct()
+    grid = (types.crossJoin(F.broadcast(bounds))
+            .select("t", F.explode(F.expr("sequence(lo, hi)")).alias("d")))
+    dense = (grid.join(counts, ["t", "d"], "left")
+             .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    w = Window.partitionBy("t").orderBy("d")
+    out = (dense.withColumn("prev_n", F.lag("n").over(w))
+           .where(F.col("prev_n").isNotNull())
+           .withColumn("change_ppm",
+                       F.when(F.col("prev_n") > 0,
+                              F.expr("(n - prev_n) * 1000000 "
+                                     "div prev_n"))))
+    mover = (F.when(F.col("prev_n") > 0,
+                    F.abs(F.col("change_ppm")) >= threshold_ppm)
+             .otherwise(F.col("n") > 0))
+    return (out.select(F.col("t").alias("event_type"),
+                       F.col("d").alias("day_idx"),
+                       "n", "prev_n", "change_ppm",
+                       mover.alias("is_mover")))
+
+
+def volume_movers_sql(events: str, type_expr: str = "event_type",
+                      ts_expr: str = "ts",
+                      threshold_ppm: int = MOVER_THRESHOLD_PPM) -> str:
+    day = f"(epoch(date_trunc('second', {ts_expr}))::BIGINT // 86400)"
+    return f"""
+WITH vm_counts AS (
+  SELECT {type_expr} AS t, {day} AS d, count(*) AS n
+  FROM {events} GROUP BY 1, 2
+), vm_bounds AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM vm_counts
+), vm_grid AS (
+  SELECT t, gs.d
+  FROM (SELECT DISTINCT t FROM vm_counts), vm_bounds,
+       LATERAL (SELECT unnest(generate_series(lo, hi)) AS d) gs
+), vm_dense AS (
+  SELECT g.t, g.d, coalesce(c.n, 0) AS n
+  FROM vm_grid g LEFT JOIN vm_counts c ON g.t = c.t AND g.d = c.d
+), vm_lag AS (
+  SELECT t, d, n, lag(n) OVER (PARTITION BY t ORDER BY d) AS prev_n
+  FROM vm_dense
+)
+SELECT t AS event_type, d AS day_idx, n, prev_n,
+       CASE WHEN prev_n > 0
+            THEN ((n - prev_n) * 1000000 // prev_n)::BIGINT END
+         AS change_ppm,
+       CASE WHEN prev_n > 0
+            THEN abs((n - prev_n) * 1000000 // prev_n)
+                 >= {threshold_ppm}
+            ELSE n > 0 END AS is_mover
+FROM vm_lag WHERE prev_n IS NOT NULL
+"""

@@ -5269,3 +5269,25 @@ def pipeline_health_q(spark, sf_dir):
     (functions/incidents.pipeline_health)."""
     ev = _t(spark, sf_dir, "events")
     return IC.pipeline_health(ev)
+
+
+@q("apdex_score", IC.apdex_score_sql("events"))
+def apdex_score_q(spark, sf_dir):
+    """Apdex satisfaction score per producer type over the value
+    measure (satisfied ≤ T, tolerating ≤ 4T) — the /2 never leaves
+    integer arithmetic ((2·sat + tol)·10⁶ div 2n); one
+    conditional-sum groupBy onto the type grid
+    (functions/incidents.apdex_score)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.apdex_score(ev)
+
+
+@q("volume_movers", IC.volume_movers_sql("events"))
+def volume_movers_q(spark, sf_dir):
+    """Day-over-day volume movers per producer type over the DENSIFIED
+    daily grid (silent days are real zeros): exact change ppm vs the
+    prior day, appearance-from-silence flagged — stream dies at one
+    (type, day) groupBy, calendar densified via sequence over the tiny
+    global span (functions/incidents.volume_movers)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.volume_movers(ev)

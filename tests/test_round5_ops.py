@@ -1796,3 +1796,43 @@ def test_layout_ops_empty_input(spark):
     docs = spark.createDataFrame([],
                                  "doc_id long, source string, n_chars long")
     assert LY.compaction_plan(docs).count() == 0
+
+
+def test_apdex_score_hand_computed(spark):
+    """T = 100.00: values 50 (sat), 150 (tol), 250 (tol), 900 (fru) →
+    apdex = (1 + 2/2)/4 = 0.5."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [(0, "a", 50.0), (1, "a", 150.0), (2, "a", 250.0),
+            (3, "a", 900.0)]
+    ev = spark.createDataFrame(rows,
+                               "event_id long, event_type string, "
+                               "value double")
+    r = IC.apdex_score(ev).collect()[0]
+    assert (r.n, r.satisfied, r.tolerating, r.frustrated) == (4, 1, 2, 1)
+    assert r.apdex_ppm == 500_000
+
+
+def test_volume_movers_densifies_and_flags(spark):
+    """Type a: day counts 4, 0 (silent), 2 → changes -100% (mover)
+    then appearance-from-silence (mover, NULL ppm)."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [("a", 0)] * 4 + [("a", 2)] * 2
+    ev = (spark.createDataFrame(rows, "event_type string, day long")
+          .selectExpr("event_type",
+                      "cast(timestamp_seconds(day * 86400 + 60) as "
+                      "timestamp_ntz) as ts"))
+    out = {r.day_idx: r for r in IC.volume_movers(ev).collect()}
+    assert len(out) == 2
+    d1, d2 = out[1], out[2]
+    assert (d1.n, d1.prev_n, d1.change_ppm, bool(d1.is_mover)) \
+        == (0, 4, -1_000_000, True)
+    assert (d2.n, d2.prev_n, d2.change_ppm, bool(d2.is_mover)) \
+        == (2, 0, None, True)
+    # small wiggle is not a mover
+    rows2 = [("b", 0)] * 10 + [("b", 1)] * 11
+    ev2 = (spark.createDataFrame(rows2, "event_type string, day long")
+           .selectExpr("event_type",
+                       "cast(timestamp_seconds(day * 86400) as "
+                       "timestamp_ntz) as ts"))
+    r = IC.volume_movers(ev2).collect()[0]
+    assert r.change_ppm == 100_000 and not r.is_mover
