@@ -1100,3 +1100,114 @@ SELECT t AS event_type, d AS day_idx, n, prev_n,
             ELSE n > 0 END AS is_mover
 FROM vm_lag WHERE prev_n IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Capacity profile: the sizing numbers a capacity plan reads — per
+# producer type, total volume, the hourly mean over the FULL corpus
+# span (silent hours dilute the mean, as they should), the peak hour
+# and its volume, and peak-to-mean as exact ppm (max·span·10⁶ div
+# total — the ratio never leaves integers).  Peak-hour ties break to
+# the earliest hour deterministically.  One (type, hour) groupBy; the
+# rest is grid algebra.
+
+
+def capacity_profile(events: DataFrame, type_col: str = "event_type",
+                     ts_col: str = "ts") -> DataFrame:
+    """(event_type, total, span_hours, max_hourly, peak_hour_idx,
+    peak_to_mean_ppm) per type."""
+    hour = F.expr(f"unix_timestamp({ts_col}) div 3600")
+    counts = (events.select(F.col(type_col).alias("t"), hour.alias("h"))
+              .groupBy("t", "h").agg(F.count(F.lit(1)).alias("n")))
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    # max(struct(n, -h)) → largest n, then smallest h among ties
+    peak = F.max(F.struct(F.col("n"), (-F.col("h")).alias("nh")))
+    g = (counts.groupBy("t")
+         .agg(F.sum("n").alias("total"), peak.alias("pk")))
+    return (g.crossJoin(F.broadcast(bounds))
+            .select(F.col("t").alias("event_type"), "total",
+                    (F.col("hi") - F.col("lo") + 1).alias("span_hours"),
+                    F.col("pk.n").alias("max_hourly"),
+                    (-F.col("pk.nh")).cast("long").alias("peak_hour_idx"),
+                    F.expr("pk.n * (hi - lo + 1) * 1000000 div total")
+                    .alias("peak_to_mean_ppm")))
+
+
+def capacity_profile_sql(events: str, type_expr: str = "event_type",
+                         ts_expr: str = "ts") -> str:
+    hour = f"(epoch(date_trunc('second', {ts_expr}))::BIGINT // 3600)"
+    return f"""
+WITH cp_counts AS (
+  SELECT {type_expr} AS t, {hour} AS h, count(*) AS n
+  FROM {events} GROUP BY 1, 2
+), cp_bounds AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM cp_counts
+), cp_peak AS (
+  SELECT t, n, h,
+         row_number() OVER (PARTITION BY t ORDER BY n DESC, h ASC)
+           AS rk,
+         sum(n) OVER (PARTITION BY t) AS total
+  FROM cp_counts
+)
+SELECT t AS event_type, total::BIGINT AS total,
+       (hi - lo + 1)::BIGINT AS span_hours,
+       n::BIGINT AS max_hourly, h::BIGINT AS peak_hour_idx,
+       (n * (hi - lo + 1) * 1000000 // total)::BIGINT
+         AS peak_to_mean_ppm
+FROM cp_peak, cp_bounds WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness: mean daily active users over the corpus span
+# vs span-wide active users, per producer type — the engagement ratio
+# product analytics reads daily.  Exact integers: stickiness_ppm =
+# Σ(daily distinct users)·10⁶ div (span_days · span_distinct_users);
+# silent days contribute zero DAU through the span denominator.  Two
+# distinct-grain groupBys onto (type, day, user) then (type, user) —
+# both bounded grids.
+
+
+def stickiness_ratio(events: DataFrame, type_col: str = "event_type",
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """(event_type, span_days, dau_sum, span_users, stickiness_ppm)
+    per type."""
+    day = F.expr(f"unix_timestamp({ts_col}) div 86400")
+    base = events.select(F.col(type_col).alias("t"), day.alias("d"),
+                         F.col(user_col).alias("u"))
+    bounds = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    dau = (base.groupBy("t", "d").agg(F.countDistinct("u").alias("dau"))
+           .groupBy("t").agg(F.sum("dau").alias("dau_sum")))
+    mau = base.groupBy("t").agg(F.countDistinct("u").alias("span_users"))
+    return (dau.join(mau, "t").crossJoin(F.broadcast(bounds))
+            .select(F.col("t").alias("event_type"),
+                    (F.col("hi") - F.col("lo") + 1).alias("span_days"),
+                    "dau_sum", "span_users",
+                    F.expr("dau_sum * 1000000 div "
+                           "((hi - lo + 1) * span_users)")
+                    .alias("stickiness_ppm")))
+
+
+def stickiness_ratio_sql(events: str, type_expr: str = "event_type",
+                         user_expr: str = "user_id",
+                         ts_expr: str = "ts") -> str:
+    day = f"(epoch(date_trunc('second', {ts_expr}))::BIGINT // 86400)"
+    return f"""
+WITH sk_base AS (
+  SELECT {type_expr} AS t, {day} AS d, {user_expr} AS u FROM {events}
+), sk_bounds AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM sk_base
+), sk_dau AS (
+  SELECT t, sum(dau) AS dau_sum FROM (
+    SELECT t, d, count(DISTINCT u) AS dau FROM sk_base GROUP BY 1, 2)
+  GROUP BY t
+), sk_mau AS (
+  SELECT t, count(DISTINCT u) AS span_users FROM sk_base GROUP BY t
+)
+SELECT d.t AS event_type, (hi - lo + 1)::BIGINT AS span_days,
+       dau_sum::BIGINT AS dau_sum, span_users,
+       (dau_sum * 1000000 // ((hi - lo + 1) * span_users))::BIGINT
+         AS stickiness_ppm
+FROM sk_dau d JOIN sk_mau m ON d.t = m.t, sk_bounds
+"""

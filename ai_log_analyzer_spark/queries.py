@@ -5291,3 +5291,25 @@ def volume_movers_q(spark, sf_dir):
     global span (functions/incidents.volume_movers)."""
     ev = _t(spark, sf_dir, "events")
     return IC.volume_movers(ev)
+
+
+@q("capacity_profile", IC.capacity_profile_sql("events"))
+def capacity_profile_q(spark, sf_dir):
+    """Capacity-plan sizing per producer type: total, hourly mean over
+    the FULL corpus span, deterministic peak hour (tie → earliest),
+    and peak-to-mean as exact ppm (max·span·10⁶ div total) — one
+    (type, hour) groupBy then grid algebra
+    (functions/incidents.capacity_profile)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.capacity_profile(ev)
+
+
+@q("stickiness_ratio", IC.stickiness_ratio_sql("events"))
+def stickiness_ratio_q(spark, sf_dir):
+    """DAU/MAU stickiness per producer type: mean daily active users
+    over the corpus span vs span-wide actives, exact ppm with silent
+    days diluting through the span denominator — two distinct-grain
+    groupBys onto bounded grids
+    (functions/incidents.stickiness_ratio)."""
+    ev = _t(spark, sf_dir, "events")
+    return IC.stickiness_ratio(ev)

@@ -1836,3 +1836,33 @@ def test_volume_movers_densifies_and_flags(spark):
                        "timestamp_ntz) as ts"))
     r = IC.volume_movers(ev2).collect()[0]
     assert r.change_ppm == 100_000 and not r.is_mover
+
+
+def test_capacity_profile_hand_computed(spark):
+    """Type a: hours 0→3, 1→3, 5→2 (span 6, total 8); peak tie 3
+    breaks to hour 0; peak/mean = 3·6/8 = 2.25."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [("a", 0)] * 3 + [("a", 1)] * 3 + [("a", 5)] * 2
+    ev = (spark.createDataFrame(rows, "event_type string, h long")
+          .selectExpr("event_type",
+                      "cast(timestamp_seconds(h * 3600) as timestamp_ntz)"
+                      " as ts"))
+    r = IC.capacity_profile(ev).collect()[0]
+    assert (r.total, r.span_hours, r.max_hourly) == (8, 6, 3)
+    assert r.peak_hour_idx == 0          # tie → earliest
+    assert r.peak_to_mean_ppm == 2_250_000
+
+
+def test_stickiness_ratio_hand_computed(spark):
+    """Days 0..2 (span 3): users/day {1,2}, {1}, {} + day 2 user 3 →
+    DAU sum 2+1+1 = 4, span users {1,2,3} = 3 → 4/(3·3) ppm."""
+    from ai_log_analyzer_spark.functions import incidents as IC
+    rows = [("a", 0, 1), ("a", 0, 2), ("a", 1, 1), ("a", 2, 3)]
+    ev = (spark.createDataFrame(rows,
+                                "event_type string, d long, user_id long")
+          .selectExpr("event_type",
+                      "cast(timestamp_seconds(d * 86400) as timestamp_ntz)"
+                      " as ts", "user_id"))
+    r = IC.stickiness_ratio(ev).collect()[0]
+    assert (r.span_days, r.dau_sum, r.span_users) == (3, 4, 3)
+    assert r.stickiness_ppm == 4 * 1_000_000 // 9
