@@ -36,7 +36,6 @@ class CatalogEntry:
     template: str
     token_count: int
     n_params: int
-    match_pattern: str        # regex SOURCE on MASKED text (selection)
     extract_pattern: str      # regex SOURCE on RAW text (param capture)
     mask_names: List[str]
     example: str
@@ -46,9 +45,19 @@ class CatalogEntry:
     # TWICE per job (freeze on the driver, from_rows per worker); the
     # matcher's candidate pruning touches only a handful of entries per
     # distinct masked form, so lazy compile does O(forms) work instead
-    # of O(catalog)
+    # of O(catalog).  r6: match_pattern (the selection regex SOURCE) is
+    # itself lazy — the Matcher's dict/token-compare path never touches
+    # it, and building 10⁴ escaped regex sources per worker was ~half of
+    # from_rows' wall; only the ≤200-template JVM parse path renders it.
     _match_re: Optional[re.Pattern] = None
     _extract_re: Optional[re.Pattern] = None
+    _match_pattern: Optional[str] = None
+
+    @property
+    def match_pattern(self) -> str:
+        if self._match_pattern is None:
+            self._match_pattern = _match_regex(self.tokens)
+        return self._match_pattern
 
     @property
     def match_re(self) -> re.Pattern:
@@ -82,7 +91,6 @@ def freeze(tree: Drain) -> List[CatalogEntry]:
             template=c.template,
             token_count=len(c.tokens),
             n_params=len(names),
-            match_pattern=_match_regex(c.tokens),
             extract_pattern=masking.template_regex(c.tokens),
             mask_names=names,
             example=c.example,
@@ -111,11 +119,13 @@ def from_rows(df: pd.DataFrame) -> List[CatalogEntry]:
         entries.append(CatalogEntry(
             template_id=int(r.template_id), tokens=tokens, template=r.template,
             token_count=int(r.token_count), n_params=len(names),
-            match_pattern=_match_regex(tokens),
             extract_pattern=r.regex, mask_names=names,
             example=getattr(r, "example", ""), freq=int(getattr(r, "freq", 0)),
         ))
     return entries
+
+
+_RE_WS = re.compile(r"\s+")   # unicode \s — the match_pattern dialect
 
 
 class Matcher:
@@ -132,39 +142,94 @@ class Matcher:
         for lst in self.by_count.values():
             # specificity order: fewest param slots first, then id
             lst.sort(key=lambda e: (e.n_params, e.template_id))
+        # r6 OPTIMIZATION (decision rule UNCHANGED, regexes GONE): the
+        # match_pattern regex is structurally per-token — escaped
+        # literals joined by \s+, whole-token <*> as \S+ — so matching
+        # reduces to a positional token compare over the \s+-split form
+        # (wildcard = any non-empty token; no leading/trailing \s).
+        # Templates with no whole-token wildcard (the overwhelming
+        # majority) resolve via ONE dict probe on the token tuple;
+        # wildcard-bearing templates fall back to the ordered compare.
+        # The old path lazily re.compile()d ~the whole catalog on first
+        # touch (~0.6 ms/template — 30 s of pure regex compilation per
+        # worker at a 50k-template catalog); equality is pinned by
+        # tests/test_parse_jvm.py + engine parity + the rewrite suite.
+        self._lit_map: dict[tuple, CatalogEntry] = {}
+        self._wild_by_count: dict[int, List[CatalogEntry]] = {}
+        for e in entries:
+            if masking.WILDCARD in e.tokens:
+                self._wild_by_count.setdefault(e.token_count, []).append(e)
+            else:
+                self._lit_map.setdefault(tuple(e.tokens), e)
+        for lst in self._wild_by_count.values():
+            lst.sort(key=lambda e: (e.n_params, e.template_id))
         self._cand_cache: dict[tuple, List[CatalogEntry]] = {}
         # masked form -> template_id (-1 = dead-letter); persists across
         # batches inside one python worker, so steady-state batches do
-        # ZERO template-selection regex work
+        # ZERO template-selection work
         self._form_cache: dict[str, int] = {}
         # template_id -> token-slice extraction plan (built lazily)
         self._ext_plan: dict[int, list] = {}
 
-    def _candidates(self, count: int, tok0: str) -> List[CatalogEntry]:
-        """Prefix-tree-equivalent pruning: templates of this token count
-        whose first token is ``tok0`` literally, or is a param slot
-        (wildcard / mask-bearing) that could cover it.  Preserves the
-        (n_params, template_id) decision order of the full list."""
+    @staticmethod
+    def _tok0_ok(e: CatalogEntry, tok0: str) -> bool:
+        """The prefix-pruning predicate of the old candidate lists."""
+        t0 = e.tokens[0] if e.tokens else None
+        return (t0 == tok0 or t0 == masking.WILDCARD
+                or (t0 is not None
+                    and masking.MASK_SCAN_RE.search(t0) is not None))
+
+    def _wild_candidates(self, count: int, tok0) -> List[CatalogEntry]:
         key = (count, tok0)
         got = self._cand_cache.get(key)
         if got is None:
-            got = [e for e in self.by_count.get(count, [])
-                   if e.tokens[0] == tok0 or e.tokens[0] == masking.WILDCARD
-                   or masking.MASK_SCAN_RE.search(e.tokens[0]) is not None]
+            lst = self._wild_by_count.get(count, [])
+            got = (lst if tok0 is None
+                   else [e for e in lst if self._tok0_ok(e, tok0)])
             self._cand_cache[key] = got
         return got
+
+    @staticmethod
+    def _wild_match(tt: List[str], ft: List[str]) -> bool:
+        if len(tt) != len(ft):
+            return False
+        for a, b in zip(tt, ft):
+            if a == masking.WILDCARD:
+                if not b:          # \S+ needs >= 1 char
+                    return False
+            elif a != b:
+                return False
+        return True
 
     def _match_form(self, form: str) -> int:
         """Decision rule for ONE masked form: among templates of the same
         token count (pruned by first token), first full match in
         (n_params, template_id) order wins; -1 = dead-letter."""
         toks = form.split()
-        candidates = (self._candidates(len(toks), toks[0]) if toks
-                      else self.by_count.get(0, []))
-        for e in candidates:
-            if e.match_re.match(form):
+        count = len(toks)
+        tok0 = toks[0] if toks else None
+        # regex-dialect tokenization: ^tok(\s+tok)*$ admits no leading/
+        # trailing whitespace, so empty edge tokens from re.split make
+        # every compare fail, exactly like the old anchored regex —
+        # EXCEPT one trailing "\n", which Python's "$" matches before
+        # (the round-4 dead-letter alignment depends on this quirk)
+        if form.endswith("\n"):
+            form = form[:-1]
+        rtoks = _RE_WS.split(form) if form else []
+        key = tuple(rtoks)
+        lit = self._lit_map.get(key)
+        if lit is not None and (lit.token_count != count
+                                or (toks and not self._tok0_ok(lit, tok0))):
+            # bucketing uses str.split counts — a candidate outside the
+            # form's (count, tok0) bucket was never tried by the old path
+            lit = None
+        for e in self._wild_candidates(count, tok0):
+            if lit is not None and ((lit.n_params, lit.template_id)
+                                    < (e.n_params, e.template_id)):
+                return lit.template_id
+            if self._wild_match(e.tokens, rtoks):
                 return e.template_id
-        return -1
+        return lit.template_id if lit is not None else -1
 
     def _plan_for(self, tid: int) -> list:
         """Token-slice extraction plan: (token_pos, kind, payload) per

@@ -21,6 +21,10 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import re as _re
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,6 +34,80 @@ from .text import fingerprint as _fingerprint
 # shingles occurring in more docs than this are dropped from the
 # inverted index (stop-shingles): bounds the self-join fan-out
 DF_CAP = 50
+
+# Java's \s is ASCII-only — keep the Python tokenizer byte-identical
+# to Catalyst's split(trim(text), '\\s+')
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+
+
+def _doc_grams(text, n: int):
+    """Word n-grams of one document with the EXACT semantics of the
+    Catalyst chain split(trim(text))/sequence/slice/concat_ws used by
+    raw_shingles: space-only trim, ASCII-\\s+ split (keeping leading
+    empty tokens like Java split does), ' '-joined grams, no grams for
+    null/short docs."""
+    if text is None:
+        return None
+    toks = _WS_ASCII.split(text.strip(" "))
+    m = len(toks) - n + 1
+    if m <= 0:
+        return None
+    return [" ".join(toks[i:i + n]) for i in range(m)]
+
+
+def _h32(digest_hex: str) -> int:
+    return int(digest_hex[:8], 16)
+
+
+def _shingle_hash_frame(df: DataFrame, n: int, text_col: str, id_col: str,
+                        mode: str) -> DataFrame:
+    """Arrow-vectorized shingle-hash stream — r6 OPTIMIZATION (guide
+    §4.2): the interpreted HOF gram build (transform+slice+concat_ws)
+    plus JVM md5 plus (for the distinct form) a corpus-wide shuffle
+    used to dominate every shingle consumer's wall.  One mapInPandas
+    pass now tokenizes, joins and md5-hashes per batch in Python —
+    hash32 = int(md5(gram)[:8], 16) is the same integer the Catalyst
+    conv(substring(md5(...))) computed, so every downstream join/agg
+    sees identical values — and per-doc dedup happens IN the kernel
+    (a doc's grams never leave their input row), deleting the
+    .distinct() exchange outright.
+
+    mode: 'distinct' → (doc_id, shingle_hash) per-doc set;
+          'multi'    → (doc_id, shingle_hash) with multiplicity;
+          'pos'      → (doc_id, pos, shingle_hash) stride-1 positions."""
+    import hashlib
+
+    id_type = dict(df.dtypes)[id_col]
+    if mode == "pos":
+        schema = f"doc_id {id_type}, pos int, shingle_hash long"
+    else:
+        schema = f"doc_id {id_type}, shingle_hash long"
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids_out, pos_out, h_out = [], [], []
+            for did, txt in zip(pdf[id_col].to_numpy(),
+                                pdf[text_col].to_numpy()):
+                grams = _doc_grams(txt, n)
+                if not grams:
+                    continue
+                hs = [_h32(md5(g.encode("utf-8")).hexdigest())
+                      for g in grams]
+                if mode == "distinct":
+                    hs = list(dict.fromkeys(hs))
+                elif mode == "pos":
+                    pos_out.extend(range(len(hs)))
+                ids_out.extend([did] * len(hs))
+                h_out.extend(hs)
+            cols = {"doc_id": ids_out}
+            if mode == "pos":
+                cols["pos"] = pd.array(pos_out, dtype="int32")
+            cols["shingle_hash"] = pd.array(h_out, dtype="int64")
+            yield pd.DataFrame(cols)
+
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .mapInPandas(_fn, schema)
 
 
 def exact_dups(df: DataFrame, text_col: str = "text",
@@ -58,14 +136,13 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle_hash) distinct hashed shingles per doc.
 
-    Hash-THEN-distinct: the distinct shuffles fixed-width longs instead
-    of shingle strings (~4× less shuffle volume), and matches the DuckDB
-    oracle's `SELECT DISTINCT doc_id, hash(shingle)` exactly even under
-    32-bit collisions (distinct-before-hash diverged from the oracle on
-    any within-doc collision — latent round-1 bug)."""
-    return (raw_shingles(df, n=n, text_col=text_col, id_col=id_col)
-            .select("doc_id", hash32(F.col("shingle")).alias("shingle_hash"))
-            .distinct())
+    Hash-then-distinct semantics (matches the oracle's
+    `SELECT DISTINCT doc_id, hash(shingle)` even under 32-bit
+    collisions); r6: computed by the Arrow kernel — the distinct is
+    per-doc inside the batch (a doc's grams never span input rows), so
+    the old corpus-wide .distinct() exchange is GONE from every
+    consumer's plan (guide §2.4)."""
+    return _shingle_hash_frame(df, n, text_col, id_col, mode="distinct")
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.02,
@@ -117,11 +194,14 @@ def minhash_signatures(df: DataFrame | None = None, n_hashes: int = 8,
     in the DuckDB oracle via substr(md5(...), 1+8l, 8)."""
     assert n_hashes % 4 == 0, "n_hashes must be a multiple of 4 (md5 lanes)"
     if sh is None:
-        # raw (non-distinct) shingles: min() over a multiset equals min()
-        # over the set, so signatures need NO distinct — the groupBy gets
-        # map-side partial min aggregation and the only shuffle is one
-        # pre-reduced row per (doc, partition)
-        sh = raw_shingles(df, n=n)
+        # r6 OPTIMIZATION (guide §4.2): the whole signature — gram
+        # build, lane md5s, per-doc lane minima — now happens inside
+        # one Arrow kernel, ONE OUTPUT ROW PER DOC: the 200×-corpus
+        # exploded digest stream and its groupBy shuffle are gone.
+        # Lane values are the same integers the Catalyst
+        # conv(substring(md5(d|shingle), 1+8l, 8), 16, 10) computed, so
+        # signatures (and every band hash built on them) are identical.
+        return _minhash_kernel(df, n_hashes=n_hashes, n=n)
     digs = sh.select(
         "doc_id",
         *[F.md5(F.concat(F.lit(f"{d}|"), F.col("shingle"))).alias(f"_dig{d}")
@@ -133,6 +213,54 @@ def minhash_signatures(df: DataFrame | None = None, n_hashes: int = 8,
                           16, 10).cast("long")
         aggs.append(F.min(lane_col).alias(f"h{i}"))
     return digs.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_kernel(df: DataFrame, n_hashes: int, n: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h0..h{k-1}) straight from the docs: per-doc lane minima
+    over the md5-lane decomposition, one row per doc, zero shuffle."""
+    import hashlib
+
+    n_digs = n_hashes // 4
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"doc_id {id_type}, " + ", ".join(
+        f"h{i} long" for i in range(n_hashes))
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        prefixes = [f"{d}|".encode("utf-8") for d in range(n_digs)]
+        for pdf in batches:
+            ids_out = []
+            mins_out = [[] for _ in range(n_hashes)]
+            for did, txt in zip(pdf[id_col].to_numpy(),
+                                pdf[text_col].to_numpy()):
+                grams = _doc_grams(txt, n)
+                if not grams:
+                    continue
+                # min over the multiset == min over the set; dedup cuts
+                # the md5 count on repetitive docs
+                gset = set(grams)
+                mins = [None] * n_hashes
+                for g in gset:
+                    gb = g.encode("utf-8")
+                    for d in range(n_digs):
+                        hx = md5(prefixes[d] + gb).hexdigest()
+                        for lane in range(4):
+                            v = int(hx[8 * lane:8 * lane + 8], 16)
+                            j = 4 * d + lane
+                            if mins[j] is None or v < mins[j]:
+                                mins[j] = v
+                ids_out.append(did)
+                for j in range(n_hashes):
+                    mins_out[j].append(mins[j])
+            cols = {"doc_id": ids_out}
+            for j in range(n_hashes):
+                cols[f"h{j}"] = pd.array(mins_out[j], dtype="int64")
+            yield pd.DataFrame(cols)
+
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .mapInPandas(_fn, schema)
 
 
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
@@ -164,10 +292,9 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     # 100 TB it can't be cached at all).  Measured at sf0.1: 4.4 s
     # cached vs 4.5 s uncached.
     p = df.sparkSession.sparkContext.defaultParallelism
-    raw = raw_shingles(df.repartition(p), n=n)
-    sh = (raw.select("doc_id", hash32(F.col("shingle")).alias("shingle_hash"))
-          .distinct())
-    sig = minhash_signatures(n_hashes=n_hashes, sh=raw)
+    d2 = df.repartition(p)
+    sh = shingles(d2, n=n)
+    sig = minhash_signatures(d2, n_hashes=n_hashes, n=n)
     band_cols = []
     for bidx in range(bands):
         cols = [F.col(f"h{bidx * rows + r}").cast("string") for r in range(rows)]
@@ -496,8 +623,7 @@ def dup_passage_stats(df: DataFrame, n: int = 5, text_col: str = "text",
     stride-1 stream is n× the corpus token count in rows but each row
     is two longs; hot stop-shingles are AQE's skew tail, and min is
     safe on any key (no pair blow-up)."""
-    pos = raw_shingles(df, n=n, text_col=text_col, id_col=id_col) \
-        .select("doc_id", hash32(F.col("shingle")).alias("shingle_hash"))
+    pos = _shingle_hash_frame(df, n, text_col, id_col, mode="multi")
     first = F.min("doc_id").over(Window.partitionBy("shingle_hash"))
     return (pos.withColumn("_first", first)
             .groupBy("doc_id")
@@ -1044,14 +1170,10 @@ def text_reuse_spans(df: DataFrame, n: int = 3, min_run: int = 2,
     same shingle align on every diagonal they share; the df_cap bounds
     that multiplicity in the same stroke."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    pos = (df.repartition(p)
-           .select(F.col(id_col).alias("doc_id"),
-                   F.posexplode(grams).alias("pos", "shingle"))
-           .select("doc_id", "pos", hash32(F.col("shingle")).alias("shingle_hash")))
+    # r6: positional stream via the Arrow kernel (identical integers,
+    # no interpreted HOF gram build — guide §4.2)
+    pos = _shingle_hash_frame(df.repartition(p), n, text_col, id_col,
+                              mode="pos")
     hot = (pos.select("doc_id", "shingle_hash").distinct()
            .groupBy("shingle_hash").agg(F.count("*").alias("df"))
            .filter(F.col("df") > df_cap).select("shingle_hash"))
@@ -1140,8 +1262,7 @@ def banded_signatures(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     p = df.sparkSession.sparkContext.defaultParallelism
-    sig = minhash_signatures(n_hashes=n_hashes,
-                             sh=raw_shingles(df.repartition(p), n=n))
+    sig = minhash_signatures(df.repartition(p), n_hashes=n_hashes, n=n)
     band_cols = []
     for bidx in range(bands):
         cols = [F.col(f"h{bidx * rows + r}").cast("string")
@@ -1217,13 +1338,10 @@ def winnow_fingerprints(df: DataFrame, n: int = 3, w: int = 4,
     window — per doc-partition sort, no window explosion, no
     self-join; the final groupBy(doc_id) reuses the same hash
     partitioning, so the whole operator costs a single exchange."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    pos = (df.select(F.col(id_col).alias("doc_id"),
-                     F.posexplode(grams).alias("pos", "gram"))
-           .select("doc_id", "pos", hash32(F.col("gram")).alias("h")))
+    # r6: positional k-gram hash stream via the Arrow kernel (identical
+    # integers, no interpreted HOF gram build — guide §4.2)
+    pos = _shingle_hash_frame(df, n, text_col, id_col, mode="pos") \
+        .withColumnRenamed("shingle_hash", "h")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     wall = Window.partitionBy("doc_id")
     left_run = F.lit(0)
@@ -1412,8 +1530,7 @@ def lsh_audit(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     p = df.sparkSession.sparkContext.defaultParallelism
-    raw = raw_shingles(df.repartition(p), n=n)
-    sig = minhash_signatures(n_hashes=n_hashes, sh=raw)
+    sig = minhash_signatures(df.repartition(p), n_hashes=n_hashes, n=n)
     band_cols = []
     for bidx in range(bands):
         cols = [F.col(f"h{bidx * rows + r}").cast("string")

@@ -350,6 +350,35 @@ def srp_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             .filter(F.col("rnk") <= k)
             .select("query_id", "vec_id", "cos", "rnk"))
 
+def _round6_ge_boundary(threshold: float) -> float:
+    """Smallest double t with Spark ``round(t, 6) >= threshold`` —
+    lets a batch kernel replace the per-pair HALF_UP rounding with one
+    plain >= compare, bit-identically.  Spark's Round on DoubleType is
+    BigDecimal.valueOf(d) (shortest decimal repr, which Python's
+    ``repr`` matches) .setScale(6, HALF_UP); that rounding is monotone
+    non-decreasing in t, so the predicate has a single boundary double,
+    found by a short nextafter walk around threshold - 5e-7."""
+    import decimal
+
+    import numpy as np
+
+    thr = decimal.Decimal(repr(threshold)).quantize(
+        decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP)
+
+    def ok(v: float) -> bool:
+        q = decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP)
+        return q >= thr
+
+    t = float(threshold) - 5e-7
+    # walk down to below the boundary, then up to the first passing double
+    while ok(t):
+        t = np.nextafter(t, -np.inf)
+    while not ok(t):
+        t = np.nextafter(t, np.inf)
+    return float(t)
+
+
 def semdedup(emb: DataFrame, centroids: list[list[float]],
              threshold: float = 0.95, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
@@ -390,21 +419,69 @@ def semdedup(emb: DataFrame, centroids: list[list[float]],
         structs.append(F.struct(cs.alias("cs"), F.lit(-c).alias("nc")))
     assign = base.withColumn(
         "cell", (-F.array_max(F.array(*structs)).getField("nc"))
-        .cast("int")).select("vec_id", "emb", "nrm", "cell")
-    lower = assign.select("cell", F.col("vec_id").alias("ka"),
-                          F.col("emb").alias("ea"),
-                          F.col("nrm").alias("na"))
-    dropped = (assign.join(lower, "cell")
-               .where(F.col("ka") < F.col("vec_id"))
-               .where(F.round(_dot(F.col("ea"), F.col("emb")) /
-                              (F.col("na") * F.col("nrm")), 6)
-                      >= F.lit(threshold))
-               .select("vec_id").distinct())
-    return (assign.select("vec_id", "cell")
-            .join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
-            .select("vec_id", "cell",
-                    F.when(F.col("_d").isNull(), 1).otherwise(0)
-                    .cast("int").alias("keep")))
+        .cast("int")).select("vec_id", "emb", "cell")
+
+    # r6 OPTIMIZATION (guide §4.2): the per-pair check used to be a
+    # cell self-join whose interpreted-HOF cosine fold ran once per
+    # PAIR (O(cell²·dim) lambda evals — 42 s at the driver's sf1.0).
+    # Now one applyInPandas per cell computes the identical doubles in
+    # numpy: the dot/norm folds accumulate in the same left-assoc
+    # element order as ``_dot``/``_norm`` (see _sim_e6_block), and the
+    # per-pair ``round(cos, 6) >= threshold`` is replaced by comparing
+    # the UNROUNDED cos against the precomputed exact double boundary
+    # ``_round6_ge_boundary(threshold)`` — the smallest double whose
+    # 6-dp HALF_UP rounding clears the threshold, so the boolean is
+    # bit-identical without any per-pair rounding.  Equality with the
+    # old plan is pinned by the sf0.001 oracle mirror + the r6 rewrite
+    # suite at 3 SFs (tests/test_margin_rewrite.py).
+    import numpy as np
+
+    tmin = _round6_ge_boundary(threshold)
+
+    def _cell_fn(pdf):
+        import pandas as pd
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        vid = pdf["vec_id"].to_numpy()[order].astype(np.int64)
+        mat = np.array([np.asarray(x, dtype=np.float64)
+                        for x in pdf["emb"].to_numpy()[order]])
+        m, d = mat.shape
+        nrm = np.zeros(m, dtype=np.float64)
+        for i in range(d):
+            nrm += mat[:, i] * mat[:, i]
+        nrm = np.sqrt(nrm)
+        dropped = np.zeros(m, dtype=bool)
+        # cache-resident tiles: the per-dim ordered fold makes 64
+        # passes over the dot tile, so the tile must fit L2/L3 —
+        # 768²·8B ≈ 4.7 MB — and tiles entirely above the diagonal
+        # (i0 >= j1, no i < j pair) are skipped outright
+        blk = 768
+        tmp = np.empty((blk, blk), dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for j0 in range(0, m, blk):
+                j1 = min(j0 + blk, m)
+                for i0 in range(0, m, blk):
+                    if i0 >= j1 - 1:
+                        break
+                    i1 = min(i0 + blk, m)
+                    dot = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                    t = tmp[:i1 - i0, :j1 - j0]
+                    for i in range(d):
+                        np.multiply(mat[i0:i1, i, None],
+                                    mat[None, j0:j1, i], out=t)
+                        dot += t
+                    cos = dot / (nrm[i0:i1, None] * nrm[None, j0:j1])
+                    hit = cos >= tmin
+                    lower = (np.arange(i0, i1)[:, None]
+                             < np.arange(j0, j1)[None, :])
+                    dropped[j0:j1] |= (hit & lower).any(axis=0)
+        return pd.DataFrame({
+            "vec_id": vid,
+            "cell": np.full(m, int(pdf["cell"].iloc[0]), dtype=np.int32),
+            "keep": (~dropped).astype(np.int32),
+        })
+
+    return assign.groupBy("cell").applyInPandas(
+        _cell_fn, "vec_id long, cell int, keep int")
 
 
 # ---------------------------------------------------------------------------
@@ -1288,6 +1365,39 @@ MARGIN_K = 4
 MARGIN_PPM_MIN = 1_020_000       # margin ≥ 1.02 — the usual ≈1.0x bar
 
 
+def _sim_e6_block(av, bv):
+    """sim_e6 int64 matrix for a (m, d) × (nB, d) float64 block,
+    bit-identical to the Catalyst expression
+    ``round(cosine(av, bv) * 1e6).cast("long")``:
+
+    - dot/norm are the SAME left-associative per-element fold as
+      ``_dot``/``_norm`` (acc starts 0.0, += a_i·b_i in array order) —
+      elementwise numpy over the pair axis, sequential over dims, so
+      every IEEE operation matches the interpreted HOF 1:1 (a numpy
+      ``@`` would re-associate the sum and drift ~1 ulp);
+    - rounding replicates Spark's HALF_UP round-to-integer on doubles
+      (floor(v+0.5) / ceil(v-0.5); NaN→0 and ±inf→Long.MIN/MAX like a
+      non-ANSI long cast) — equality with the Catalyst form is pinned
+      value-for-value by tests/test_margin_rewrite.py at 3 SFs."""
+    import numpy as np
+
+    m, d = av.shape
+    dot = np.zeros((m, bv.shape[0]), dtype=np.float64)
+    na = np.zeros(m, dtype=np.float64)
+    nb = np.zeros(bv.shape[0], dtype=np.float64)
+    for i in range(d):
+        dot += av[:, i, None] * bv[None, :, i]
+        na += av[:, i] * av[:, i]
+        nb += bv[:, i] * bv[:, i]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = (dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])) * 1e6
+        out = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        # NaN only from an all-zero vector (0/0); Spark's non-ANSI long
+        # cast maps NaN → 0.  |cos·1e6| ≤ ~1e6 otherwise, no clip needed.
+        res = np.where(np.isnan(out), 0.0, out)
+    return res.astype(np.int64)
+
+
 def margin_pairs(emb: DataFrame, k: int = MARGIN_K,
                  min_ppm: int = MARGIN_PPM_MIN,
                  id_col: str = "vec_id",
@@ -1302,48 +1412,130 @@ def margin_pairs(emb: DataFrame, k: int = MARGIN_K,
     (Σ top-k fwd sim_e6 + Σ top-k bwd sim_e6), restricted to positive
     sims/sums so floor division agrees across engines.
 
-    Scale: this exactness baseline scores A×B densely (fine at the
-    test scale, and the oracle needs it); the 100-TB path swaps the
-    dense `scored` for the SRP-banded candidate generator
-    (srp_neardup_pairs' bucketing) — margin math, windows and the
-    mutual-best join are unchanged, since every step after `scored`
-    is per-src/per-dst top-k over candidates only."""
-    base = emb.select(F.col(id_col).alias("vid"),
-                      F.transform(vec_col,
-                                  lambda x: x.cast("double")).alias("v"))
-    a = (base.filter(F.col("vid") % 2 == 0)
-         .select(F.col("vid").alias("src_id"), F.col("v").alias("av")))
-    b = (base.filter(F.col("vid") % 2 == 1)
-         .select(F.col("vid").alias("dst_id"), F.col("v").alias("bv")))
-    scored = (a.join(F.broadcast(b))
-              .withColumn("sim_e6",
-                          F.round(cosine(F.col("av"), F.col("bv")) * 1e6)
-                          .cast("long"))
-              .select("src_id", "dst_id", "sim_e6"))
-    wf = Window.partitionBy("src_id").orderBy(F.desc("sim_e6"), "dst_id")
+    r6 OPTIMIZATION (guide §4.2 — same results, new physical plan):
+    the old plan materialized the dense A×B frame through an
+    interpreted-HOF cosine and FOUR row_number windows over |A|·|B|
+    rows (291 s at the driver's sf1.0).  Now the dense matrix never
+    exists JVM-side: two ``mapInPandas`` passes over A against a
+    broadcast B block compute identical integer sims in numpy
+    (ordered folds — see ``_sim_e6_block``), all per-src quantities
+    (fwd top-k sum, best margin) fall out row-wise inside the batch,
+    and per-dst quantities (bwd top-k sum, mutual-best) reduce from
+    k-per-dst-per-batch partials — |B|·k-sized frames instead of
+    |A|·|B|.  The only |A|·|B| work left is the blocked numpy sims,
+    ~10⁴× cheaper per pair than the interpreted fold.  The B side is
+    collected once (|B| rows — the old plan's broadcast join collected
+    the same rows internally).  Still the dense exactness baseline the
+    oracle defines: O(|A|·|B|) pair math, just at matmul speed."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    a = base.filter(F.col("vid") % 2 == 0)
+    b_rows = sorted(base.filter(F.col("vid") % 2 == 1).collect(),
+                    key=lambda r: r["vid"])
+    if not b_rows:
+        return spark.createDataFrame(
+            [], "src_id long, dst_id long, margin_ppm long, mutual boolean")
+    dst_ids = np.array([r["vid"] for r in b_rows], dtype=np.int64)
+    bmat = np.array([list(r["v"]) for r in b_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((dst_ids, bmat))
+
+    def _batch_arrays(pdf):
+        order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+        src = pdf["vid"].to_numpy()[order].astype(np.int64)
+        av = np.array([np.asarray(x, dtype=np.float64)
+                       for x in pdf["v"].to_numpy()[order]])
+        return src, av
+
+    def _pass1(batches):
+        import pandas as pd
+        dids, bm = bc.value
+        nb = len(dids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            src, av = _batch_arrays(pdf)
+            sims = _sim_e6_block(av, bm)
+            # batch-local bwd top-k per dst: rows sorted by src asc, so
+            # a STABLE argsort on -sim gives (sim desc, src asc) order
+            take = min(k, len(src))
+            ordr = np.argsort(-sims, axis=0, kind="stable")[:take]
+            yield pd.DataFrame({
+                "dst_id": np.repeat(dids, take),
+                "sim_e6": sims[ordr, np.arange(nb)[None, :]].T.ravel(),
+                "src_id": src[ordr].T.ravel(),
+            })
+
+    part1 = a.mapInPandas(_pass1, "dst_id long, sim_e6 long, src_id long")
     wb = Window.partitionBy("dst_id").orderBy(F.desc("sim_e6"), "src_id")
-    ranked = (scored.withColumn("_rf", F.row_number().over(wf))
-              .withColumn("_rb", F.row_number().over(wb)))
-    fwd = (ranked.filter(F.col("_rf") <= k).groupBy("src_id")
-           .agg(F.sum("sim_e6").alias("fwd_sum")))
-    bwd = (ranked.filter(F.col("_rb") <= k).groupBy("dst_id")
+    bwd = (part1.withColumn("_rb", F.row_number().over(wb))
+           .filter(F.col("_rb") <= k).groupBy("dst_id")
            .agg(F.sum("sim_e6").alias("bwd_sum")))
-    marg = (scored.join(fwd, "src_id").join(bwd, "dst_id")
-            .filter((F.col("sim_e6") > 0) &
-                    (F.col("fwd_sum") + F.col("bwd_sum") > 0))
-            .withColumn("margin_ppm",
-                        F.expr(f"(sim_e6 * {2 * k} * 1000000) div "
-                               f"(fwd_sum + bwd_sum)")))
-    wbest_f = Window.partitionBy("src_id").orderBy(F.desc("margin_ppm"),
-                                                   "dst_id")
-    wbest_b = Window.partitionBy("dst_id").orderBy(F.desc("margin_ppm"),
-                                                   "src_id")
-    best = (marg.withColumn("_bf", F.row_number().over(wbest_f))
-            .withColumn("_bb", F.row_number().over(wbest_b)))
-    return (best.filter((F.col("_bf") == 1) &
-                        (F.col("margin_ppm") >= min_ppm))
+    bwd_rows = bwd.collect()
+    bwd_arr = np.zeros(len(dst_ids), dtype=np.int64)
+    pos = {int(d): i for i, d in enumerate(dst_ids)}
+    for r in bwd_rows:
+        bwd_arr[pos[int(r["dst_id"])]] = int(r["bwd_sum"])
+    bc2 = spark.sparkContext.broadcast(bwd_arr)
+
+    def _pass2(batches):
+        import pandas as pd
+        dids, bm = bc.value
+        bsum = bc2.value
+        nb = len(dids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            src, av = _batch_arrays(pdf)
+            sims = _sim_e6_block(av, bm)
+            take = min(k, nb)
+            ordr = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            fwd_sum = np.take_along_axis(sims, ordr, axis=1).sum(axis=1)
+            denom = fwd_sum[:, None] + bsum[None, :]
+            elig = (sims > 0) & (denom > 0)
+            marg = np.where(elig,
+                            (sims * (2 * k * 1_000_000)) // np.where(
+                                denom == 0, 1, denom),
+                            np.int64(-1))
+            # per-src best: first argmax along dst (cols in dst_id asc
+            # order) == (margin desc, dst asc) rank 1
+            bf_col = np.argmax(marg, axis=1)
+            bf_val = marg[np.arange(len(src)), bf_col]
+            keep = bf_val >= 0
+            out_f = pd.DataFrame({
+                "tag": np.zeros(keep.sum(), dtype=np.int32),
+                "src_id": src[keep],
+                "dst_id": dids[bf_col[keep]],
+                "margin_ppm": bf_val[keep],
+            })
+            # per-dst batch partial best: first argmax along src (rows
+            # in src_id asc order) == (margin desc, src asc) rank 1
+            bb_row = np.argmax(marg, axis=0)
+            bb_val = marg[bb_row, np.arange(nb)]
+            keep_b = bb_val >= 0
+            out_b = pd.DataFrame({
+                "tag": np.ones(keep_b.sum(), dtype=np.int32),
+                "src_id": src[bb_row[keep_b]],
+                "dst_id": dids[keep_b],
+                "margin_ppm": bb_val[keep_b],
+            })
+            yield pd.concat([out_f, out_b], ignore_index=True)
+
+    part2 = a.mapInPandas(
+        _pass2, "tag int, src_id long, dst_id long, margin_ppm long")
+    cand = part2.filter(F.col("tag") == 0).drop("tag")
+    bb = (part2.filter(F.col("tag") == 1)
+          .groupBy("dst_id")
+          .agg(F.max(F.struct(F.col("margin_ppm"),
+                              (-F.col("src_id")).alias("ns"))).alias("bb"))
+          .select("dst_id", F.col("bb.margin_ppm").alias("_bbm"),
+                  (-F.col("bb.ns")).alias("_bbs")))
+    return (cand.filter(F.col("margin_ppm") >= min_ppm)
+            .join(bb, "dst_id")
             .select("src_id", "dst_id", "margin_ppm",
-                    (F.col("_bb") == 1).alias("mutual")))
+                    ((F.col("_bbm") == F.col("margin_ppm")) &
+                     (F.col("_bbs") == F.col("src_id"))).alias("mutual")))
 
 
 def margin_pairs_sql(table: str = "embeddings", k: int = MARGIN_K,

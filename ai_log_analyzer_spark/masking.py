@@ -120,6 +120,11 @@ def template_regex(template_tokens: List[str]) -> str:
     tokenization."""
     parts = []
     for tok in template_tokens:
+        if "<" not in tok:
+            # plain-word fast path (r6): _token_pieces of a "<"-free
+            # token is a single lit piece — skip the regex scan
+            parts.append(re.escape(tok))
+            continue
         tp = []
         for kind, val in _token_pieces(tok):
             if kind == "mask":
@@ -133,9 +138,20 @@ def template_regex(template_tokens: List[str]) -> str:
 
 
 def param_mask_names(template_tokens: List[str]) -> List[str]:
-    """Mask name per capture group, in capture order (``*`` = wildcard)."""
+    """Mask name per capture group, in capture order (``*`` = wildcard).
+
+    r6: plain-word fast path — MASK_SCAN_RE needs a literal "<:" and the
+    wildcard is "<*>", so tokens without "<" contribute nothing; the
+    substring test skips the regex scan on the (overwhelming) majority
+    of tokens, which is what makes per-worker catalog construction
+    O(catalog) cheap at 10⁴-template catalogs."""
     names = []
     for tok in template_tokens:
+        if "<" not in tok:
+            continue
+        if tok == WILDCARD:
+            names.append("*")
+            continue
         for kind, val in _token_pieces(tok):
             if kind == "mask":
                 names.append(val)

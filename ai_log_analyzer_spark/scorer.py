@@ -89,13 +89,20 @@ def seed_weight_cache(num_classes: int, weights, seed: int = SEED) -> None:
 
 def count_vectors(window_ids: np.ndarray, num_classes: int) -> np.ndarray:
     """(n, w) int window id matrix → (n, num_classes) dense count vectors
-    via one flat bincount (the reference loops np.unique per sample,
-    dataset.py:112-118)."""
+    (the reference loops np.unique per sample, dataset.py:112-118).
+
+    r6: scatter of unique-position counts into a zeroed float32 matrix
+    instead of a flat bincount — the bincount path materialized an
+    n·num_classes INT64 intermediate (1 GB at one 2.5k-row host series
+    against a 50k-template catalog) before the float32 cast; counts are
+    small exact integers, so the float32 matrix is bit-identical."""
     n, w = window_ids.shape
     flat = (np.arange(n, dtype=np.int64)[:, None] * num_classes
             + window_ids).ravel()
-    return np.bincount(flat, minlength=n * num_classes) \
-        .reshape(n, num_classes).astype(np.float32)
+    pos, cnt = np.unique(flat, return_counts=True)
+    x = np.zeros(n * num_classes, dtype=np.float32)
+    x[pos] = cnt
+    return x.reshape(n, num_classes)
 
 
 def score(window_ids: np.ndarray, label_ids: np.ndarray, num_classes: int,
@@ -112,12 +119,20 @@ def score(window_ids: np.ndarray, label_ids: np.ndarray, num_classes: int,
     x = count_vectors(window_ids, num_classes)          # float32
     norm = np.linalg.norm(x, axis=1, keepdims=True).astype(np.float32)
     norm[norm == 0.0] = np.float32(1.0)
-    xn = x / norm
+    # r6: in-place forms of the identical IEEE operations — each (n, C)
+    # temporary was ~500 MB per host series at a 50k-class catalog;
+    # values are bit-identical (same ops, same operand order), only the
+    # buffer reuse changed.
+    x /= norm                                           # xn, in place
+    xn = x
     h = np.tanh(xn @ w1.T)
     recon = h @ w2.T
-    err = np.linalg.norm(recon - xn, axis=1).astype(np.float64)
+    recon -= xn
+    err = np.linalg.norm(recon, axis=1).astype(np.float64)
 
-    logits = (xn @ mv.T) @ mu.T + np.float32(SELF_PRIOR) * xn
+    logits = (xn @ mv.T) @ mu.T
+    np.multiply(xn, np.float32(SELF_PRIOR), out=recon)  # recon is free
+    logits += recon
     in_topk = topk_membership(logits, label_ids, k)
     return err, ~in_topk
 
