@@ -85,3 +85,36 @@ def test_anomaly_score_unchanged_by_logit_factorization():
     np.testing.assert_array_equal(w1, w1_ref)
     assert mu.shape == (32, scorer.LOGIT_RANK)
     assert mv.shape == (scorer.LOGIT_RANK, 32)
+
+
+def test_score_chunking_identity():
+    """r6: score() slices batches larger than SCORE_CHUNK into row
+    blocks (a pure working-set optimization).  Contract pinned here:
+    (a) batches at or under SCORE_CHUNK take the byte-identical
+    monolithic path (so every value-checked SF, whose host series are
+    well under the bound, cannot drift on any CPU); (b) the blocked
+    path agrees with the monolithic one to within the f32 GEMM noise
+    band the flagship fixture's 1e-4 hash grid was designed around
+    (<=5e-7 absolute), with identical top-k decisions at this seed."""
+    for c, n in ((97, 1300), (513, 2049), (4992, 3000)):
+        rng = np.random.default_rng(7)
+        win = rng.integers(0, c, size=(n, scorer.WINDOW_SIZE)).astype(np.int64)
+        lab = rng.integers(0, c, size=n).astype(np.int64)
+        err_b, anom_b = scorer.score(win, lab, c)
+        old = scorer.SCORE_CHUNK
+        try:
+            scorer.SCORE_CHUNK = n + 1   # monolithic reference
+            err_m, anom_m = scorer.score(win, lab, c)
+        finally:
+            scorer.SCORE_CHUNK = old
+        np.testing.assert_allclose(err_b, err_m, rtol=0, atol=5e-7)
+        np.testing.assert_array_equal(anom_b, anom_m)
+        # (a): under the bound both calls ARE the same code path
+        e1, a1 = scorer.score(win[:old], lab[:old], c)
+        try:
+            scorer.SCORE_CHUNK = 10 ** 9
+            e2, a2 = scorer.score(win[:old], lab[:old], c)
+        finally:
+            scorer.SCORE_CHUNK = old
+        np.testing.assert_array_equal(e1, e2)
+        np.testing.assert_array_equal(a1, a2)
