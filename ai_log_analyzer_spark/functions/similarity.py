@@ -636,30 +636,54 @@ def pq_codebooks_local(ids, vecs, m: int = PQ_M, k: int = PQ_K,
                    m, k, iters)
 
 
+def _dlit(v) -> str:
+    """Spark-SQL DOUBLE literal with exact round-trip: ``repr`` emits
+    the shortest decimal that parses back to the identical double
+    (the same contract BigDecimal.valueOf / DuckDB rely on), and the
+    ``D`` suffix pins DoubleType so a bare decimal never becomes a
+    DECIMAL literal with different arithmetic."""
+    return f"{float(v)!r}D"
+
+
+# r6 (guide §1.2 order-of-operations, measured per §1.4): the PQ/IVF-PQ
+# encode cost was NOT execution (20k rows execute in ~0.4-1.6 s) but
+# DataFrame CONSTRUCTION — composing the m·k=64 distance columns from
+# thousands of Column objects crossed py4j once per operator and built
+# the Catalyst tree node-by-node (3.4-4.2 s per plan build at m=8, k=8,
+# dim=64).  The builders below emit ONE SQL string per output column
+# (parsed JVM-side in a single hop), with the arithmetic text copied
+# from the DuckDB oracle mirrors (_pq_codes_sql/_ivfpq_codes_sql) whose
+# bit-parity with the old Column trees is already proven by the oracle
+# hash suite — explicit left-assoc sums fold identically to the old
+# aggregate() chains (IEEE: 0.0 + x == x for the non-negative squares).
+
+
 def _pq_unit(vec_col: str):
     """Unit-normalized float64 copy of ``vec_col`` (zero vector kept
-    as-is via the norm->1 guard)."""
-    e = F.transform(vec_col, lambda x: x.cast("double"))
-    n = _norm(e)
-    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
-    return F.transform(e, lambda x: x / safe)
+    as-is via the norm->1 guard) — one textual HOF expression, same
+    ops/order as the old per-Column form."""
+    return F.expr(
+        f"transform(transform({vec_col}, x -> double(x)), x -> x / "
+        f"(CASE WHEN sqrt(aggregate(transform({vec_col}, "
+        f"x -> double(x)), 0.0D, (acc, x) -> acc + x * x)) = 0.0D "
+        f"THEN 1.0D ELSE sqrt(aggregate(transform({vec_col}, "
+        f"x -> double(x)), 0.0D, (acc, x) -> acc + x * x)) END))")
 
 
 def _pq_dist_cols(codebooks, col: str = "u"):
     """dict {(s, c): squared-L2 Column} between ``col``'s subspace-s
-    slice and codebook entry c — each an explicit fixed-order sum of
-    (element - literal)^2 terms over element_at positions, so the
-    doubles agree bit-for-bit with the textual SQL mirror."""
+    slice and codebook entry c — each ONE SQL-text expression of the
+    explicit fixed-order (element - literal)^2 sum, bit-for-bit the
+    textual SQL mirror's arithmetic."""
     out = {}
     d = len(codebooks[0][0])
     for s, book in enumerate(codebooks):
         for c, cent in enumerate(book):
-            acc = None
-            for i, cv in enumerate(cent):
-                el = F.element_at(col, s * d + i + 1) - F.lit(cv)
-                term = el * el
-                acc = term if acc is None else acc + term
-            out[(s, c)] = F.round(acc, 9)
+            terms = " + ".join(
+                f"(element_at({col}, {s * d + i + 1}) - {_dlit(cv)}) * "
+                f"(element_at({col}, {s * d + i + 1}) - {_dlit(cv)})"
+                for i, cv in enumerate(cent))
+            out[(s, c)] = F.expr(f"round({terms}, 9)")
     return out
 
 
@@ -670,15 +694,12 @@ def _pq_code_exprs(codebooks):
     k = len(codebooks[0])
     codes, mins = [], []
     for s in range(len(codebooks)):
-        m_s = F.least(*[F.col(f"d_{s}_{c}") for c in range(k)])
+        m_s = F.expr("least(" + ", ".join(f"d_{s}_{c}" for c in range(k))
+                     + ")")
         # CASE branches in ascending c order: tie -> lowest cell, the
         # same contract as _lloyd_l2's argmin
-        code = None
-        for c in range(k):
-            br = F.when(F.col(f"d_{s}_{c}") == F.col(f"m_{s}"), c)
-            code = br if code is None else code.when(
-                F.col(f"d_{s}_{c}") == F.col(f"m_{s}"), c)
-        codes.append(code.cast("int").alias(f"c_{s}"))
+        br = " ".join(f"WHEN d_{s}_{c} = m_{s} THEN {c}" for c in range(k))
+        codes.append(F.expr(f"CAST(CASE {br} END AS INT)").alias(f"c_{s}"))
         mins.append(m_s.alias(f"m_{s}"))
     return codes, mins
 
@@ -745,14 +766,12 @@ def pq_adc_topk(emb: DataFrame, query_ids: list[int], codebooks,
     luts = {r["qid"]: pq_query_lut(list(r["v"]), codebooks) for r in qrows}
     parts = []
     for qid in sorted(luts):
-        adc = None
-        for s in range(m):
-            t = F.element_at(F.array(*[F.lit(x) for x in luts[qid][s]]),
-                             F.col(f"c_{s}") + 1)
-            adc = t if adc is None else adc + t
+        adc = " + ".join(
+            "element_at(array(" + ", ".join(_dlit(x) for x in luts[qid][s])
+            + f"), c_{s} + 1)" for s in range(m))
         parts.append(coded.select(
             F.lit(qid).cast("long").alias("query_id"), "vec_id",
-            F.round(adc, 6).alias("adc_dist")))
+            F.expr(f"round({adc}, 6)").alias("adc_dist")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
@@ -856,28 +875,30 @@ def _ivfpq_fit_sample(sample, n_cells: int, m: int, k: int, iters: int):
 
 def _cell_assign_cols(cents):
     """(cs_cols, cell_expr): per-cell rounded-9 cosine columns over "u"
-    and the argmax CASE (tie -> lowest cell), mirroring the textual
-    SQL."""
+    and the argmax CASE (tie -> lowest cell) — SQL-text expressions
+    whose explicit dot sums fold identically to the old aggregate()
+    chains (and to the textual oracle mirror)."""
     cs_cols = []
     for c, cent in enumerate(cents):
         cn = sum(x * x for x in cent) ** 0.5 or 1.0
-        cs_cols.append(F.round(_dot_lit(F.col("u"), cent) / F.lit(cn), 9)
+        dot = " + ".join(f"element_at(u, {i + 1}) * {_dlit(v)}"
+                         for i, v in enumerate(cent))
+        cs_cols.append(F.expr(f"round(({dot}) / {_dlit(cn)}, 9)")
                        .alias(f"cs_{c}"))
-    best = F.greatest(*[F.col(f"cs_{c}") for c in range(len(cents))])
-    cell = None
-    for c in range(len(cents)):
-        br = F.when(F.col(f"cs_{c}") == best, c)
-        cell = br if cell is None else cell.when(F.col(f"cs_{c}") == best, c)
-    return cs_cols, cell.cast("int").alias("cell")
+    best = "greatest(" + ", ".join(f"cs_{c}" for c in range(len(cents))) + ")"
+    br = " ".join(f"WHEN cs_{c} = ({best}) THEN {c}"
+                  for c in range(len(cents)))
+    return cs_cols, F.expr(f"CAST(CASE {br} END AS INT)").alias("cell")
 
 
 def _residual_col(cents):
     """r = u - centroids[cell] via one array-of-array-literals lookup —
     element-wise exact, no join."""
-    cell_lit = F.array(*[F.array(*[F.lit(v) for v in cent])
-                         for cent in cents])
-    cc = F.element_at(cell_lit, F.col("cell") + 1)
-    return F.zip_with(F.col("u"), cc, lambda a, b: a - b).alias("r")
+    cells_lit = "array(" + ", ".join(
+        "array(" + ", ".join(_dlit(v) for v in cent) + ")"
+        for cent in cents) + ")"
+    return F.expr(f"zip_with(u, element_at({cells_lit}, cell + 1), "
+                  f"(a, b) -> a - b)").alias("r")
 
 
 def ivfpq_codes(emb: DataFrame, cents, books,
@@ -957,14 +978,12 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], cents, books,
     for qid in sorted(qvecs):
         for cell in ivfpq_probe_cells(qvecs[qid], cents, nprobe):
             lut = ivfpq_query_lut(qvecs[qid], cents, cell, books)
-            adc = None
-            for s in range(m):
-                t = F.element_at(F.array(*[F.lit(x) for x in lut[s]]),
-                                 F.col(f"c_{s}") + 1)
-                adc = t if adc is None else adc + t
+            adc = " + ".join(
+                "element_at(array(" + ", ".join(_dlit(x) for x in lut[s])
+                + f"), c_{s} + 1)" for s in range(m))
             parts.append(coded.filter(F.col("cell") == cell).select(
                 F.lit(qid).cast("long").alias("query_id"), "vec_id",
-                F.round(adc, 6).alias("adc_dist")))
+                F.expr(f"round({adc}, 6)").alias("adc_dist")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
@@ -1107,13 +1126,19 @@ def sq8_params_from_sample(sample):
 def _sq8_code_expr(i: int, lo: float, hi: float):
     """code_i = clamp(round((x−lo)·255/(hi−lo)), 0, 255) — exact the
     same expression textually in SQL; degenerate dims (hi==lo) code
-    to 0."""
-    x = F.element_at("e", i + 1)
+    to 0.  One SQL-text expression per code (see _pq_dist_cols)."""
     if hi == lo:
         return F.lit(0)
-    scaled = F.round((x - F.lit(lo)) * F.lit(255.0 / (hi - lo)), 0)
-    return F.greatest(F.lit(0.0), F.least(F.lit(255.0), scaled)) \
-        .cast("int")
+    return F.expr(
+        f"CAST(greatest(0.0D, least(255.0D, round((element_at(e, {i + 1})"
+        f" - {_dlit(lo)}) * {_dlit(255.0 / (hi - lo))}, 0))) AS INT)")
+
+
+def _sq8_deq_expr(i: int, lo: float, hi: float) -> str:
+    """Dequantized element i as SQL text (the Spark twin of
+    _sq8_deq_sql)."""
+    return (f"({_dlit(lo)} + q_{i} * {_dlit((hi - lo) / 255.0)})"
+            if hi != lo else f"({_dlit(lo)})")
 
 
 def sq8_encode(emb: DataFrame, params,
@@ -1131,18 +1156,16 @@ def sq8_encode(emb: DataFrame, params,
         "vec_id", "e",
         *[_sq8_code_expr(i, lo, hi).alias(f"q_{i}")
           for i, (lo, hi) in enumerate(params)])
-    recon = None
-    for i, (lo, hi) in enumerate(params):
-        deq = F.lit(lo) + F.col(f"q_{i}") * F.lit((hi - lo) / 255.0) \
-            if hi != lo else F.lit(lo)
-        el = F.element_at("e", i + 1) - deq
-        term = el * el
-        recon = term if recon is None else recon + term
+    recon = " + ".join(
+        f"(element_at(e, {i + 1}) - {_sq8_deq_expr(i, lo, hi)}) * "
+        f"(element_at(e, {i + 1}) - {_sq8_deq_expr(i, lo, hi)})"
+        for i, (lo, hi) in enumerate(params))
+    cat = ("concat_ws('-', " +
+           ", ".join(f"CAST(q_{i} AS STRING)" for i in range(dim)) + ")")
     return coded.select(
         "vec_id",
-        F.concat_ws("-", *[F.col(f"q_{i}").cast("string")
-                           for i in range(dim)]).alias("codes_str"),
-        F.round(recon, 9).alias("recon_err"))
+        F.expr(cat).alias("codes_str"),
+        F.expr(f"round({recon}, 9)").alias("recon_err"))
 
 
 def sq8_topk(emb: DataFrame, query_ids: list[int], params,
@@ -1170,16 +1193,13 @@ def sq8_topk(emb: DataFrame, query_ids: list[int], params,
     qvecs = {r["qid"]: list(r["v"]) for r in qrows}
     parts = []
     for qid in sorted(qvecs):
-        dist = None
-        for i, (lo, hi) in enumerate(params):
-            deq = F.lit(lo) + F.col(f"q_{i}") * F.lit((hi - lo) / 255.0) \
-                if hi != lo else F.lit(lo)
-            el = F.lit(qvecs[qid][i]) - deq
-            term = el * el
-            dist = term if dist is None else dist + term
+        dist = " + ".join(
+            f"({_dlit(qvecs[qid][i])} - {_sq8_deq_expr(i, lo, hi)}) * "
+            f"({_dlit(qvecs[qid][i])} - {_sq8_deq_expr(i, lo, hi)})"
+            for i, (lo, hi) in enumerate(params))
         parts.append(coded.select(
             F.lit(qid).cast("long").alias("query_id"), "vec_id",
-            F.round(dist, 6).alias("sq_dist")))
+            F.expr(f"round({dist}, 6)").alias("sq_dist")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
