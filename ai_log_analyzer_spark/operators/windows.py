@@ -165,7 +165,8 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
                          n_buckets: int | None = None,
                          carry: tuple = DEFAULT_CARRY,
                          host_lookup: DataFrame | None = None,
-                         n_hosts_hint: int | None = None) -> DataFrame:
+                         n_hosts_hint: int | None = None,
+                         series_parts: int | None = None) -> DataFrame:
     """Fused windows+score: ``applyInPandas`` over HOST BUCKETS.
 
     Replaces collect_list-over-Window + scalar scorer UDF for the
@@ -259,20 +260,25 @@ def window_score_grouped(matched_events: DataFrame, num_classes: int,
         ev = ev.select(*in_cols)
         bucket = F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
 
-    # r6 (guide §2.5/§2.6): the scorer is CPU-bound per host series, and
-    # the groupBy's exchange used the global shuffle-partition count
-    # (= cores locally) — H active host-buckets thrown into P=cores
-    # partitions collide (balls-in-bins), so one task scores 2-3 hosts
-    # while cores idle (measured: the whole stage waited on a 3-host
-    # straggler at 20 hosts × 32 partitions).  An explicit repartition
-    # on the SAME key at 8× parallelism satisfies the groupBy's
-    # clustered-distribution requirement — still exactly ONE exchange
-    # (plan-pinned) — and scales with defaultParallelism, not a local
-    # constant.
-    n_parts = spark.sparkContext.defaultParallelism * 8
-    scored = (ev
-              .withColumn("_b", bucket)
-              .repartition(n_parts, "_b")
+    # r6 (guide §2.5/§2.6): the scorer is CPU-bound per host series.
+    # When the SERIES-KEY cardinality is far below the core count (the
+    # flagship corpora have 5-20 hosts), the groupBy's exchange at the
+    # global shuffle-partition count (= cores locally) throws H active
+    # host-buckets into P=cores partitions and they collide (balls-in-
+    # bins) — one task scores 2-3 hosts while cores idle (measured: the
+    # whole stage waited on a 3-host straggler at 20 hosts × 32
+    # partitions).  ``series_parts`` lets such callers widen the SAME
+    # single exchange (an explicit repartition on the bucket key
+    # satisfies the groupBy's clustered-distribution requirement —
+    # plan-pinned one Exchange) so collisions become rare.  It stays
+    # OFF by default: with many series (≥ cores — the common web-scale
+    # case) the extra reduce tasks only add per-task Arrow/worker
+    # overhead, measured +1.2 s on the 100-host 400k-row pipeline bench
+    # at local[32] (2.0 s → 3.2 s) for zero straggler benefit.
+    scored_in = ev.withColumn("_b", bucket)
+    if series_parts is not None:
+        scored_in = scored_in.repartition(series_parts, "_b")
+    scored = (scored_in
               .groupBy("_b")
               .applyInPandas(lambda key, pdf: _fn(pdf.drop(columns=["_b"])),
                              schema=_grouped_schema(carry, compact)))

@@ -566,8 +566,13 @@ def flagship_scored(spark, sf_dir):
     if cat is None:
         cat = _FIT_CACHE[sf_dir] = fit_op.fit_catalog(pages)
     parsed = parse_op.parse_template_ids(pages, cat)
-    scored = win_op.window_score_grouped(parse_op.matched(parsed), len(cat),
-                                         carry=(), host_lookup=pages)
+    # series_parts: the documents corpus has 5-20 source hosts — far
+    # below the core count — so the winscore exchange is widened 8x to
+    # dodge bucket collisions (see window_score_grouped; identical
+    # results, partition-count-invariant stage)
+    scored = win_op.window_score_grouped(
+        parse_op.matched(parsed), len(cat), carry=(), host_lookup=pages,
+        series_parts=spark.sparkContext.defaultParallelism * 8)
     routed = route_op.with_severity(scored)
     return routed.select(
         "host", "seq_no", "template_id", "label_id",
