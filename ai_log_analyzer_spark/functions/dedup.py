@@ -74,12 +74,19 @@ def _shingle_hash_frame(df: DataFrame, n: int, text_col: str, id_col: str,
 
     mode: 'distinct' → (doc_id, shingle_hash) per-doc set;
           'multi'    → (doc_id, shingle_hash) with multiplicity;
-          'pos'      → (doc_id, pos, shingle_hash) stride-1 positions."""
+          'pos'      → (doc_id, pos, shingle_hash) stride-1 positions;
+          'set'      → (doc_id, shingle_set array<long>) ONE ROW PER
+                       DOC — first-occurrence-ordered per-doc set, for
+                       consumers that re-attach whole sets to candidate
+                       pairs (array form shuffles ~1 row/doc instead of
+                       ~200 rows/doc — guide §2.3)."""
     import hashlib
 
     id_type = dict(df.dtypes)[id_col]
     if mode == "pos":
         schema = f"doc_id {id_type}, pos int, shingle_hash long"
+    elif mode == "set":
+        schema = f"doc_id {id_type}, shingle_set array<long>"
     else:
         schema = f"doc_id {id_type}, shingle_hash long"
 
@@ -96,6 +103,10 @@ def _shingle_hash_frame(df: DataFrame, n: int, text_col: str, id_col: str,
                       for g in grams]
                 if mode == "distinct":
                     hs = list(dict.fromkeys(hs))
+                elif mode == "set":
+                    ids_out.append(did)
+                    h_out.append(list(dict.fromkeys(hs)))
+                    continue
                 elif mode == "pos":
                     pos_out.extend(range(len(hs)))
                 ids_out.extend([did] * len(hs))
@@ -103,7 +114,11 @@ def _shingle_hash_frame(df: DataFrame, n: int, text_col: str, id_col: str,
             cols = {"doc_id": ids_out}
             if mode == "pos":
                 cols["pos"] = pd.array(pos_out, dtype="int32")
-            cols["shingle_hash"] = pd.array(h_out, dtype="int64")
+                cols["shingle_hash"] = pd.array(h_out, dtype="int64")
+            elif mode == "set":
+                cols["shingle_set"] = pd.Series(h_out, dtype=object)
+            else:
+                cols["shingle_hash"] = pd.array(h_out, dtype="int64")
             yield pd.DataFrame(cols)
 
     return df.select(F.col(id_col), F.col(text_col)) \
@@ -293,7 +308,6 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     # cached vs 4.5 s uncached.
     p = df.sparkSession.sparkContext.defaultParallelism
     d2 = df.repartition(p)
-    sh = shingles(d2, n=n)
     sig = minhash_signatures(d2, n_hashes=n_hashes, n=n)
     band_cols = []
     for bidx in range(bands):
@@ -309,25 +323,28 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    sa = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("shingle_hash").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("_doc_b"),
-                   F.col("shingle_hash").alias("sh_b"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # equi-join key is (doc_b, shingle_hash) — intersection rows only,
-    # never the |sh_a| × |sh_b| per-pair cross product
-    inter = (cand.join(sa, "doc_a")
-             .join(sb, (F.col("doc_b") == F.col("_doc_b")) &
-                       (F.col("sh_a") == F.col("sh_b")))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("n_inter")))
-    return (inter
-            .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                       .withColumnRenamed("n_sh", "sz_a"), "doc_a")
-            .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                       .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+    # r6 (guide §2.3 — shuffle fewer bytes/rows, identical results):
+    # the exact-Jaccard verify used to fan every candidate pair out by
+    # its two row-per-shingle sets (cand × ~|set| intermediate rows —
+    # 30M rows at a dup-heavy 50k-doc corpus) through an equi-join plus
+    # a pair-keyed groupBy plus two size joins.  The per-doc shingle
+    # SETS now ship as arrays (one row/doc straight from the Arrow
+    # kernel — no groupBy), candidates re-attach them with two
+    # doc-keyed joins, and |A∩B| is a codegen'd array_intersect over
+    # two distinct-element arrays — bit-identical n_inter/sizes, so the
+    # same 6-dp jaccard.  n_inter > 0 keeps the old inner-join-on-
+    # intersection semantics for thresholds at/below zero.
+    sets = _shingle_hash_frame(d2, n, "text", "doc_id", mode="set")
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingle_set").alias("_sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shingle_set").alias("_sb"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+            .filter(F.col("n_inter") > 0)
             .withColumn("jaccard", F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+                F.col("n_inter") /
+                (F.size("_sa") + F.size("_sb") - F.col("n_inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
@@ -1287,22 +1304,21 @@ def incremental_lsh_pairs(old: DataFrame, new: DataFrame,
     bo = banded_signatures(old, n_hashes=n_hashes, bands=bands, n=n) \
         .select(F.col("doc_id").alias("old_id"), "band", "sig")
     cand = ba.join(bo, ["band", "sig"]).select("new_id", "old_id").distinct()
-    sh_new = shingles(new, n=n).select(F.col("doc_id").alias("new_id"),
-                                       F.col("shingle_hash").alias("sh_a"))
-    sh_old = shingles(old, n=n).select(F.col("doc_id").alias("_old_id"),
-                                       F.col("shingle_hash").alias("sh_b"))
-    sz_new = sh_new.groupBy("new_id").agg(F.count("*").alias("sz_a"))
-    sz_old = sh_old.groupBy("_old_id").agg(F.count("*").alias("sz_b"))
-    inter = (cand.join(sh_new, "new_id")
-             .join(sh_old, (F.col("old_id") == F.col("_old_id")) &
-                           (F.col("sh_a") == F.col("sh_b")))
-             .groupBy("new_id", "old_id")
-             .agg(F.count("*").alias("n_inter")))
-    return (inter.join(sz_new, "new_id")
-            .join(sz_old.withColumnRenamed("_old_id", "old_id"), "old_id")
+    # r6: array-form verify, exactly as in minhash_lsh_pairs — per-doc
+    # shingle sets ship once per side as arrays, |A∩B| via codegen'd
+    # array_intersect; identical integers, identical 6-dp jaccard.
+    sn = _shingle_hash_frame(new, n, "text", "doc_id", mode="set") \
+        .select(F.col("doc_id").alias("new_id"),
+                F.col("shingle_set").alias("_sa"))
+    so = _shingle_hash_frame(old, n, "text", "doc_id", mode="set") \
+        .select(F.col("doc_id").alias("old_id"),
+                F.col("shingle_set").alias("_sb"))
+    return (cand.join(sn, "new_id").join(so, "old_id")
+            .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+            .filter(F.col("n_inter") > 0)
             .withColumn("jaccard", F.round(
                 F.col("n_inter") /
-                (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+                (F.size("_sa") + F.size("_sb") - F.col("n_inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("new_id", "old_id", "jaccard"))
 
