@@ -22,7 +22,7 @@ an exact DuckDB oracle.
 from __future__ import annotations
 
 import re as _re
-from typing import Iterator
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1909,6 +1909,83 @@ def split_leakage_audit(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     return (cells.groupBy("split_a", "split_b")
             .agg(F.count("*").cast("long").alias("n_pairs"))
             .withColumn("is_leak", F.col("split_a") != F.col("split_b")))
+
+
+def _lev_codepoints(ua, ub) -> int:
+    """Exact Levenshtein distance of two uint32 code-point arrays —
+    Wagner-Fischer with each DP row vectorized in numpy; the row's
+    left-to-right dependency (cur[j] = min(..., cur[j-1]+1)) is solved
+    closed-form with the identity
+        cur[j] = min_k<=j (seq[k] + (j - k))  =  minimum.accumulate(seq
+        - j)[j] + j,
+    so the whole row costs ~6 numpy ops instead of a Python loop.
+    Integer-exact (all-int arithmetic, no floats)."""
+    import numpy as np
+
+    m, n_ = len(ua), len(ub)
+    if m == 0 or n_ == 0:
+        return m or n_
+    if m > n_:                      # fewer rows over the longer side
+        ua, ub, m, n_ = ub, ua, n_, m
+    prev = np.arange(n_ + 1, dtype=np.int64)
+    jm1 = np.arange(1, n_ + 1, dtype=np.int64)
+    seq = np.empty(n_ + 1, dtype=np.int64)
+    for i in range(m):
+        # tmp[j-1] = min(prev[j] + 1, prev[j-1] + subst_cost_j)
+        tmp = np.minimum(prev[1:] + 1, prev[:-1] + (ub != ua[i]))
+        seq[0] = i + 1              # cur[0]
+        np.subtract(tmp, jm1, out=seq[1:])
+        np.minimum.accumulate(seq, out=seq)
+        seq[1:] += jm1
+        prev, seq = seq, prev
+    return int(prev[-1])
+
+
+def _lev_pair(sa: str, sb: str) -> int:
+    """levenshtein(sa, sb) with common prefix/suffix stripping (an
+    exact identity: shared ends never participate in an optimal edit
+    script) — near-dup pairs share most of their content, so the DP
+    usually runs on a few dozen code points."""
+    import numpy as np
+
+    ua = np.frombuffer(sa.encode("utf-32-le"), dtype=np.uint32)
+    ub = np.frombuffer(sb.encode("utf-32-le"), dtype=np.uint32)
+    lo = min(len(ua), len(ub))
+    p = 0
+    if lo:
+        neq = ua[:lo] != ub[:lo]
+        p = int(neq.argmax()) if neq.any() else lo
+    ua, ub = ua[p:], ub[p:]
+    lo = min(len(ua), len(ub))
+    s = 0
+    if lo:
+        neq = ua[::-1][:lo] != ub[::-1][:lo]
+        s = int(neq.argmax()) if neq.any() else lo
+    if s:
+        ua, ub = ua[:-s], ub[:-s]
+    return _lev_codepoints(ua, ub)
+
+
+def levenshtein_col(a_col, b_col):
+    """Arrow-batched exact Levenshtein column — the same integers as
+    Spark's ``levenshtein()`` builtin (code-point edit distance; parity
+    pinned by tests/test_functions_extra.py), at prefix/suffix-stripped
+    numpy-DP speed (guide §4.2).  NULL in either input → NULL, like the
+    builtin.  Only the two text columns cross the Arrow boundary."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.IntegerType())
+    def _lev(batches: Iterator[Tuple[pd.Series, pd.Series]]) \
+            -> Iterator[pd.Series]:
+        for a, b in batches:
+            an, bn = a.to_numpy(), b.to_numpy()
+            out = pd.array(
+                [None if (x is None or y is None) else _lev_pair(x, y)
+                 for x, y in zip(an, bn)], dtype="Int32")
+            yield pd.Series(out)
+
+    return _lev(a_col, b_col)
 
 
 def dup_size_histogram(df: DataFrame, text_col: str = "text",

@@ -2316,11 +2316,18 @@ def neardup_levenshtein(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, n=3, threshold=0.5)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
-    lev = F.levenshtein("_ta", "_tb")
+    # r6 (guide §4.2): the Arrow DP kernel replaces TWO inline JVM
+    # levenshtein evaluations (the lev and lev_sim projections each
+    # re-ran the O(len²) DP — no subexpression reuse across them) with
+    # one prefix/suffix-stripped numpy pass; identical integers
+    # (tests/test_functions_extra.py pins kernel == builtin), and
+    # lev_sim derives from the SAME column in Catalyst, so the 6-dp
+    # round is unchanged.
     return (pairs.select("doc_a", "doc_b").join(da, "doc_a").join(db, "doc_b")
-            .select("doc_a", "doc_b", lev.alias("lev"),
-                    F.round(F.lit(1) - lev / F.greatest(F.length("_ta"),
-                                                        F.length("_tb")), 6)
+            .withColumn("lev", D.levenshtein_col(F.col("_ta"), F.col("_tb")))
+            .select("doc_a", "doc_b", "lev",
+                    F.round(F.lit(1) - F.col("lev") /
+                            F.greatest(F.length("_ta"), F.length("_tb")), 6)
                     .alias("lev_sim")))
 
 

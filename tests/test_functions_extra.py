@@ -1484,3 +1484,32 @@ def test_sq8_topk_close_to_exact_l2(spark):
         sq_ids = {r.vec_id for r in got if r.query_id == q}
         hits += len({i for _, i in exact} & sq_ids)
     assert hits / 15 >= 0.8
+
+
+def test_levenshtein_kernel_matches_builtin(spark):
+    # r6: the Arrow DP kernel must return byte-identical integers to
+    # Spark's levenshtein() builtin — adversarial shapes: empty strings,
+    # shared prefixes/suffixes only, full rewrites, repeats, unicode
+    # (multibyte + astral), transpositions, pure inserts/deletes.
+    from pyspark.sql import functions as F
+
+    from ai_log_analyzer_spark.functions import dedup as D
+    cases = [
+        ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+        ("kitten", "sitting"), ("flaw", "lawn"), ("abcdef", "azced"),
+        ("aaaa", "aaaaaa"), ("abcabc", "cbacba"),
+        ("prefix middle suffix", "prefix MIDDLE suffix"),
+        ("shared head X", "shared head YZW"),
+        ("X shared tail", "YZW shared tail"),
+        ("the quick brown fox jumps", "the quick red fox leaps"),
+        ("café naïve", "cafe naive"),
+        ("\U0001f600 emoji end", "emoji end"),
+        ("ab", "ba"), ("abcd", "badc"),
+        ("a" * 300, "a" * 150 + "b" * 150),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = df.select(
+        F.levenshtein("a", "b").alias("ref"),
+        D.levenshtein_col(F.col("a"), F.col("b")).alias("ker")).collect()
+    for r in got:
+        assert r.ref == r.ker, (r.ref, r.ker)
