@@ -1402,20 +1402,39 @@ def _sim_e6_block(av, bv):
     import numpy as np
 
     m, d = av.shape
-    dot = np.zeros((m, bv.shape[0]), dtype=np.float64)
+    nb_rows = bv.shape[0]
     na = np.zeros(m, dtype=np.float64)
-    nb = np.zeros(bv.shape[0], dtype=np.float64)
+    nb = np.zeros(nb_rows, dtype=np.float64)
     for i in range(d):
-        dot += av[:, i, None] * bv[None, :, i]
         na += av[:, i] * av[:, i]
         nb += bv[:, i] * bv[:, i]
-    with np.errstate(invalid="ignore", divide="ignore"):
-        v = (dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])) * 1e6
-        out = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
-        # NaN only from an all-zero vector (0/0); Spark's non-ANSI long
-        # cast maps NaN → 0.  |cos·1e6| ≤ ~1e6 otherwise, no clip needed.
-        res = np.where(np.isnan(out), 0.0, out)
-    return res.astype(np.int64)
+    sna = np.sqrt(na)
+    snb = np.sqrt(nb)
+    res = np.empty((m, nb_rows), dtype=np.int64)
+    # r6 (guide §2.3 analogue for RAM): the single full-matrix fold
+    # streamed (m, |B|) f64 temporaries through DRAM once per dim (d
+    # read-modify-write passes — ~100 GB per full pass at 10k×10k×64);
+    # tiling to (256, 2048) keeps each dot tile resident in cache for
+    # all d accumulations.  Per-ELEMENT the operations and their order
+    # are IDENTICAL (dims 0..d-1 left-assoc, then the same round/NaN
+    # chain), so every sim_e6 integer is unchanged.
+    for r0 in range(0, m, 256):
+        r1 = min(r0 + 256, m)
+        at = np.ascontiguousarray(av[r0:r1])
+        for c0 in range(0, nb_rows, 2048):
+            c1 = min(c0 + 2048, nb_rows)
+            bt = np.ascontiguousarray(bv[c0:c1])
+            dot = np.zeros((r1 - r0, c1 - c0), dtype=np.float64)
+            for i in range(d):
+                dot += at[:, i, None] * bt[None, :, i]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = (dot / (sna[r0:r1, None] * snb[None, c0:c1])) * 1e6
+                out = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+                # NaN only from an all-zero vector (0/0); Spark's
+                # non-ANSI long cast maps NaN → 0.  |cos·1e6| ≤ ~1e6
+                # otherwise, no clip needed.
+                res[r0:r1, c0:c1] = np.where(np.isnan(out), 0.0, out)
+    return res
 
 
 def margin_pairs(emb: DataFrame, k: int = MARGIN_K,
@@ -1468,24 +1487,34 @@ def margin_pairs(emb: DataFrame, k: int = MARGIN_K,
                        for x in pdf["v"].to_numpy()[order]])
         return src, av
 
+    # rows per in-UDF slice: bounds every (rows, |B|) int64/f64
+    # temporary of the two passes to ~80 MB at |B| = 10k instead of
+    # Arrow's 10k-row default batch (~800 MB each — swap fodder)
+    row_chunk = 1024
+
     def _pass1(batches):
         import pandas as pd
         dids, bm = bc.value
         nb = len(dids)
         for pdf in batches:
-            if not len(pdf):
-                continue
-            src, av = _batch_arrays(pdf)
-            sims = _sim_e6_block(av, bm)
-            # batch-local bwd top-k per dst: rows sorted by src asc, so
-            # a STABLE argsort on -sim gives (sim desc, src asc) order
-            take = min(k, len(src))
-            ordr = np.argsort(-sims, axis=0, kind="stable")[:take]
-            yield pd.DataFrame({
-                "dst_id": np.repeat(dids, take),
-                "sim_e6": sims[ordr, np.arange(nb)[None, :]].T.ravel(),
-                "src_id": src[ordr].T.ravel(),
-            })
+            for lo in range(0, len(pdf), row_chunk):
+                sub = pdf.iloc[lo:lo + row_chunk]
+                if not len(sub):
+                    continue
+                src, av = _batch_arrays(sub)
+                sims = _sim_e6_block(av, bm)
+                # chunk-local bwd top-k per dst: only the top-k VALUE
+                # multiset feeds downstream (the global rank window
+                # re-orders and sums), so an unstable argpartition is
+                # exact — ties at the boundary have equal values and
+                # contribute the same sum whichever row is kept
+                take = min(k, len(src))
+                ordr = np.argpartition(-sims, take - 1, axis=0)[:take]
+                yield pd.DataFrame({
+                    "dst_id": np.repeat(dids, take),
+                    "sim_e6": sims[ordr, np.arange(nb)[None, :]].T.ravel(),
+                    "src_id": src[ordr].T.ravel(),
+                })
 
     part1 = a.mapInPandas(_pass1, "dst_id long, sim_e6 long, src_id long")
     wb = Window.partitionBy("dst_id").orderBy(F.desc("sim_e6"), "src_id")
@@ -1505,12 +1534,16 @@ def margin_pairs(emb: DataFrame, k: int = MARGIN_K,
         bsum = bc2.value
         nb = len(dids)
         for pdf in batches:
-            if not len(pdf):
+          for lo in range(0, len(pdf), row_chunk):
+            sub = pdf.iloc[lo:lo + row_chunk]
+            if not len(sub):
                 continue
-            src, av = _batch_arrays(pdf)
+            src, av = _batch_arrays(sub)
             sims = _sim_e6_block(av, bm)
             take = min(k, nb)
-            ordr = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            # unstable partition is exact here too: only the top-k SUM
+            # per src is consumed
+            ordr = np.argpartition(-sims, take - 1, axis=1)[:, :take]
             fwd_sum = np.take_along_axis(sims, ordr, axis=1).sum(axis=1)
             denom = fwd_sum[:, None] + bsum[None, :]
             elig = (sims > 0) & (denom > 0)
