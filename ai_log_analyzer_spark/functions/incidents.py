@@ -1129,7 +1129,15 @@ def capacity_profile(events: DataFrame, type_col: str = "event_type",
                     (F.col("hi") - F.col("lo") + 1).alias("span_hours"),
                     F.col("pk.n").alias("max_hourly"),
                     (-F.col("pk.nh")).cast("long").alias("peak_hour_idx"),
-                    F.expr("pk.n * (hi - lo + 1) * 1000000 div total")
+                    # r6 (ADVICE): the ppm numerator is widened to
+                    # decimal(38,0) — max_hourly · span · 10⁶ overflows
+                    # int64 around 1e9 rows/hour over 1e4 hours — and
+                    # cast back to long after the divide, so the value
+                    # and the BIGINT schema are unchanged at any
+                    # non-overflowing scale (the DuckDB mirror computes
+                    # in int128 natively)
+                    F.expr("cast(cast(pk.n as decimal(38,0)) * (hi - lo + 1)"
+                           " * 1000000 div total as long)")
                     .alias("peak_to_mean_ppm")))
 
 

@@ -46,6 +46,20 @@ def table_stats_profile(df: DataFrame,
                         cols: Sequence[str]) -> DataFrame:
     """One-pass per-column statistics: (col_name, n_rows,
     n_nonnull, ndv, min_val, max_val) — numeric columns only, widened to long."""
+    # r6 (ADVICE): reject non-numeric columns loudly — the silent long
+    # cast turned a string column into n_nonnull=0 / NULL min/max,
+    # i.e. misleading planner statistics instead of an error
+    numeric = {"tinyint", "smallint", "int", "bigint", "long", "float",
+               "double", "decimal", "boolean", "date", "timestamp",
+               "timestamp_ntz"}
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols
+           if dtypes.get(c, "?").split("(")[0] not in numeric]
+    if bad:
+        raise ValueError(
+            f"table_stats_profile: non-numeric columns {bad} (dtypes "
+            f"{[dtypes.get(c) for c in bad]}) — the long-cast profile "
+            f"would silently report 0/NULL statistics for them")
     aggs = []
     for c in cols:
         col = F.col(c).cast("long")
