@@ -405,21 +405,68 @@ def semdedup(emb: DataFrame, centroids: list[list[float]],
     # 24.7 → ~8 s execute at sf0.1: interpreted HOF lambdas dominate).
     # Same aggregate expression on the same double array → bit-identical
     # IEEE value, so the DuckDB oracle is untouched.
-    base = emb.select(F.col(id_col).alias("vec_id"),
-                      F.transform(vec_col, lambda x: x.cast("double"))
-                      .alias("emb")) \
-        .withColumn("nrm", _norm(F.col("emb")))
-    structs = []
-    for c, cent in enumerate(centroids):
-        norm = sum(x * x for x in cent) ** 0.5
-        cs = F.round(_dot_lit(F.col("emb"), cent) /
-                     (F.col("nrm") * F.lit(norm)), 9)
-        # max(struct) compares cs first, then nc; larger nc == smaller
-        # cell id, so ties break to the LOWEST cell (matches ivf_topk)
-        structs.append(F.struct(cs.alias("cs"), F.lit(-c).alias("nc")))
-    assign = base.withColumn(
-        "cell", (-F.array_max(F.array(*structs)).getField("nc"))
-        .cast("int")).select("vec_id", "emb", "cell")
+    # r6 (guide §4.2): the argmax-over-centroids assignment used to be
+    # an interpreted-HOF projection — 8 aggregate/zip_with lambda folds
+    # x 64 dims per ROW (tens of millions of interpreted evals at the
+    # 10x replica, ~3 s of the query wall).  One mapInPandas kernel now
+    # computes the identical doubles (same left-assoc per-dim fold as
+    # _dot_lit/_norm, same nrm*norm multiply-then-divide order) and
+    # takes the argmax UNROUNDED — exact, because Spark's round(cs, 9)
+    # is monotone, so the rounded argmax can differ only through TIES,
+    # which need a top-2 gap <= 1e-9; rows inside a 2e-9 guard band
+    # fall back to the exact decimal HALF_UP rounding (repr == Java's
+    # shortest-double repr, as _round6_ge_boundary relies on) with the
+    # same lowest-cell tie-break.  Embeddings pass through Arrow
+    # unchanged (float64 round-trip is exact).
+    import decimal
+
+    import numpy as np
+
+    cent_mat = np.array([[float(x) for x in c] for c in centroids],
+                        dtype=np.float64)
+    cent_norm = np.array([sum(x * x for x in c) ** 0.5
+                          for c in centroids], dtype=np.float64)
+    n_cents, cdim = cent_mat.shape
+
+    def _q9(v: float) -> decimal.Decimal:
+        return decimal.Decimal(repr(float(v))).quantize(
+            decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP)
+
+    def _assign_fn(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            mat = np.array([np.asarray(x, dtype=np.float64)
+                            for x in pdf["emb"].to_numpy()])
+            nrm = np.zeros(m, dtype=np.float64)
+            dot = np.zeros((m, n_cents), dtype=np.float64)
+            for i in range(cdim):
+                nrm += mat[:, i] * mat[:, i]
+                dot += mat[:, i, None] * cent_mat[None, :, i]
+            nrm = np.sqrt(nrm)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cs = dot / (nrm[:, None] * cent_norm[None, :])
+            cell = np.argmax(cs, axis=1).astype(np.int32)
+            top2 = -np.partition(-cs, 1, axis=1)[:, :2]
+            for r in np.flatnonzero(~(top2[:, 0] - top2[:, 1] > 2e-9)):
+                if not np.all(np.isfinite(cs[r])):
+                    # NaN/inf rows (zero-norm vectors): np.argmax picks
+                    # the first NaN / the largest value, matching
+                    # Spark's NaN-greatest + lowest-cell tie ordering
+                    continue
+                qs = [_q9(v) for v in cs[r]]
+                best = max(range(n_cents), key=lambda c: (qs[c], -c))
+                cell[r] = best
+            out = pdf[["vec_id", "emb"]].copy()
+            out["cell"] = cell
+            yield out
+
+    assign = (emb.select(F.col(id_col).alias("vec_id"),
+                         F.transform(vec_col, lambda x: x.cast("double"))
+                         .alias("emb"))
+              .mapInPandas(_assign_fn,
+                           "vec_id long, emb array<double>, cell int"))
 
     # r6 OPTIMIZATION (guide §4.2): the per-pair check used to be a
     # cell self-join whose interpreted-HOF cosine fold ran once per
@@ -450,12 +497,17 @@ def semdedup(emb: DataFrame, centroids: list[list[float]],
             nrm += mat[:, i] * mat[:, i]
         nrm = np.sqrt(nrm)
         dropped = np.zeros(m, dtype=bool)
-        # cache-resident tiles: the per-dim ordered fold makes 64
-        # passes over the dot tile, so the tile must fit L2/L3 —
-        # 768²·8B ≈ 4.7 MB — and tiles entirely above the diagonal
-        # (i0 >= j1, no i < j pair) are skipped outright
-        blk = 768
-        tmp = np.empty((blk, blk), dtype=np.float64)
+        # r6: GEMM prescreen + exact-fold refinement band.  The pair
+        # decision is cos_fold >= tmin with cos_fold the left-assoc
+        # per-dim fold; a BLAS dot differs from that fold by at most
+        # ~d·ulp ≈ 1.4e-14 relative (Cauchy bound over unit-normalized
+        # factors), so any pair whose GEMM cosine clears tmin by more
+        # than BAND = 1e-9 (5 orders above the bound) is decided
+        # identically, and only pairs INSIDE the band — zero on any
+        # non-adversarial corpus — are recomputed with the exact fold.
+        # Bit-identical keep decisions at matmul speed.
+        BAND = 1e-9
+        blk = 2048
         with np.errstate(invalid="ignore", divide="ignore"):
             for j0 in range(0, m, blk):
                 j1 = min(j0 + blk, m)
@@ -463,14 +515,19 @@ def semdedup(emb: DataFrame, centroids: list[list[float]],
                     if i0 >= j1 - 1:
                         break
                     i1 = min(i0 + blk, m)
-                    dot = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
-                    t = tmp[:i1 - i0, :j1 - j0]
-                    for i in range(d):
-                        np.multiply(mat[i0:i1, i, None],
-                                    mat[None, j0:j1, i], out=t)
-                        dot += t
-                    cos = dot / (nrm[i0:i1, None] * nrm[None, j0:j1])
-                    hit = cos >= tmin
+                    cos = (mat[i0:i1] @ mat[j0:j1].T) \
+                        / (nrm[i0:i1, None] * nrm[None, j0:j1])
+                    hit = cos >= tmin + BAND
+                    band = np.abs(cos - tmin) <= BAND
+                    if band.any():
+                        bi, bj = np.nonzero(band)
+                        A = mat[i0 + bi]
+                        B = mat[j0 + bj]
+                        dt = np.zeros(len(bi), dtype=np.float64)
+                        for i in range(d):
+                            dt += A[:, i] * B[:, i]
+                        cf = dt / (nrm[i0 + bi] * nrm[j0 + bj])
+                        hit[bi, bj] = cf >= tmin
                     lower = (np.arange(i0, i1)[:, None]
                              < np.arange(j0, j1)[None, :])
                     dropped[j0:j1] |= (hit & lower).any(axis=0)
@@ -1411,29 +1468,47 @@ def _sim_e6_block(av, bv):
     sna = np.sqrt(na)
     snb = np.sqrt(nb)
     res = np.empty((m, nb_rows), dtype=np.int64)
-    # r6 (guide §2.3 analogue for RAM): the single full-matrix fold
-    # streamed (m, |B|) f64 temporaries through DRAM once per dim (d
-    # read-modify-write passes — ~100 GB per full pass at 10k×10k×64);
-    # tiling to (256, 2048) keeps each dot tile resident in cache for
-    # all d accumulations.  Per-ELEMENT the operations and their order
-    # are IDENTICAL (dims 0..d-1 left-assoc, then the same round/NaN
-    # chain), so every sim_e6 integer is unchanged.
-    for r0 in range(0, m, 256):
-        r1 = min(r0 + 256, m)
+    # r6: GEMM prescreen + exact-fold refinement band (the semdedup
+    # _cell_fn scheme).  The required integer is round(cos_fold · 1e6)
+    # with cos_fold the left-assoc per-dim fold; a BLAS dot differs
+    # from the fold by ≤ ~d·ulp ≈ 1.4e-14 relative (Cauchy bound),
+    # i.e. ≤ ~1.4e-8 in v = cos·1e6 units.  An element can only round
+    # differently when |v| sits within BAND = 1e-3 (5 orders above the
+    # bound) of a .5 boundary — those elements (~2e-3 of all pairs)
+    # are recomputed with the EXACT per-dim fold, so every emitted
+    # sim_e6 integer is identical to the old full-fold kernel.
+    BAND = 1e-3
+    for r0 in range(0, m, 2048):
+        r1 = min(r0 + 2048, m)
         at = np.ascontiguousarray(av[r0:r1])
         for c0 in range(0, nb_rows, 2048):
             c1 = min(c0 + 2048, nb_rows)
             bt = np.ascontiguousarray(bv[c0:c1])
-            dot = np.zeros((r1 - r0, c1 - c0), dtype=np.float64)
-            for i in range(d):
-                dot += at[:, i, None] * bt[None, :, i]
             with np.errstate(invalid="ignore", divide="ignore"):
-                v = (dot / (sna[r0:r1, None] * snb[None, c0:c1])) * 1e6
+                v = ((at @ bt.T)
+                     / (sna[r0:r1, None] * snb[None, c0:c1])) * 1e6
                 out = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
                 # NaN only from an all-zero vector (0/0); Spark's
                 # non-ANSI long cast maps NaN → 0.  |cos·1e6| ≤ ~1e6
                 # otherwise, no clip needed.
                 res[r0:r1, c0:c1] = np.where(np.isnan(out), 0.0, out)
+                absv = np.abs(v)
+                frac = absv - np.floor(absv)
+                band = (np.abs(frac - 0.5) <= BAND) & np.isfinite(v)
+                if band.any():
+                    bi, bj = np.nonzero(band)
+                    A = at[bi]
+                    B = bt[bj]
+                    dt = np.zeros(len(bi), dtype=np.float64)
+                    for i in range(d):
+                        dt += A[:, i] * B[:, i]
+                    with np.errstate(invalid="ignore",
+                                     divide="ignore"):
+                        vf = (dt / (sna[r0 + bi] * snb[c0 + bj])) * 1e6
+                        of = np.where(vf >= 0, np.floor(vf + 0.5),
+                                      np.ceil(vf - 0.5))
+                        res[r0 + bi, c0 + bj] = np.where(
+                            np.isnan(of), 0.0, of)
     return res
 
 
