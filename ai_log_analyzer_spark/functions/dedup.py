@@ -693,8 +693,10 @@ def connected_components_star(pairs: DataFrame,
     canon = (pairs.select(F.least("doc_a", "doc_b").alias("u"),
                           F.greatest("doc_a", "doc_b").alias("v"))
              .distinct().localCheckpoint(eager=True))
-    edges = (canon.where(F.col("u") != F.col("v"))
-             .localCheckpoint(eager=True))
+    # r6: edges derives from the canon checkpoint by a cheap filter —
+    # a second eager materialization bought nothing (the plan is one
+    # scan of checkpointed partitions, not a growing lineage)
+    edges = canon.where(F.col("u") != F.col("v"))
 
     n_edges = edges.count()
     converged = False
