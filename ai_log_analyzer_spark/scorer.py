@@ -240,21 +240,25 @@ def _score_sparse(window_ids: np.ndarray, label_ids: np.ndarray,
     labval[has] = (labval[has]
                    + np.float32(SELF_PRIOR) * xnw[has, pos[has]])
 
-    err2 = np.zeros(n, dtype=np.float64)
+    # reconstruction error via the 16×16 Gram: ||h@w2.T||² = hᵀ(w2ᵀw2)h
+    # — O(n·h²) instead of the O(n·C·h) RB GEMM; the ≤w sparse columns
+    # correct with rec = h·w2[id].  f64 throughout (noise-band path).
+    hg = h.astype(np.float64)
+    gram = w2.astype(np.float64).T @ w2.astype(np.float64)
+    err2 = np.einsum("nh,nh->n", hg @ gram, hg)
+    rec_e = np.einsum("eh,eh->e", w2[ids_e].astype(np.float64),
+                      hg[rows_e])
+    ve = xnv_e.astype(np.float64)
+    np.add.at(err2, rows_e, ve * (ve - 2.0 * rec_e))
     n_greater = np.zeros(n, dtype=np.int64)
     blk_starts = np.searchsorted(ids_e, np.arange(0, num_classes, C_BLOCK))
     blk_starts = np.append(blk_starts, len(ids_e))
     for bi, j0 in enumerate(range(0, num_classes, C_BLOCK)):
         j1 = min(j0 + C_BLOCK, num_classes)
-        RB = h @ w2[j0:j1].T                          # (n, bc) f32
-        err2 += np.einsum("nb,nb->n", RB, RB, dtype=np.float64)
         LB = z @ mu[j0:j1].T                          # (n, bc) f32
         s, e = blk_starts[bi], blk_starts[bi + 1]
         if e > s:
             r_s, c_s, v_s = rows_e[s:e], ids_e[s:e] - j0, xnv_e[s:e]
-            rec = RB[r_s, c_s].astype(np.float64)
-            np.add.at(err2, r_s,
-                      v_s.astype(np.float64) * (v_s - 2.0 * rec))
             LB[r_s, c_s] += np.float32(SELF_PRIOR) * v_s
         gt = LB > labval[:, None]
         # the label's own column never counts (x > x is false densely);
@@ -262,7 +266,9 @@ def _score_sparse(window_ids: np.ndarray, label_ids: np.ndarray,
         inblk = (lab >= j0) & (lab < j1)
         gt[inblk, lab[inblk] - j0] = False
         n_greater += gt.sum(axis=1)
-    err = np.sqrt(err2)
+    # the Gram form is a difference of near-equal sums when recon ≈ xn;
+    # clamp the ≤ulp-negative residue before the sqrt
+    err = np.sqrt(np.maximum(err2, 0.0))
     kk = min(k, num_classes)
     return err, ~(n_greater < kk)
 
