@@ -1627,27 +1627,50 @@ def cdc_chunk_stats(df: DataFrame, w: int = CDC_WINDOW,
     expressions (zero shuffle); the only exchange is the groupBy on
     fixed-width chunk hashes with map-side partial aggregation — the
     exact_dups shuffle shape over ~n_tokens/M rows."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    nt = F.size(toks)
-    # boundary positions i in [w, n-1]: hash of the w-gram ENDING at i
-    # (1-based slice start i-w+1); sequence() descends when end < start
-    # → guard short docs (they become one whole-doc chunk)
-    win_hash = lambda i: hash32(F.concat_ws(  # noqa: E731
-        " ", F.slice(toks, i - w + 1, w)))
-    cuts = F.when(
-        nt > w,
-        F.filter(F.sequence(F.lit(w), nt - 1),
-                 lambda i: F.pmod(win_hash(i), F.lit(m)) == 0)
-    ).otherwise(F.array().cast("array<int>"))
-    starts = F.concat(F.array(F.lit(0)), cuts)
-    ends = F.concat(cuts, F.array(nt))
-    spans = F.zip_with(starts, ends,
-                       lambda s, e: F.concat_ws(" ", F.slice(toks, s + 1,
-                                                             e - s)))
-    chunks = (df.filter(F.trim(F.col(text_col)) != "")
-              .select(F.explode(spans).alias("chunk"))
-              .select(hash32(F.col("chunk")).alias("chunk_hash"),
-                      F.length("chunk").cast("long").alias("n_chars")))
+    # r6 (guide §4.2): boundary detection + chunk hashing move into one
+    # Arrow kernel — the Catalyst form evaluated an interpreted
+    # filter(sequence) lambda whose body built a w-token slice string
+    # and ran JVM md5 once per TOKEN POSITION (O(tokens·w) string
+    # churn dominated the wall).  The kernel computes the identical
+    # integers: same space-only trim + ASCII-\s+ split (shared with
+    # _doc_grams), hash32 = int(md5(gram)[:8], 16) == the Catalyst
+    # conv(substring(md5)) value, same [w, n-1] boundary positions,
+    # same % m == 0 cut rule (hash32 is non-negative, so pmod == %),
+    # same ' '-joined chunk strings, n_chars = code-point length ==
+    # F.length.  Downstream aggregation unchanged.
+    import hashlib
+
+    def _chunks_fn(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+
+        def h32(s: str) -> int:
+            return int(md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+        for pdf in batches:
+            h_out: list[int] = []
+            n_out: list[int] = []
+            for txt in pdf[text_col].to_numpy():
+                if txt is None or txt.strip(" ") == "":
+                    continue
+                toks = _WS_ASCII.split(txt.strip(" "))
+                nt = len(toks)
+                cuts = [i for i in range(w, nt)
+                        if h32(" ".join(toks[i - w:i])) % m == 0] \
+                    if nt > w else []
+                starts = [0] + cuts
+                ends = cuts + [nt]
+                for s, e in zip(starts, ends):
+                    chunk = " ".join(toks[s:e])
+                    h_out.append(h32(chunk))
+                    n_out.append(len(chunk))
+            yield pd.DataFrame({
+                "chunk_hash": pd.array(h_out, dtype="int64"),
+                "n_chars": pd.array(n_out, dtype="int64"),
+            })
+
+    chunks = df.select(F.col(text_col)).mapInPandas(
+        _chunks_fn, "chunk_hash long, n_chars long")
     per = (chunks.groupBy("chunk_hash")
            .agg(F.count("*").cast("long").alias("c"),
                 F.sum("n_chars").cast("long").alias("sum_chars"),
