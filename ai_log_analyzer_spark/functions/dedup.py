@@ -60,7 +60,7 @@ def _h32(digest_hex: str) -> int:
 
 
 def _shingle_hash_frame(df: DataFrame, n: int, text_col: str, id_col: str,
-                        mode: str) -> DataFrame:
+                        mode: str, carry: str | None = None) -> DataFrame:
     """Arrow-vectorized shingle-hash stream — r6 OPTIMIZATION (guide
     §4.2): the interpreted HOF gram build (transform+slice+concat_ws)
     plus JVM md5 plus (for the distinct form) a corpus-wide shuffle
@@ -82,20 +82,24 @@ def _shingle_hash_frame(df: DataFrame, n: int, text_col: str, id_col: str,
                        ~200 rows/doc — guide §2.3)."""
     import hashlib
 
-    id_type = dict(df.dtypes)[id_col]
+    dtypes = dict(df.dtypes)
+    id_type = dtypes[id_col]
+    carry_sql = f", {carry} {dtypes[carry]}" if carry else ""
     if mode == "pos":
-        schema = f"doc_id {id_type}, pos int, shingle_hash long"
+        schema = f"doc_id {id_type}{carry_sql}, pos int, shingle_hash long"
     elif mode == "set":
-        schema = f"doc_id {id_type}, shingle_set array<long>"
+        schema = f"doc_id {id_type}{carry_sql}, shingle_set array<long>"
     else:
-        schema = f"doc_id {id_type}, shingle_hash long"
+        schema = f"doc_id {id_type}{carry_sql}, shingle_hash long"
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
         for pdf in batches:
-            ids_out, pos_out, h_out = [], [], []
-            for did, txt in zip(pdf[id_col].to_numpy(),
-                                pdf[text_col].to_numpy()):
+            ids_out, car_out, pos_out, h_out = [], [], [], []
+            car_np = pdf[carry].to_numpy() if carry else None
+            for row_i, (did, txt) in enumerate(
+                    zip(pdf[id_col].to_numpy(),
+                        pdf[text_col].to_numpy())):
                 grams = _doc_grams(txt, n)
                 if not grams:
                     continue
@@ -105,13 +109,19 @@ def _shingle_hash_frame(df: DataFrame, n: int, text_col: str, id_col: str,
                     hs = list(dict.fromkeys(hs))
                 elif mode == "set":
                     ids_out.append(did)
+                    if carry:
+                        car_out.append(car_np[row_i])
                     h_out.append(list(dict.fromkeys(hs)))
                     continue
                 elif mode == "pos":
                     pos_out.extend(range(len(hs)))
                 ids_out.extend([did] * len(hs))
+                if carry:
+                    car_out.extend([car_np[row_i]] * len(hs))
                 h_out.extend(hs)
             cols = {"doc_id": ids_out}
+            if carry:
+                cols[carry] = car_out
             if mode == "pos":
                 cols["pos"] = pd.array(pos_out, dtype="int32")
                 cols["shingle_hash"] = pd.array(h_out, dtype="int64")
@@ -121,8 +131,10 @@ def _shingle_hash_frame(df: DataFrame, n: int, text_col: str, id_col: str,
                 cols["shingle_hash"] = pd.array(h_out, dtype="int64")
             yield pd.DataFrame(cols)
 
-    return df.select(F.col(id_col), F.col(text_col)) \
-        .mapInPandas(_fn, schema)
+    sel = [F.col(id_col), F.col(text_col)]
+    if carry:
+        sel.insert(1, F.col(carry))
+    return df.select(*sel).mapInPandas(_fn, schema)
 
 
 def exact_dups(df: DataFrame, text_col: str = "text",
@@ -510,15 +522,15 @@ def boilerplate_shingle_stats(df: DataFrame, n: int = 3,
     doc-count table for the exact-integer threshold, and a final
     uniform groupBy(doc_id).  Nothing is O(n²) and no driver state
     grows with the corpus."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idxs = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    sh = (df.select(F.col(id_col).alias("doc_id"),
-                    F.col(group_col).alias("grp"),
-                    F.explode(grams).alias("shingle"))
-          .select("doc_id", "grp", hash32(F.col("shingle")).alias("shingle_hash"))
-          .distinct())
+    # r6 (guide §4.2/§2.4): the Arrow shingle kernel replaces the
+    # interpreted transform+explode+JVM-md5 chain, and its per-doc
+    # dedup replaces the corpus-wide .distinct() exchange outright —
+    # identical (doc, grp, hash) set because each doc carries exactly
+    # one group value (rows are per-doc in every caller)
+    sh = _shingle_hash_frame(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(group_col).alias("grp"), F.col(text_col)),
+        n, text_col, "doc_id", mode="distinct", carry="grp")
     grp_docs = df.groupBy(F.col(group_col).alias("grp")) \
         .agg(F.countDistinct(id_col).alias("n_docs"))
     # sh is distinct per (doc, grp, shingle) → the window count IS the
