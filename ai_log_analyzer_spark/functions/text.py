@@ -2034,19 +2034,48 @@ def watermark_screen(df: DataFrame, text_col: str = "text",
     """(doc_id, n_scored, n_green, green_ppm, wm_flagged) per non-empty
     doc: bigram-seeded green-list counts and the z>4 screening flag.
     Docs with <2 tokens score 0 pairs and are never flagged."""
-    toks = F.split(F.trim(F.col(text_col)), WS)
-    nt = F.size(toks)
-    pair_hash = lambda i: hash32(F.concat(  # noqa: E731
-        F.element_at(toks, i - 1), F.lit("|"), F.element_at(toks, i)))
-    greens = F.when(
-        nt >= 2,
-        F.size(F.filter(F.sequence(F.lit(2), nt),
-                        lambda i: F.pmod(pair_hash(i), F.lit(2)) == 0))
-    ).otherwise(F.lit(0))
-    out = (df.filter(F.trim(F.col(text_col)) != "")
-           .select(F.col(id_col).alias("doc_id"),
-                   (nt - 1).cast("long").alias("n_scored"),
-                   greens.cast("long").alias("n_green")))
+    # r6 (guide §4.2): the green count ran an interpreted
+    # filter(sequence) lambda with a JVM md5 per token pair; the Arrow
+    # kernel computes the identical integers (same space-only trim +
+    # ASCII-\s+ split as the dedup kernels, hash32 = the Catalyst
+    # conv(substring(md5)) value, same '|' pair seed, % 2 == pmod on
+    # the non-negative hash).  Downstream ppm/flag algebra unchanged.
+    import hashlib
+    import re as _re2
+
+    ws_re = _re2.compile(WS, _re2.ASCII)
+    id_type = dict(df.dtypes)[id_col]
+
+    def _wm_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, nsc, ngr = [], [], []
+            for did, txt in zip(pdf[id_col].to_numpy(),
+                                pdf[text_col].to_numpy()):
+                if txt is None or txt.strip(" ") == "":
+                    continue
+                toks = ws_re.split(txt.strip(" "))
+                nt = len(toks)
+                g = 0
+                if nt >= 2:
+                    prev = toks[0]
+                    for t in toks[1:]:
+                        h = int(md5((prev + "|" + t).encode("utf-8"))
+                                .hexdigest()[:8], 16)
+                        if h % 2 == 0:
+                            g += 1
+                        prev = t
+                ids.append(did)
+                nsc.append(nt - 1)
+                ngr.append(g)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_scored": pd.array(nsc, dtype="int64"),
+                "n_green": pd.array(ngr, dtype="int64"),
+            })
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _wm_fn, f"doc_id {id_type}, n_scored long, n_green long")
     return (out
             .withColumn("green_ppm",
                         F.expr("(n_green * 1000000)"
